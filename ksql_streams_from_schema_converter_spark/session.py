@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the config choices are the ones that
+matter at cluster scale too (AQE on, sane shuffle partitioning, Arrow for
+the few Pandas-UDF paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ksql-streams-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for the Pandas-UDF paths (similarity / multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ksqlDB semantics are null-on-error (e.g. out-of-range array index
+        # returns NULL); ANSI mode would throw instead. The compiler uses
+        # try_* functions where it matters, but keep ANSI off so verbatim
+        # passthrough expressions behave like the reference's target engine.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
