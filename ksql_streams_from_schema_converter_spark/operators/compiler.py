@@ -95,17 +95,28 @@ class MappedResolver:
     """Post-MAPPED stage: fields live in a ``MAP<STRING,STRING>`` column;
     multivalue fields also under the ``<NAME>_multivalue`` sibling key
     (src/controllers/index.js:74,78). ``RECID`` resolves to the business-key
-    column, not the map (:104-105,131-132)."""
+    column, not the map (:104-105,131-132).
 
-    def __init__(self, xml_col: str = "xmlrecord", recid_col: str = "recid"):
+    ``multivalue_suffix=False`` gives the post-MULTIVALUE variant
+    (``multiParser``, src/controllers/index.js:172-291): the map carries
+    the exploded element under the *plain* key, so multivalue reads drop
+    the ``_multivalue`` suffix (compare :78 with :191-198)."""
+
+    def __init__(
+        self,
+        xml_col: str = "xmlrecord",
+        recid_col: str = "recid",
+        multivalue_suffix: bool = True,
+    ):
         self.xml_col = xml_col
         self.recid_col = recid_col
+        self.multivalue_suffix = multivalue_suffix
 
     def sql(self, name: str, multivalue: bool = False) -> str:
         # NOTE: identity on the name 'RECID' reads the map (reference :74);
         # only the FUNC branches override the source to DATA.RECID
         # (:104-105,131-132) — the compiler calls .recid() there.
-        key = f"{name}_multivalue" if multivalue else name
+        key = f"{name}_multivalue" if (multivalue and self.multivalue_suffix) else name
         return f"element_at({self.xml_col}, '{key}')"
 
     def recid(self) -> str:

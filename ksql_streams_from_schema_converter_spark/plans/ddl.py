@@ -1,0 +1,51 @@
+"""Target-table DDL emission (the reference's 'DDL_SINGLE' /
+'DDL_MULTIVALUE' templates, src/controllers/index.js:408,567-570).
+
+The reference targets Oracle — `VARCHAR2` appears in the dictionary
+INSERT it emits (src/controllers/index.js:50). The template bodies are
+not in the repo, so this pretty-printer reconstructs the observable
+contract: a CREATE TABLE matching the sink projection's schema, keyed by
+RECID (plus MV_POS for multivalue sinks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+_ORACLE_TYPES: list[tuple[type, str]] = [
+    (T.StringType, "VARCHAR2(4000)"),
+    (T.DateType, "DATE"),
+    (T.TimestampType, "TIMESTAMP"),
+    (T.IntegerType, "NUMBER(10)"),
+    (T.LongType, "NUMBER(19)"),
+    (T.ShortType, "NUMBER(5)"),
+    (T.DoubleType, "BINARY_DOUBLE"),
+    (T.FloatType, "BINARY_FLOAT"),
+    (T.BooleanType, "NUMBER(1)"),
+    (T.BinaryType, "BLOB"),
+]
+
+
+def _oracle_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"NUMBER({dt.precision},{dt.scale})"
+    for spark_t, oracle_t in _ORACLE_TYPES:
+        if isinstance(dt, spark_t):
+            return oracle_t
+    return "VARCHAR2(4000)"  # maps/arrays/structs sink as serialized text
+
+
+def generate_oracle_ddl(table_name: str, schema: T.StructType, multivalue: bool = False) -> str:
+    cols = [f'  "{f.name}" {_oracle_type(f.dataType)}' for f in schema.fields]
+    key_cols = [f.name for f in schema.fields if f.name.upper() == "RECID"]
+    if multivalue and any(f.name == "MV_POS" for f in schema.fields):
+        key_cols.append("MV_POS")
+    pk = (
+        ",\n  CONSTRAINT pk_{t} PRIMARY KEY ({k})".format(
+            t=table_name.lower(), k=", ".join(f'"{c}"' for c in key_cols)
+        )
+        if key_cols
+        else ""
+    )
+    body = ",\n".join(cols)
+    return f'CREATE TABLE T24BNK."{table_name}" (\n{body}{pk}\n);'

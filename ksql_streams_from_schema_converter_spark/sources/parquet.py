@@ -1,0 +1,42 @@
+"""Batch sources over the driver-generated parquet tables (TESTDATA.md).
+
+At cluster scale these reads benefit from Parquet predicate pushdown and
+column pruning automatically — queries should select/filter on the
+DataFrames returned here and let Catalyst push into the scan (verify
+with ``.explain``: ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` works on them
+    (the engine's equivalent of the reference's raw query passthrough,
+    src/services/index.js:82-90 — Catalyst parses/plans natively)."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
