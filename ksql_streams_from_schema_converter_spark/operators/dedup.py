@@ -1,0 +1,249 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB (SURVEY.md §7 / BASELINE.json north-star):
+
+- Exact dedup is a hash-groupBy on a fingerprint — one shuffle keyed by
+  the md5, no full-text comparison; AQE handles fingerprint skew.
+- MinHash signatures use ``min(md5(seed || shingle))`` — the lexicographic
+  min of hex digests is a valid permutation-min approximation, is
+  bit-identical across engines (oracle-checkable), and computes
+  map-side per document with no shuffle at all.
+- LSH banding turns all-pairs O(n²) into a shuffle keyed by
+  (band, band_signature): only same-bucket documents are joined, which
+  is the step that survives a 1000-executor scale-up. The residual
+  verify (exact Jaccard) runs only on candidate pairs.
+- SimHash is a per-document map-side signature (explode tokens →
+  per-bit majority vote); near-dup = small Hamming distance, again
+  bucketed before pairing.
+
+Everything is built from native expressions (md5/split/explode/groupBy);
+no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalize, word_ngrams
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact-content group (md5 over normalized
+    text). One hash-shuffle; no text comparison."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 8, ngram: int = 3
+) -> list[Column]:
+    """``num_hashes`` MinHash values: for seed i, min over shingles of
+    ``md5(i || ':' || shingle)`` (hex string; lexicographic min)."""
+    shingles = F.array_distinct(word_ngrams(text, ngram))
+    return [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))).alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    return docs.select(F.col(id_col), *minhash_signature(text_col, num_hashes))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; documents agreeing on ALL hashes of any
+    band become a candidate pair. Output: (id_a, id_b) with a < b,
+    distinct. The join is keyed by (band, band_key) — no all-pairs."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes)
+    band_rows = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verify step for LSH candidates, or standalone)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Pairs with word-``ngram`` Jaccard similarity ≥ threshold.
+
+    Implemented as shingle-explode + equi-join on the shingle (only
+    documents *sharing* a shingle are paired — the sparse-similarity
+    trick), then |A∩B| / (|A|+|B|-|A∩B|). Scales as a shuffle keyed by
+    shingle; a hot shingle is the skew knob (AQE skew-join handles it).
+    Jaccard is returned as an exact ratio of integers cast to
+    decimal(9,6) so the oracle matches bit-for-bit."""
+    shingled = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias("sh")
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("sz"))
+    l, r = shingled.alias("l"), shingled.alias("r")
+    inter = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("decimal(18,6)")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            )
+            .cast("decimal(9,6)")
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32  # 8 hex chars of the token md5
+
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """Per-document SimHash over whitespace tokens: bit j of the
+    signature = majority vote of bit j of md5(token) across tokens.
+    Uses the first ``bits/4`` hex chars of the digest; returns a BIGINT.
+
+    conv(hex) is done 1 hex char (4 bits) at a time with pure arithmetic
+    so the oracle SQL can reproduce it without engine-specific bit ops.
+    """
+    from .text import tokens as _tokens
+
+    toks = _tokens(text)
+    hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, bits // 4))
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        hex_pos = j // 4 + 1
+        bit_in_nibble = 3 - (j % 4)  # high bit first
+        ones = F.size(
+            F.filter(
+                hexes,
+                lambda h: (
+                    F.floor(
+                        F.conv(F.substring(h, hex_pos, 1), 16, 10).cast("bigint")
+                        / (2**bit_in_nibble)
+                    )
+                    % 2
+                    == 1
+                ),
+            )
+        )
+        n = F.size(hexes)
+        out = out + F.when(ones * 2 > n, F.lit(2 ** (bits - 1 - j)).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return docs.select(F.col(id_col), simhash(text_col).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold, bucketed by a
+    random-hyperplane (SimHash-for-vectors) sketch first so the pair
+    join is per-bucket, not all-pairs. Hyperplane weights are derived
+    deterministically from md5 so results are reproducible."""
+    from .similarity import cosine, hyperplane_sketch
+
+    sk = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        hyperplane_sketch(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    l, r = sk.alias("l"), sk.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the scale story:
+
+- ``knn_bruteforce``: exact top-k by cosine. The crossJoin is
+  broadcast-able when the query set is small (the common case: q ≪ n);
+  the candidate scoring is a map-side native expression
+  (``F.aggregate`` dot product — JVM codegen, no Python), so it scales
+  to any corpus size with zero shuffles besides the final top-k.
+- ``knn_lsh``: random-hyperplane LSH buckets (deterministic md5-derived
+  planes) restrict scoring to same-bucket candidates — the 100 TB path.
+  Multi-probe = search the query's bucket only; recall/cost tuned by
+  ``n_planes``.
+
+Top-k per query uses a window rank — one shuffle keyed by query id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Native dot product: fold over zipped arrays (JVM, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hyperplane_sketch(vec: Column, n_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane sketch: plane p's weight for
+    dimension d is md5-derived in {-1, +1}; bit p of the sketch is the
+    sign of the projection. Returns a compact string key."""
+    v = vec.cast("array<double>")
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(v)),
+                    lambda d, p=p: F.when(
+                        F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"), d.cast("string"))), 1, 1), 16, 10)
+                        .cast("int")
+                        % 2
+                        == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+
+    Output: (query_id, neighbor_id, rank) — ranks by cosine rounded to
+    6 decimals with neighbor-id tie-break, so results are deterministic
+    and engine-comparable."""
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    queries = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def knn_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's
+    hyperplane bucket. Same output shape as :func:`knn_bruteforce`;
+    recall < 1 by design (rows-only correctness check)."""
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        hyperplane_sketch(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    queries = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        base.join(F.broadcast(queries), (F.col("bucket") == F.col("qb")))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

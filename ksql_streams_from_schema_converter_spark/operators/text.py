@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is native Catalyst expressions (split / regexp /
+aggregate) — whole-stage-codegen friendly, no Python UDFs — so these
+scale linearly with executors over 100 TB of documents. Every function
+has deterministic, SQL-expressible semantics so the DuckDB oracle can
+replicate it exactly (the driver's correctness gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small multilingual stopword sets for the language-ID heuristic.
+# Deliberately tiny + frozen: the oracle SQL embeds the same lists.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    toks = tokens(text)
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    # count of non-alphanumeric, non-space characters
+    return F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+
+
+def normalize(text: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (exact-dup key).
+    md5 is bit-identical across engines, so the oracle can reproduce it."""
+    return F.md5(normalize(text))
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), 1-based positions."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword hits (ties → lexicographic
+    first language code, 'und' when no stopwords hit at all)."""
+    scores = [(lang, stopword_count(text, lang)) for lang in sorted(STOPWORDS)]
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed so earlier languages win ties
+    for lang, score in reversed(scores):
+        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document integer quality metrics (exact, oracle-checkable)."""
+    return docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        stopword_count(text_col).alias("n_stopwords"),
+        punct_count(text_col).alias("n_punct"),
+        F.length(text_col).alias("n_chars_measured"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1] (length, stopword density, mean
+    token length) — the usual pre-training heuristic filter. Kept as a
+    double; compare rows-only or via rounded casts."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    mean_len = F.length(F.trim(F.col(text_col))) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = stopword_count(text_col) / F.greatest(n_tok, F.lit(1))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 1000), 1.0).otherwise(0.3)
+    stop_ok = F.when(stop_ratio > 0.01, 1.0).otherwise(0.5)
+    len_ok = F.when((mean_len >= 2.5) & (mean_len <= 12), 1.0).otherwise(0.5)
+    return docs.select(
+        F.col(id_col),
+        F.round((length_ok * 0.4 + stop_ok * 0.3 + len_ok * 0.3), 4).alias("quality"),
+    )

@@ -31,6 +31,9 @@ def get_spark(app_name: str = "ksql-streams-spark", shuffle_partitions: int | No
         # try_* functions where it matters, but keep ANSI off so verbatim
         # passthrough expressions behave like the reference's target engine.
         .config("spark.sql.ansi.enabled", "false")
+        # the driver's events.parquet stores TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read as long and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

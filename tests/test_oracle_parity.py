@@ -1,0 +1,46 @@
+"""Differential tests mimicking the driver's t2 gate: every workload
+query with an oracle must match DuckDB exactly at sf0.001 (fast); the
+driver runs the same comparison at sf0.01."""
+
+import os
+
+import pytest
+
+from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
+
+from diffcheck import compare, duckdb_conn
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, (_, sql) in WORKLOAD.items() if sql is not None]
+)
+def test_query_matches_oracle(spark, con, name):
+    fn, oracle = WORKLOAD[name]
+    ok, msg = compare(fn(spark, SF_DIR), con, oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, (_, sql) in WORKLOAD.items() if sql is None]
+)
+def test_rows_only_queries_run(spark, name):
+    fn, _ = WORKLOAD[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0 and len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
