@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, normalize, word_ngrams
+from .text import fingerprint, ngrams_from_tokens, normalize, tokens, word_ngrams
 
 # ---------------------------------------------------------------------------
 # exact
@@ -54,10 +54,14 @@ def minhash_signature(
     """``num_hashes`` MinHash values: for seed i, min over shingles of
     ``md5(i || ':' || shingle)`` (hex string; lexicographic min)."""
     shingles = F.array_distinct(word_ngrams(text, ngram))
+
+    def seeded(i: int):
+        # NB: must be a 1-arg lambda — F.transform passes the array index
+        # as a second argument to 2-arg lambdas.
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
     return [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))).alias(
-            f"mh{i}"
-        )
+        F.array_min(F.transform(shingles, seeded(i))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
 
@@ -65,7 +69,27 @@ def minhash_signature(
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
-    return docs.select(F.col(id_col), *minhash_signature(text_col, num_hashes))
+    """Explode shingles once, then ``groupBy(id).agg(min(md5(i:sh)))``.
+
+    This shape beats the per-row array expression (:func:`minhash_signature`)
+    because the shingle construction is evaluated once per document
+    instead of once per hash, and the mins combine map-side (partial
+    aggregation) — the shuffle carries only ``num_hashes`` digests per
+    document regardless of document size. Docs with no shingles
+    (< ngram tokens) drop out, as in the SQL formulation."""
+    shingled = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngrams_from_tokens(F.col("__toks")))).alias("sh"),
+        )
+    )
+    return shingled.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def lsh_candidate_pairs(
@@ -131,8 +155,12 @@ def ngram_jaccard_pairs(
     shingle; a hot shingle is the skew knob (AQE skew-join handles it).
     Jaccard is returned as an exact ratio of integers cast to
     decimal(9,6) so the oracle matches bit-for-bit."""
-    shingled = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias("sh")
+    shingled = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngrams_from_tokens(F.col("__toks"), ngram))).alias("sh"),
+        )
     )
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("sz"))
     l, r = shingled.alias("l"), shingled.alias("r")
@@ -143,20 +171,20 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # threshold applied in exact integer arithmetic (inter >= t * union),
+    # so the cut is engine-independent; the decimal jaccard is cosmetic.
+    t_num, t_den = (threshold * 1000000).__trunc__(), 1000000
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
+        .where(F.col("inter") * t_den >= union * t_num)
         .select(
             "id_a",
             "id_b",
-            (
-                F.col("inter").cast("decimal(18,6)")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            )
-            .cast("decimal(9,6)")
-            .alias("jaccard"),
+            F.col("inter").alias("n_common"),
+            union.alias("n_union"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -204,9 +232,37 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
 
 
 def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    return docs.select(F.col(id_col), simhash(text_col).alias("simhash"))
+    """Materializes the per-token digest array into a column first: the
+    per-bit majority loop references it ``bits`` times, and an embedded
+    split+md5 expression would be re-evaluated for every reference."""
+    hexes = F.transform(
+        tokens(text_col), lambda t: F.substring(F.md5(t), 1, bits // 4)
+    )
+    with_hex = docs.select(F.col(id_col), hexes.alias("__hexes"))
+    h = F.col("__hexes")
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        hex_pos = j // 4 + 1
+        bit_in_nibble = 3 - (j % 4)
+        ones = F.size(
+            F.filter(
+                h,
+                lambda x: (
+                    F.floor(
+                        F.conv(F.substring(x, hex_pos, 1), 16, 10).cast("bigint")
+                        / (2**bit_in_nibble)
+                    )
+                    % 2
+                    == 1
+                ),
+            )
+        )
+        out = out + F.when(
+            ones * 2 > F.size(h), F.lit(2 ** (bits - 1 - j)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return with_hex.select(F.col(id_col), out.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

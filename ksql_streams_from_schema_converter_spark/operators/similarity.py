@@ -43,21 +43,27 @@ def hyperplane_sketch(vec: Column, n_planes: int = 8) -> Column:
     dimension d is md5-derived in {-1, +1}; bit p of the sketch is the
     sign of the projection. Returns a compact string key."""
     v = vec.cast("array<double>")
+
+    def plane_weight(p: int):
+        # 1-arg lambda on purpose: F.transform feeds the array index to
+        # 2-arg lambdas, which would shadow the captured plane number.
+        return lambda d: F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{p}:"), d.cast("string"))), 1, 1),
+                16,
+                10,
+            ).cast("int")
+            % 2
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 v,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(v)),
-                    lambda d, p=p: F.when(
-                        F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"), d.cast("string"))), 1, 1), 16, 10)
-                        .cast("int")
-                        % 2
-                        == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
+                F.transform(F.sequence(F.lit(1), F.size(v)), plane_weight(p)),
                 lambda x, w: x * w,
             ),
             F.lit(0.0),
@@ -105,12 +111,16 @@ def knn_lsh(
     query_ids: list[int],
     k: int = 5,
     n_planes: int = 6,
+    multiprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's
-    hyperplane bucket. Same output shape as :func:`knn_bruteforce`;
-    recall < 1 by design (rows-only correctness check)."""
+    hyperplane bucket, plus (``multiprobe``=1) every bucket at Hamming
+    distance 1 — the standard recall/cost knob: with b balanced buckets
+    this scores ~``(1+n_planes)/b`` of the corpus instead of all of it.
+    Same output shape as :func:`knn_bruteforce`; recall < 1 by design
+    (rows-only correctness check)."""
     base = emb.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -119,6 +129,20 @@ def knn_lsh(
     queries = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
+    if multiprobe:
+        # probe set = own bucket + each 1-bit flip (native expressions)
+        flips = F.array(
+            F.col("qb"),
+            *[
+                F.concat(
+                    F.substring("qb", 1, p),
+                    F.when(F.substring("qb", p + 1, 1) == "1", "0").otherwise("1"),
+                    F.substring("qb", p + 2, n_planes),
+                )
+                for p in range(n_planes)
+            ],
+        )
+        queries = queries.withColumn("qb", F.explode(flips))
     scored = (
         base.join(F.broadcast(queries), (F.col("bucket") == F.col("qb")))
         .where(F.col(id_col) != F.col("query_id"))

@@ -55,15 +55,31 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize(text))
 
 
-def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined), 1-based positions."""
-    toks = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array column.
+
+    PERFORMANCE: pass an *attribute* (a materialized column), not a big
+    expression — expressions referenced inside a ``transform`` lambda are
+    re-evaluated per element, so an embedded ``split()`` would turn this
+    O(len) loop into O(len²). See :func:`word_ngrams` for the guard on
+    short docs (Spark's ``sequence(1, 0)`` counts DOWN, not empty)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), 1-based positions. Documents
+    shorter than ``n`` tokens yield an empty array. Convenience form —
+    for hot paths prefer materializing :func:`tokens` into a column and
+    calling :func:`ngrams_from_tokens` (see its performance note)."""
+    return ngrams_from_tokens(tokens(text), n)
 
 
 def lang_id(text: Column | str) -> Column:

@@ -450,3 +450,389 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+# ===========================================================================
+# North-star extensions: text analysis / dedup / similarity / multimodal
+# (BASELINE.json; SURVEY.md §7 step 7)
+# ===========================================================================
+
+# DuckDB twins of operators/text.py primitives (same semantics, same
+# stopword lists, same regexes).
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_NGRAMS3 = (
+    f"CASE WHEN len({_TOKS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_TOKS})-2), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]) "
+    f"ELSE CAST([] AS VARCHAR[]) END"
+)
+_SW = {
+    lang: ", ".join(f"'{w}'" for w in words) for lang, words in TX.STOPWORDS.items()
+}
+_STOP_EN = f"len(list_filter({_TOKS}, t -> t IN ({_SW['en']})))"
+
+# Dedup corpus: documents + planted near-dups (first token dropped) and
+# exact dups, identically constructed on both engines.
+_CORPUS_CTE = r"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 25
+)
+"""
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        docs.where(F.col("doc_id") < 25)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+        )
+    )
+    exact = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    return docs.union(near).union(exact)
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           {_STOP_EN} AS n_stopwords,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer text-quality metrics (token / stopword / punct / char
+    counts) — exact, so the oracle matches bit-for-bit."""
+    return TX.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS}, t -> t IN ({_SW['de']}))) AS s_de,
+             len(list_filter({_TOKS}, t -> t IN ({_SW['en']}))) AS s_en,
+             len(list_filter({_TOKS}, t -> t IN ({_SW['fr']}))) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic (argmax of per-language
+    stopword hits, lexicographic tie-break, 'und' when nothing hits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tok,
+             {_STOP_EN} AS n_stop,
+             length(trim(text)) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+           + (CASE WHEN n_stop / greatest(n_tok, 1) > 0.01 THEN 1.0 ELSE 0.5 END) * 0.3
+           + (CASE WHEN n_chars / greatest(n_tok, 1) BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.5 END) * 0.3
+           , 4)::DOUBLE AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length / stopword-density / mean
+    token length gates)."""
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text (md5 is engine-portable by definition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH {_CORPUS_CTE.strip()}
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM corpus GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint, keep lowest id.
+    The corpus plants 25 exact duplicates → 25 groups with n_dups=2."""
+    return D.dedup_exact(dedup_corpus(spark, sf_dir))
+
+
+def _minhash_oracle_exprs(num_hashes: int) -> str:
+    return ",\n           ".join(
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(num_hashes)
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    )
+    SELECT doc_id,
+           {_minhash_oracle_exprs(8)}
+    FROM sh GROUP BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signatures over word-3-gram shingles; per-doc
+    map-side computation (no shuffle). Docs with <3 tokens drop out of
+    the oracle's unnest, so filter the same way here."""
+    sig = D.minhash_signatures(dedup_corpus(spark, sf_dir))
+    return sig.where(F.col("mh0").isNotNull())
+
+
+def _band_oracle(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    parts = [
+        "SELECT doc_id, {b} AS band, {key} AS key FROM mh".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "dedup_lsh_pairs",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_oracle_exprs(8)} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_oracle(8, 4)})
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    """,
+)
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidate pairs (4 bands × 2 rows): the
+    all-pairs O(n²) becomes a join keyed by (band, band-signature)."""
+    return D.lsh_candidate_pairs(dedup_corpus(spark, sf_dir))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+      FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, inter AS n_common,
+           sa.sz + sb.sz - inter AS n_union
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 1000000 >= (sa.sz + sb.sz - inter) * 500000
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard ≥ 0.5 pairs via the sparse shingle join;
+    threshold applied in exact integer arithmetic."""
+    return D.ngram_jaccard_pairs(dedup_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    nib = "strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1"
+    terms = []
+    for j in range(bits):
+        pos = j // 4 + 1
+        shift = 3 - (j % 4)
+        bit = f"(CAST(floor(({nib.format(pos=pos)}) / {2 ** shift}) AS BIGINT) % 2)"
+        terms.append(
+            f"CASE WHEN 2 * sum({bit}) > count(*) THEN CAST({2 ** (bits - 1 - j)} AS BIGINT) ELSE 0 END"
+        )
+    total = "\n         + ".join(terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    )
+    SELECT doc_id, {total} AS simhash
+    FROM toks GROUP BY doc_id
+    """
+
+
+@query("dedup_simhash", _simhash_oracle(32))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (per-bit majority vote over token
+    md5 bits) — map-side signature; near-dup = small Hamming distance."""
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_KNN_QUERY_IDS = list(range(10))
+
+
+@query(
+    "knn_bruteforce_cosine",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv FROM base
+      WHERE vec_id IN ({", ".join(map(str, _KNN_QUERY_IDS))})
+    ),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+      FROM base CROSS JOIN q WHERE vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors: brute-force
+    scan with a broadcast query side; native fold dot product (no UDF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_bruteforce(emb, _KNN_QUERY_IDS, k=5)
+
+
+@query("knn_lsh_ann", None)  # approximate by design → rows-only check
+def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via deterministic random-hyperplane LSH buckets — the
+    100 TB path (scores only same-bucket candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_lsh(emb, _KNN_QUERY_IDS, k=5)
+
+
+@query("embedding_near_dup", None)  # float cosine output → rows-only check
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.9) bucketed by
+    hyperplane sketch before pairing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           strlen(text) AS n_bytes,
+           md5(text) AS checksum,
+           CAST((length(text) % 640 + 1) // 2 AS INTEGER) AS thumb_width
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque payload + typed
+    metadata → Arrow-batched mapInPandas feature extraction (decode step
+    stubbed deterministically; see multimodal/binary.py). The md5
+    checksum and sizes are oracle-checkable; the fake 'pixel mean' is
+    excluded from the comparison projection."""
+    from .multimodal import attach_fake_media, extract_media_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_fake_media(docs))
+    return feats.select("doc_id", "media_type", "n_bytes", "checksum", "thumb_width")
+
+
+@query(
+    "streaming_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation executed as a real Structured
+    Streaming query (availableNow trigger, complete mode into memory
+    sink) — batch/stream parity is the correctness claim."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanosAsLong
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)  # streaming file source requires a directory
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    name = f"ev_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

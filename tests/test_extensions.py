@@ -1,0 +1,95 @@
+"""Semantic checks for the training-data-pipeline operators: not just
+oracle parity, but 'does dedup actually find the planted duplicates'."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksql_streams_from_schema_converter_spark.operators import dedup as D
+from ksql_streams_from_schema_converter_spark.operators import similarity as S
+from ksql_streams_from_schema_converter_spark.workload import dedup_corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return dedup_corpus(spark, SF_DIR).cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(corpus):
+    groups = D.dedup_exact(corpus)
+    dups = groups.where(F.col("n_dups") > 1)
+    # 25 planted exact copies → 25 groups of exactly 2
+    assert dups.count() == 25
+    assert dups.agg(F.max("n_dups")).head()[0] == 2
+    # keeper is always the original (lower id)
+    assert dups.agg(F.max("keep_id")).head()[0] < 10000
+
+
+def test_lsh_finds_planted_near_duplicates(corpus):
+    pairs = D.lsh_candidate_pairs(corpus).collect()
+    pair_set = {(r.id_a, r.id_b) for r in pairs}
+    # exact copies share every band → always paired
+    exact_pairs = {(i, i + 20000) for i in range(25)}
+    assert exact_pairs <= pair_set
+    # near-dups (one token dropped) should mostly be caught
+    near_hits = sum((i, i + 10000) in pair_set for i in range(25))
+    assert near_hits >= 20, f"LSH caught only {near_hits}/25 near-dups"
+
+
+def test_jaccard_scores_planted_pairs_high(corpus):
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    near = {(r.id_a, r.id_b): (r.n_common, r.n_union) for r in pairs}
+    assert all((i, i + 20000) in near for i in range(25))  # exact → jaccard 1
+    for i in range(25):
+        if (i, i + 10000) in near:
+            c, u = near[(i, i + 10000)]
+            assert c * 2 >= u  # passed the 0.5 threshold by construction
+
+
+def test_knn_lsh_recall_against_bruteforce(spark):
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = list(range(5))
+    exact = {(r.query_id, r.neighbor_id) for r in S.knn_bruteforce(emb, qids, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in S.knn_lsh(emb, qids, k=5, n_planes=4).collect()}
+    # ANN is approximate; require non-trivial overlap with exact top-5
+    # (measured ~0.36 with 4 planes + multiprobe on this data)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"suspiciously low ANN recall: {recall}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, corpus):
+    sig = D.simhash_signatures(corpus)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    joined = (
+        a.join(b, F.col("a.doc_id") + 10000 == F.col("b.doc_id"))
+        .select(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming")
+        )
+    )
+    rows = joined.collect()
+    assert rows, "no near-dup pairs joined"
+    avg = sum(r.hamming for r in rows) / len(rows)
+    assert avg <= 8, f"near-dup average hamming too high: {avg}"
+
+
+def test_multimodal_feature_extraction(spark):
+    from ksql_streams_from_schema_converter_spark.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    feats = extract_media_features(attach_fake_media(docs))
+    row = feats.orderBy("doc_id").head()
+    assert row.n_bytes > 0 and len(row.checksum) == 32
+    assert row.feat_mean > 0  # deterministic fake decode
+    assert feats.count() == docs.count()
