@@ -234,35 +234,32 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """Materializes the per-token digest array into a column first: the
-    per-bit majority loop references it ``bits`` times, and an embedded
-    split+md5 expression would be re-evaluated for every reference."""
-    hexes = F.transform(
-        tokens(text_col), lambda t: F.substring(F.md5(t), 1, bits // 4)
+    """Explode tokens → per-bit sums → majority vote, as a single
+    groupBy with ``bits`` SUM aggregates.
+
+    This shape beats a per-row array expression: the md5 is computed
+    once per token (not once per bit), the ``bits`` sums combine
+    map-side (partial aggregation), and the shuffle carries ``bits``
+    longs per document — the layout that survives a 100 TB corpus."""
+    toked = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).select(
+        F.col(id_col), F.substring(F.md5("tok"), 1, bits // 4).alias("hx")
     )
-    with_hex = docs.select(F.col(id_col), hexes.alias("__hexes"))
-    h = F.col("__hexes")
-    out = F.lit(0).cast("bigint")
+    bit_sums = []
     for j in range(bits):
         hex_pos = j // 4 + 1
         bit_in_nibble = 3 - (j % 4)
-        ones = F.size(
-            F.filter(
-                h,
-                lambda x: (
-                    F.floor(
-                        F.conv(F.substring(x, hex_pos, 1), 16, 10).cast("bigint")
-                        / (2**bit_in_nibble)
-                    )
-                    % 2
-                    == 1
-                ),
-            )
-        )
+        nib = F.conv(F.substring("hx", hex_pos, 1), 16, 10).cast("bigint")
+        bit = (F.floor(nib / (2**bit_in_nibble)) % 2).cast("bigint")
+        bit_sums.append(F.sum(bit).alias(f"b{j}"))
+    agg = toked.groupBy(id_col).agg(F.count("*").alias("n"), *bit_sums)
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
         out = out + F.when(
-            ones * 2 > F.size(h), F.lit(2 ** (bits - 1 - j)).cast("bigint")
+            F.col(f"b{j}") * 2 > F.col("n"), F.lit(2 ** (bits - 1 - j)).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-    return with_hex.select(F.col(id_col), out.alias("simhash"))
+    return agg.select(F.col(id_col), out.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

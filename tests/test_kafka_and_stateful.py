@@ -1,0 +1,71 @@
+"""Kafka parse functions (no broker needed) + stateful streaming dedup."""
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from ksql_streams_from_schema_converter_spark.sources.kafka import (
+    parse_blob_cdc,
+    parse_xml_cdc,
+)
+from ksql_streams_from_schema_converter_spark.streaming.stateful import (
+    batch_first_seen_dedup,
+    streaming_first_seen_dedup,
+)
+
+
+def test_parse_xml_cdc(spark):
+    msg = json.dumps(
+        {"RECID": "R1", "XMLRECORD": {"F": "v", "G_multivalue": "1:a#2:b"}}
+    ).encode()
+    df = spark.createDataFrame([(msg,)], "value binary")
+    row = df.select(*parse_xml_cdc(F.col("value"))).head()
+    assert row["recid"] == "R1"
+    assert row["xmlrecord"]["G_multivalue"] == "1:a#2:b"
+
+
+def test_parse_blob_cdc(spark):
+    msg = json.dumps({"RECID": "R2", "XMLRECORD": {"VALUE": "48656C6C6F"}}).encode()
+    df = spark.createDataFrame([(msg,)], "value binary")
+    row = df.select(*parse_blob_cdc(F.col("value"))).head()
+    assert (row["recid"], row["value_hex"]) == ("R2", "48656C6C6F")
+
+
+def test_parse_xml_cdc_malformed_is_null(spark):
+    df = spark.createDataFrame([(b"not json",)], "value binary")
+    row = df.select(*parse_xml_cdc(F.col("value"))).head()
+    assert row["recid"] is None  # from_json null-on-error, not crash
+
+
+def test_streaming_first_seen_dedup(spark):
+    src_dir = os.path.join(tempfile.gettempdir(), f"dedup_src_{uuid.uuid4().hex}")
+    out_dir = os.path.join(tempfile.gettempdir(), f"dedup_out_{uuid.uuid4().hex}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"dedup_ckpt_{uuid.uuid4().hex}")
+    rows = [("A", 1), ("A", 2), ("B", 3), ("B", 4), ("C", 5)]
+    spark.createDataFrame(rows, "recid string, seq int").write.parquet(src_dir)
+
+    stream = spark.readStream.schema("recid string, seq int").parquet(src_dir)
+    deduped = streaming_first_seen_dedup(stream, "recid")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert sorted(r["recid"] for r in got) == ["A", "B", "C"]  # one per key
+
+
+def test_batch_first_seen_dedup_ordered(spark):
+    df = spark.createDataFrame(
+        [("A", 2, "x"), ("A", 1, "first"), ("B", 1, "only")],
+        "recid string, seq int, payload string",
+    )
+    out = {r["recid"]: r["payload"] for r in batch_first_seen_dedup(df, "recid", "seq").collect()}
+    assert out == {"A": "first", "B": "only"}
