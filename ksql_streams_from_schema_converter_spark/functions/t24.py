@@ -94,6 +94,27 @@ def inputter_his(c: Column | str) -> Column:
     return F.substring(F.regexp_replace(joined, "null ", ""), 1, 4000)
 
 
+XML_TAG_PATTERN = r"<([A-Za-z0-9_.]+)>([^<]*)</"
+
+
+def xml_to_map(c: Column | str) -> Column:
+    """Parse a T24 XMLRECORD payload (``<FIELD>value</FIELD>`` pairs)
+    into ``MAP<STRING,STRING>`` — the MAPPED stage's 'XML' template
+    contract (src/controllers/index.js:575; consumed as
+    ``DATA.XMLRECORD['F']`` at :74).
+
+    Uses a backreference-free tag regex so the same pattern runs on
+    engines with RE2-style regex (the test oracle). Values containing
+    nested ``<`` are not supported — T24 OFS XML payloads are flat
+    tag/value records. Duplicate tags follow Spark's map-key dedup
+    policy (default: error) — multivalue fields should arrive under
+    distinct ``_multivalue`` tags as the reference expects."""
+    c = _as_col(c)
+    names = F.regexp_extract_all(c, F.lit(XML_TAG_PATTERN), 1)
+    values = F.regexp_extract_all(c, F.lit(XML_TAG_PATTERN), 2)
+    return F.map_from_arrays(names, values)
+
+
 def blob_hex_to_text(c: Column | str, charset: str = "ISO-8859-1") -> Column:
     """``SEAB_HEXTOTEXT(FROM_BYTES(c, 'hex'))``
     (src/controllers/index.js:307) folded into one native expression:

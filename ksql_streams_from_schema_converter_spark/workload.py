@@ -1030,3 +1030,242 @@ def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
         F.substring("p_name", 1, 10).alias("name_prefix"),
     )
+
+
+# ===========================================================================
+# Batch 3: XML payload parsing, JSON functions, as-of join, grouping sets,
+# cube, math functions, full outer join
+# ===========================================================================
+
+
+@query(
+    "t24_xml_parse",
+    """
+    WITH xml AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS recid,
+             '<NAME>' || c_name || '</NAME><SEGMENT>' || c_mktsegment ||
+             '</SEGMENT><BAL>' || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '</BAL>'
+               AS xmlrecord
+      FROM customer
+    )
+    SELECT recid                                                   AS RECID,
+           regexp_extract_all(xmlrecord, '<([A-Za-z0-9_.]+)>([^<]*)</', 2)[1] AS NAME,
+           regexp_extract_all(xmlrecord, '<([A-Za-z0-9_.]+)>([^<]*)</', 2)[2] AS SEGMENT,
+           CAST(regexp_extract_all(xmlrecord, '<([A-Za-z0-9_.]+)>([^<]*)</', 2)[3]
+                AS DECIMAL(18,2))                                  AS BAL
+    FROM xml
+    """,
+)
+def t24_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAPPED stage's actual XML→map extraction (the reference's
+    'XML' template contract): build a real XMLRECORD payload from
+    customer data, parse it with the codec, project through the DSL
+    compiler."""
+    from .functions.t24 import xml_to_map
+
+    cust = load_table(spark, sf_dir, "customer")
+    raw = cust.select(
+        F.col("c_custkey").cast("string").alias("recid"),
+        F.concat(
+            F.lit("<NAME>"), F.col("c_name"), F.lit("</NAME><SEGMENT>"),
+            F.col("c_mktsegment"), F.lit("</SEGMENT><BAL>"),
+            F.col("c_acctbal").cast("decimal(18,2)").cast("string"), F.lit("</BAL>"),
+        ).alias("xml_payload"),
+    ).select("recid", xml_to_map("xml_payload").alias("xmlrecord"))
+    spec = PipelineSpec(
+        schema_name="FBNK_CUSTOMER_XML",
+        fields=[
+            FieldSpec(name="RECID", transformation="UCASE($)"),
+            FieldSpec(name="NAME"),
+            FieldSpec(name="SEGMENT"),
+            FieldSpec(name="BAL", type=("string", "decimal(18,2)")),
+        ],
+    )
+    return EtlPipeline(spec).apply(raw).sink
+
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the events.props payload column
+    (get_json_object — SURVEY.md §2.5 notes the reference has none)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "asof_join_latest_event",
+    """
+    SELECT o_orderkey, o_custkey, e.event_id AS last_event_id, e.event_type AS last_event_type
+    FROM (SELECT *, o_orderdate AS ots FROM orders WHERE o_custkey < 100) o
+    ASOF LEFT JOIN (SELECT user_id, ts, event_id, event_type FROM events) e
+      ON o.o_custkey = e.user_id AND o.ots >= e.ts
+    """,
+)
+def asof_join_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each order of a low-key
+    customer enriched with that user's latest event at or before the
+    order date. Implemented as tagged-union + ordered window carry —
+    linear per key, no theta-join blowup (operators/joins.py). Oracle:
+    DuckDB's native ASOF JOIN."""
+    from .operators.joins import asof_join
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 100)
+        .select("o_orderkey", "o_custkey", F.col("o_orderdate").alias("ots"))
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    joined = asof_join(
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        events,
+        on="user_id",
+        left_ts="ots",
+        right_ts="ts",
+        how="left",
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("user_id").alias("o_custkey"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@query(
+    "cube_returnflag_linestatus",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").alias("qty"),
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (the engine's raw-SQL surface —
+    api.execute — is itself an operator here)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "math_functions_showcase",
+    """
+    SELECT p_partkey,
+           abs(p_retailprice - 1500)              AS dev,
+           CAST(ceil(p_retailprice) AS BIGINT)    AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT)   AS price_floor,
+           CAST(sign(p_retailprice - 1500) AS INTEGER) AS sgn,
+           sqrt(abs(p_retailprice))               AS root,
+           p_retailprice * p_retailprice          AS squared,
+           greatest(p_size, 25)                   AS gsize,
+           least(p_size, 25)                      AS lsize
+    FROM part
+    """,
+)
+def math_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar coverage — restricted to IEEE-exact operations
+    (abs/ceil/floor/sign/sqrt/multiply) so the oracle matches bitwise;
+    transcendentals (ln/exp) are deliberately excluded from the gate:
+    libm results differ across engines in the last ulp."""
+    part = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.abs(price - 1500).alias("dev"),
+        F.ceil(price).cast("bigint").alias("price_ceil"),
+        F.floor(price).cast("bigint").alias("price_floor"),
+        F.signum(price - 1500).cast("int").alias("sgn"),
+        F.sqrt(F.abs(price)).alias("root"),
+        (price * price).alias("squared"),
+        F.greatest("p_size", F.lit(25)).alias("gsize"),
+        F.least("p_size", F.lit(25)).alias("lsize"),
+    )
+
+
+@query(
+    "full_outer_join_counts",
+    """
+    SELECT COALESCE(a.k, b.k) AS custkey,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           COALESCE(b.n_events, 0) AS n_events
+    FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders WHERE o_custkey < 200 GROUP BY k) a
+    FULL OUTER JOIN
+         (SELECT user_id AS k, count(*) AS n_events FROM events WHERE user_id < 200 GROUP BY k) b
+      ON a.k = b.k
+    """,
+)
+def full_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 200)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 200)
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        orders.join(events, "k", "full_outer")
+        .select(
+            F.col("k").alias("custkey"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query("approx_stats", None)  # sketch-based: engine-specific, rows-only
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct count, quantile sketch) —
+    the constant-memory path for 100 TB cardinality/quantile questions;
+    sketches are engine-specific so there is no cross-engine oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
