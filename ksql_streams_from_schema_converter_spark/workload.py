@@ -1269,3 +1269,126 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_quantiles"
         ),
     )
+
+
+# ===========================================================================
+# Batch 4: date/time functions, null handling, array functions, range join
+# ===========================================================================
+
+
+@query(
+    "datetime_functions_showcase",
+    """
+    SELECT o_orderkey,
+           CAST(extract(year FROM o_orderdate) AS INTEGER)  AS yr,
+           CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+           CAST(extract(day FROM o_orderdate) AS INTEGER)   AS dy,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)      AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS days_until_2026,
+           strftime(o_orderdate, '%Y-%m-%d')                AS iso_day,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar coverage (PARSE_DATE/FORMAT_DATE family beyond
+    the DSL's fixed formats)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2026-01-01").cast("date"), d.cast("date")).cast("bigint").alias("days_until_2026"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+        F.last_day(d.cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "null_handling_showcase",
+    """
+    SELECT e.event_id,
+           COALESCE(o.o_orderstatus, 'NONE')             AS status_or_none,
+           NULLIF(e.event_type, 'click')                 AS type_not_click,
+           CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END AS is_unmatched,
+           IFNULL(CAST(o.o_totalprice AS DECIMAL(18,2)), 0) AS total_or_zero
+    FROM (SELECT * FROM events WHERE event_id < 500) e
+    LEFT JOIN orders o ON e.event_id = o.o_orderkey AND o.o_orderkey < 250
+    """,
+)
+def null_handling_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / IFNULL / IS NULL semantics across a
+    null-producing outer join."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 250)
+    j = ev.join(orders, ev.event_id == orders.o_orderkey, "left")
+    return j.select(
+        "event_id",
+        F.coalesce("o_orderstatus", F.lit("NONE")).alias("status_or_none"),
+        F.nullif("event_type", F.lit("click")).alias("type_not_click"),
+        F.when(F.col("o_orderkey").isNull(), 1).otherwise(0).alias("is_unmatched"),
+        F.ifnull(F.col("o_totalprice").cast("decimal(18,2)"), F.lit(0)).alias("total_or_zero"),
+    )
+
+
+@query(
+    "array_functions_showcase",
+    """
+    SELECT l_orderkey,
+           len(parts)                               AS n_parts,
+           list_sort(parts)[1]                      AS min_part,
+           list_sort(parts)[-1]                     AS max_part,
+           len(list_distinct(parts))                AS n_distinct,
+           list_contains(parts, 42)                 AS has_42,
+           list_sort(parts)                         AS sorted_parts
+    FROM (SELECT l_orderkey, list(l_partkey) AS parts FROM lineitem GROUP BY l_orderkey)
+    """,
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions (size/sort/min/max/distinct/contains) over
+    collected lists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    packed = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("parts"))
+    return packed.select(
+        "l_orderkey",
+        F.size("parts").alias("n_parts"),
+        F.array_min("parts").alias("min_part"),
+        F.array_max("parts").alias("max_part"),
+        F.size(F.array_distinct("parts")).alias("n_distinct"),
+        F.array_contains("parts", 42).alias("has_42"),
+        F.array_sort("parts").alias("sorted_parts"),
+    )
+
+
+@query(
+    "range_join_events_after_error",
+    """
+    SELECT a.event_id AS error_id, a.user_id, b.event_id AS follow_id, b.event_type AS follow_type
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') a
+    JOIN (SELECT event_id, user_id, ts, event_type FROM events) b
+      ON b.user_id = a.user_id
+     AND b.ts >= a.ts
+     AND epoch(b.ts) < epoch(a.ts) + 600
+    """,
+)
+def range_join_events_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: each error event paired with the same user's
+    events in the 10 minutes after it. Implemented via bucketed
+    equi-join (operators/rangejoin.py) — no nested-loop join; the
+    oracle uses the naive inequality join, same result set."""
+    from .operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("ets")
+    )
+    all_ev = ev.select("user_id", "ts", "event_id", "event_type")
+    joined = range_join(errors, all_ev, on="user_id", left_ts="ets", right_ts="ts", window_seconds=600)
+    return joined.select(
+        "error_id", "user_id",
+        F.col("event_id").alias("follow_id"),
+        F.col("event_type").alias("follow_type"),
+    )
