@@ -102,7 +102,10 @@ def orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xmlrecord"),
         )
     )
-    cdc = cdc.persist()
+    # AQE coalesces the small post-join output to ~1 partition; cached
+    # like that, every downstream projection would run single-task.
+    # Spread the cache across the cluster's cores before persisting.
+    cdc = cdc.repartition(spark.sparkContext.defaultParallelism).persist()
     _CDC_CACHE[key] = cdc
     return cdc
 

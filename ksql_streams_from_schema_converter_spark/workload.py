@@ -1392,3 +1392,55 @@ def range_join_events_after_error(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_id").alias("follow_id"),
         F.col("event_type").alias("follow_type"),
     )
+
+
+@query(
+    "pretrain_pipeline_composite",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    scored AS (
+      SELECT doc_id, text,
+             len({_TOKS}) AS n_tok,
+             {_STOP_EN} AS n_stop,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM corpus
+    ),
+    filtered AS (
+      SELECT * FROM scored
+      WHERE n_tok >= 10 AND n_stop > 0        -- quality + language gate
+    ),
+    deduped AS (
+      SELECT fp, min(doc_id) AS doc_id, min(n_tok) AS n_tok
+      FROM filtered GROUP BY fp
+    )
+    SELECT count(*)      AS n_docs,
+           sum(n_tok)    AS total_tokens,
+           min(doc_id)   AS first_doc,
+           max(doc_id)   AS last_doc
+    FROM deduped
+    """,
+)
+def pretrain_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline, composed from the engine's
+    own operators: quality/language gate → exact dedup (keep lowest id)
+    → corpus token accounting. One lazy plan; Catalyst pipelines the
+    stages (filter pushes below the dedup shuffle)."""
+    from .operators.text import fingerprint, stopword_count, token_count
+
+    corpus = dedup_corpus(spark, sf_dir)
+    scored = corpus.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        stopword_count("text").alias("n_stop"),
+        fingerprint("text").alias("fp"),
+    )
+    filtered = scored.where((F.col("n_tok") >= 10) & (F.col("n_stop") > 0))
+    deduped = filtered.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_tok").alias("n_tok")
+    )
+    return deduped.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
