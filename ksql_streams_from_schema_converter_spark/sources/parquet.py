@@ -27,7 +27,25 @@ TABLE_NAMES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine's semantics depend on — applied
+    defensively because a caller (e.g. the verification driver) may hand
+    us a session built without session.py:
+
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+      vectorized reader otherwise rejects;
+    - ANSI off: ksqlDB null-on-error parity (NULL out-of-range index /
+      bad cast instead of an exception);
+    - UTC session timezone: collected timestamp values must not shift
+      with the host timezone (the DuckDB oracle reads naive UTC).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
     # as bigint nanoseconds — truncate to microseconds (what DuckDB's

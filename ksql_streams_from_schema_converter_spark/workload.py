@@ -355,7 +355,9 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
 def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month")
+        )
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total"),
@@ -418,7 +420,10 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
     )
 
 
@@ -448,7 +453,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
-        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
     )
 
 
@@ -802,6 +811,9 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    from .sources.parquet import ensure_session_confs
+
+    ensure_session_confs(spark)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -824,7 +836,10 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
     )
     name = f"ev_hourly_{uuid.uuid4().hex[:8]}"
     q = (
