@@ -372,7 +372,10 @@ def compile_field(spec: FieldSpec, resolver, schema_name: str = "") -> CompiledF
     field_name = name.split("LOCALREF_", 1)[1] if name.startswith("LOCALREF_") else name
     sql: str
 
-    if name == "INPUTTER_HIS":
+    if name == "INPUTTER_HIS" and not isinstance(resolver, BlobResolver):
+        # the blob-SPLIT parser has NO INPUTTER_HIS special case
+        # (src/controllers/index.js:293-403 starts at the transformation
+        # branches) — there the name goes through normal routing
         sql = inputter_his_sql(resolver.sql("INPUTTER", multivalue=True))
         field_name = "INPUTTER_HIS"
     elif t == "":
