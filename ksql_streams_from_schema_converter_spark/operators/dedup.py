@@ -1,6 +1,13 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup.
 
+Algorithms follow the published formulations: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+SEQUENCES 1997), banded LSH (Indyk & Motwani, STOC 1998; banding per
+Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3), and SimHash
+(Charikar, "Similarity estimation techniques from rounding algorithms",
+STOC 2002; dedup application per Manku et al., WWW 2007).
+
 Design for 100 TB (SURVEY.md §7 / BASELINE.json north-star):
 
 - Exact dedup is a hash-groupBy on a fingerprint — one shuffle keyed by

@@ -1,5 +1,8 @@
 """Similarity search over embedding columns (``array<float>``).
 
+The ANN path uses random-hyperplane LSH (Charikar, STOC 2002) with
+multi-probe search (Lv et al., "Multi-probe LSH", VLDB 2007).
+
 Two paths, per the scale story:
 
 - ``knn_bruteforce``: exact top-k by cosine. The crossJoin is
