@@ -1459,3 +1459,30 @@ def pretrain_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "pandas_customer_order_gaps",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS d,
+             lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_d
+      FROM orders
+    )
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           count(prev_d) AS n_gaps,
+           COALESCE(sum(date_diff('day', prev_d, d)), 0) AS total_gap_days
+    FROM seq GROUP BY o_custkey
+    """,
+)
+def pandas_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched grouped-map Pandas operator (applyInPandas) with
+    integer outputs, gate-checked against a lag()-window SQL oracle —
+    proving the Python escape hatch preserves exact semantics."""
+    from .operators.pandas_ops import customer_order_gaps
+
+    return customer_order_gaps(load_table(spark, sf_dir, "orders"))
