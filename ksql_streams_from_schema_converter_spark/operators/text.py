@@ -82,6 +82,51 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     return ngrams_from_tokens(tokens(text), n)
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the RE2-compatible
+# subset (no lookahead) so the oracle engine can run the same regex:
+# contractions, letter runs, digit runs, punctuation runs, whitespace.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization (the approximate 'how many LLM tokens is
+    this corpus' counter — exact BPE needs a merges table; the
+    pre-tokenizer split is the standard cheap estimate)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def token_hash(tok: Column) -> Column:
+    """16-bit token hash from the md5 prefix — reproducible in plain SQL
+    (hex-nibble arithmetic) for the oracle."""
+    return F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("bigint")
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Polynomial rolling hash (Rabin-Karp style) over the token-hash
+    sequence: fold-left ``acc = (acc*B + h) % M`` seeded with the first
+    hash — order-sensitive, so reordered documents get different
+    fingerprints (unlike the bag-of-words md5 fingerprint). Pass a
+    materialized token column (see :func:`ngrams_from_tokens` note)."""
+    hashes = F.transform(toks, token_hash)
+    return F.when(
+        F.size(hashes) > 0,
+        F.aggregate(
+            F.slice(hashes, 2, F.greatest(F.size(hashes) - 1, F.lit(0))),
+            F.element_at(hashes, 1),
+            lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
+        ),
+    ).otherwise(F.lit(None).cast("bigint"))
+
+
 def lang_id(text: Column | str) -> Column:
     """Heuristic language ID: argmax of stopword hits (ties → lexicographic
     first language code, 'und' when no stopwords hit at all)."""

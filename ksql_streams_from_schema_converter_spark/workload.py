@@ -1486,3 +1486,59 @@ def pandas_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pandas_ops import customer_order_gaps
 
     return customer_order_gaps(load_table(spark, sf_dir, "orders"))
+
+
+_BPE_SQL = r"''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@query(
+    "text_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+           len({_TOKS}) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (BASELINE north-star: 'whitespace + a
+    BPE-ish regex'): the GPT-2-style pre-tokenizer estimate next to the
+    whitespace count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        TX.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+def _rolling_oracle() -> str:
+    nib = "(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
+    tok_hash = " + ".join(
+        f"{nib.format(p=p)} * {16 ** (4 - p)}" for p in range(1, 5)
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_transform({_TOKS}, tok -> CAST({tok_hash} AS BIGINT)) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(hs) > 0
+                THEN list_reduce(hs, (acc, x) -> (acc * 31 + x) % 1000000007)
+           END AS rhash
+    FROM toked
+    """
+
+
+@query("text_rolling_fingerprint", _rolling_oracle())
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over md5-derived token hashes (BASELINE north-star 'document
+    fingerprinting (rolling hash)'); fold-left semantics mirrored by
+    the oracle's list_reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TX.tokens("text").alias("__toks"))
+    return toked.select(
+        "doc_id", TX.rolling_fingerprint(F.col("__toks")).alias("rhash")
+    )
