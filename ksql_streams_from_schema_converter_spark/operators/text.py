@@ -12,6 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Explicit whitespace class used in every tokenization regex: Java's \s
+# includes U+000B (vertical tab) while RE2's (the oracle engine's) does
+# not — spelling the class out keeps both engines on identical semantics.
+WS_CLASS = r" \t\n\f\r"
+
 # Small multilingual stopword sets for the language-ID heuristic.
 # Deliberately tiny + frozen: the oracle SQL embeds the same lists.
 STOPWORDS = {
@@ -22,9 +27,10 @@ STOPWORDS = {
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization of trimmed, lowercased text."""
+    """Whitespace tokenization of trimmed, lowercased text (explicit
+    whitespace class — see WS_CLASS)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(F.lower(c)), r"\s+")
+    return F.split(F.trim(F.lower(c)), f"[{WS_CLASS}]+")
 
 
 def token_count(text: Column | str) -> Column:
@@ -40,13 +46,13 @@ def stopword_count(text: Column | str, lang: str = "en") -> Column:
 def punct_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     # count of non-alphanumeric, non-space characters
-    return F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.length(F.regexp_replace(c, f"[A-Za-z0-9{WS_CLASS}]", ""))
 
 
 def normalize(text: Column | str) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), f"[{WS_CLASS}]+", " "))
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -83,9 +89,13 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
 
 
 # GPT-2-style pre-tokenizer pattern, simplified to the RE2-compatible
-# subset (no lookahead) so the oracle engine can run the same regex:
-# contractions, letter runs, digit runs, punctuation runs, whitespace.
-BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# subset (no lookahead, explicit whitespace class) so the oracle engine
+# runs the exact same regex: contractions, letter runs, digit runs,
+# punctuation runs, whitespace.
+BPE_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    rf"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{WS_CLASS}]+|[{WS_CLASS}]+"
+)
 
 
 def bpe_tokens(text: Column | str) -> Column:
@@ -110,21 +120,32 @@ def token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("bigint")
 
 
-def rolling_fingerprint(toks: Column) -> Column:
-    """Polynomial rolling hash (Rabin-Karp style) over the token-hash
-    sequence: fold-left ``acc = (acc*B + h) % M`` seeded with the first
-    hash — order-sensitive, so reordered documents get different
-    fingerprints (unlike the bag-of-words md5 fingerprint). Pass a
-    materialized token column (see :func:`ngrams_from_tokens` note)."""
-    hashes = F.transform(toks, token_hash)
+def token_hashes(toks: Column) -> Column:
+    return F.transform(toks, token_hash)
+
+
+def rolling_from_hashes(hashes: Column) -> Column:
+    """Fold-left ``acc = (acc*B + h) % M`` with a zero seed (identical
+    to seeding with the first hash, since h1 < M), NULL for empty input.
+    Pass a *materialized* hash column: it is referenced twice and
+    higher-order functions get no common-subexpression elimination."""
     return F.when(
         F.size(hashes) > 0,
         F.aggregate(
-            F.slice(hashes, 2, F.greatest(F.size(hashes) - 1, F.lit(0))),
-            F.element_at(hashes, 1),
+            hashes,
+            F.lit(0).cast("bigint"),
             lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
         ),
     ).otherwise(F.lit(None).cast("bigint"))
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Polynomial rolling hash (Rabin-Karp style) over the token-hash
+    sequence — order-sensitive, so reordered documents get different
+    fingerprints (unlike the bag-of-words md5 fingerprint). Convenience
+    form; hot paths should materialize :func:`token_hashes` into a
+    column and use :func:`rolling_from_hashes`."""
+    return rolling_from_hashes(token_hashes(toks))
 
 
 def lang_id(text: Column | str) -> Column:

@@ -468,7 +468,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB twins of operators/text.py primitives (same semantics, same
 # stopword lists, same regexes).
-_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_WS = TX.WS_CLASS  # single source of truth with operators/text.py
+_TOKS = f"string_split_regex(trim(lower(text)), '[{_WS}]+')"
 _NGRAMS3 = (
     f"CASE WHEN len({_TOKS}) >= 3 THEN "
     f"list_transform(generate_series(1, len({_TOKS})-2), "
@@ -486,7 +487,8 @@ _CORPUS_CTE = r"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text
+  SELECT doc_id + 10000 AS doc_id,
+         regexp_replace(text, '^[^ \t\n\f\r]+[ \t\n\f\r]*', '') AS text
   FROM documents WHERE doc_id < 25
   UNION ALL
   SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 25
@@ -500,7 +502,7 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") < 25)
         .select(
             (F.col("doc_id") + 10000).alias("doc_id"),
-            F.regexp_replace("text", r"^\S+\s*", "").alias("text"),
+            F.regexp_replace("text", r"^[^ \t\n\f\r]+[ \t\n\f\r]*", "").alias("text"),
         )
     )
     exact = docs.where(F.col("doc_id") < 25).select(
@@ -515,7 +517,7 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len({_TOKS}) AS n_tokens,
            {_STOP_EN} AS n_stopwords,
-           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+           length(regexp_replace(text, '[A-Za-z0-9' || ' \\t\\n\\f\\r' || ']', '', 'g')) AS n_punct,
            length(text) AS n_chars_measured
     FROM documents
     """,
@@ -580,7 +582,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     r"""
     SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fp
     FROM documents
     """,
 )
@@ -595,7 +597,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact",
     f"""
     WITH {_CORPUS_CTE.strip()}
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+    SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fp,
            min(doc_id) AS keep_id,
            count(*) AS n_dups
     FROM corpus GROUP BY fp
@@ -1417,7 +1419,7 @@ def range_join_events_after_error(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT doc_id, text,
              len({_TOKS}) AS n_tok,
              {_STOP_EN} AS n_stop,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+             md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fp
       FROM corpus
     ),
     filtered AS (
@@ -1488,7 +1490,7 @@ def pandas_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_order_gaps(load_table(spark, sf_dir, "orders"))
 
 
-_BPE_SQL = r"''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_SQL = TX.BPE_PATTERN.replace("'", "''")  # single source of truth
 
 
 @query(
@@ -1525,7 +1527,8 @@ def _rolling_oracle() -> str:
     )
     SELECT doc_id,
            CASE WHEN len(hs) > 0
-                THEN list_reduce(hs, (acc, x) -> (acc * 31 + x) % 1000000007)
+                THEN list_reduce(hs, (acc, x) ->
+                       (acc * {TX.ROLLING_BASE} + x) % {TX.ROLLING_MOD})
            END AS rhash
     FROM toked
     """
@@ -1538,7 +1541,9 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprinting (rolling hash)'); fold-left semantics mirrored by
     the oracle's list_reduce."""
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", TX.tokens("text").alias("__toks"))
-    return toked.select(
-        "doc_id", TX.rolling_fingerprint(F.col("__toks")).alias("rhash")
+    hashed = docs.select(
+        "doc_id", TX.token_hashes(TX.tokens("text")).alias("__hs")
+    )
+    return hashed.select(
+        "doc_id", TX.rolling_from_hashes(F.col("__hs")).alias("rhash")
     )
