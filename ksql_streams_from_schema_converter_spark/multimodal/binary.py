@@ -66,7 +66,7 @@ def _fake_decode(payload: bytes) -> list[float]:
     from the bytes themselves — deterministic, so tests are stable.
     """
     if payload is None or len(payload) == 0:
-        raise NotImplementedError("real decoder required for empty payloads")
+        return [0.0]  # a real decoder would reject; the fake stays total
     return [sum(payload[:256]) / min(len(payload), 256)]
 
 
@@ -87,7 +87,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
                     "feat_mean": pdf["payload"].map(lambda b: _fake_decode(bytes(b))[0]),
-                    "thumb_width": (pdf["meta_width"] // 2).clip(lower=1).astype("int32"),
+                    "thumb_width": (pdf["meta_width"] // 2).astype("int32"),
                 }
             )
             yield out

@@ -408,12 +408,12 @@ def compile_field(spec: FieldSpec, resolver, schema_name: str = "") -> CompiledF
             )
         field_name = alias.strip()
         if "$" in args:
-            if name == "RECID":
-                src = resolver.recid()
-            elif "string-join" in t:
-                src = resolver.sql(name, multivalue=True)
-            else:
-                src = resolver.sql(name)
+            # NB: the reference also checks `includes('string-join')` here
+            # to pick the multivalue source (:106-108), but that check is
+            # unreachable — any transformation containing 'string-join'
+            # was already consumed by the string-join branch above, in
+            # both the reference's chain and this one. Not ported.
+            src = resolver.recid() if name == "RECID" else resolver.sql(name)
             if "$$" in args:
                 substituted = args.replace("$$", name)
             else:

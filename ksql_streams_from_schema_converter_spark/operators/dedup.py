@@ -200,42 +200,10 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 32  # 8 hex chars of the token md5
-
-
-def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
-    """Per-document SimHash over whitespace tokens: bit j of the
-    signature = majority vote of bit j of md5(token) across tokens.
-    Uses the first ``bits/4`` hex chars of the digest; returns a BIGINT.
-
-    conv(hex) is done 1 hex char (4 bits) at a time with pure arithmetic
-    so the oracle SQL can reproduce it without engine-specific bit ops.
-    """
-    from .text import tokens as _tokens
-
-    toks = _tokens(text)
-    hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, bits // 4))
-    out = F.lit(0).cast("bigint")
-    for j in range(bits):
-        hex_pos = j // 4 + 1
-        bit_in_nibble = 3 - (j % 4)  # high bit first
-        ones = F.size(
-            F.filter(
-                hexes,
-                lambda h: (
-                    F.floor(
-                        F.conv(F.substring(h, hex_pos, 1), 16, 10).cast("bigint")
-                        / (2**bit_in_nibble)
-                    )
-                    % 2
-                    == 1
-                ),
-            )
-        )
-        n = F.size(hexes)
-        out = out + F.when(ones * 2 > n, F.lit(2 ** (bits - 1 - j)).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return out
+# (no per-row simhash Column builder on purpose: 32 bit-filters over an
+# embedded md5-transform recompute every token's digest ~33x — the
+# higher-order-function CSE trap; use simhash_signatures, whose
+# explode+groupBy shape computes each digest once)
 
 
 def simhash_signatures(

@@ -36,8 +36,11 @@ from pyspark.sql import functions as F
 from ..functions.t24 import mv_array
 from .compiler import FieldSpec
 
-# listSelectedField's alias-extraction regex (src/controllers/index.js:430)
-_LIST_ALIAS_RE = re.compile(r"(.*\(.*\))\s([^,]*),*$")
+# NOTE: the reference's listSelectedField also extracts a rename alias
+# from FUNC-shaped transformations (src/controllers/index.js:430) — NOT
+# ported on purpose: the narrowed column must stay aliased spec.name so
+# the post-explode ExplodedResolver (which reads by spec.name) resolves;
+# the sink projection applies the user-facing alias.
 # transformations that read the _multivalue sibling key (:433-439)
 _INDEX_RE = re.compile(r"^\[(.*)\]$")
 _FUNC_INDEX_RE = re.compile(r"(.*)\(\[(.*)\](.*)\)")

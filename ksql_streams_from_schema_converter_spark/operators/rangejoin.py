@@ -29,9 +29,11 @@ def range_join(
     """Inner-join rows with equal ``on`` key and
     ``left_ts <= right_ts < left_ts + window_seconds``. Right's non-key
     columns are appended to the left row (one output row per match)."""
-    w = F.lit(window_seconds)
-    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / w)
-    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / w)
+    # all arithmetic in integer MICROSECONDS: unix_timestamp() truncates
+    # sub-second precision and would wrongly drop in-window pairs near
+    # the boundary (e.g. 10:00:00.9 + 600s vs 10:10:00.1)
+    window_us = window_seconds * 1_000_000
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / window_us)
 
     # rename the right side up front: self-joins (left and right derived
     # from the same source) would otherwise hit ambiguous-column errors
@@ -39,7 +41,7 @@ def range_join(
     rt = right.select(
         F.col(on).alias("__rk"),
         *[F.col(c).alias(f"__r_{c}") for c in payload],
-    ).withColumn("__b", F.floor(F.unix_timestamp(F.col(f"__r_{right_ts}")) / w))
+    ).withColumn("__b", F.floor(F.unix_micros(F.col(f"__r_{right_ts}")) / window_us))
     lt = left.withColumn("__b", F.explode(F.array(lb, lb + 1)))
 
     cond = (
@@ -47,8 +49,8 @@ def range_join(
         & (F.col(on) == F.col("__rk"))
         & (F.col(f"__r_{right_ts}") >= F.col(left_ts))
         & (
-            F.unix_timestamp(F.col(f"__r_{right_ts}"))
-            < F.unix_timestamp(F.col(left_ts)) + window_seconds
+            F.unix_micros(F.col(f"__r_{right_ts}"))
+            < F.unix_micros(F.col(left_ts)) + window_us
         )
     )
     joined = lt.join(rt, cond, "inner")

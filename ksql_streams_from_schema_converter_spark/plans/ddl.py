@@ -38,8 +38,14 @@ def _oracle_type(dt: T.DataType) -> str:
 def generate_oracle_ddl(table_name: str, schema: T.StructType, multivalue: bool = False) -> str:
     cols = [f'  "{f.name}" {_oracle_type(f.dataType)}' for f in schema.fields]
     key_cols = [f.name for f in schema.fields if f.name.upper() == "RECID"]
-    if multivalue and any(f.name == "MV_POS" for f in schema.fields):
-        key_cols.append("MV_POS")
+    if multivalue:
+        # an exploded sink emits one row per multivalue element, so RECID
+        # alone is NOT unique; only claim a key when the position column
+        # made it into the projection
+        if any(f.name == "MV_POS" for f in schema.fields):
+            key_cols.append("MV_POS")
+        else:
+            key_cols = []
     pk = (
         ",\n  CONSTRAINT pk_{t} PRIMARY KEY ({k})".format(
             t=table_name.lower(), k=", ".join(f'"{c}"' for c in key_cols)

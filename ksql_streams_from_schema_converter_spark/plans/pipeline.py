@@ -34,7 +34,7 @@ from ..operators.compiler import (
     ExplodedResolver,
     FieldSpec,
     MappedResolver,
-    compile_field,
+    compile_projection,
 )
 from ..operators.explode import explode_multivalue
 from .ddl import generate_oracle_ddl
@@ -122,27 +122,25 @@ class EtlPipeline:
 
     def stage_sink(self, df: DataFrame, exploded: bool) -> tuple[DataFrame, list[dict]]:
         s = self.spec
-        cols, meta = [], []
         if s.proc_type == "BLOB" and s.blob_delim == "SPLIT":
-            resolver = BlobResolver("blob")
-            specs = [(f, resolver) for f in s.single_values]
+            groups = [(s.single_values, BlobResolver("blob"))]
         elif exploded:
             # singles read top-level columns (inline variant :447-560);
             # VM/VS read the rebuilt map under plain names (multiParser
             # :172-291) — concat order singles+vm+vs as at :563-566.
-            top = ExplodedResolver()
             in_map = MappedResolver(multivalue_suffix=False)
-            specs = [(f, top) for f in s.single_values]
-            specs += [(f, in_map) for f in s.vms]
-            specs += [(f, in_map) for f in s.vss]
+            groups = [
+                (s.single_values, ExplodedResolver()),
+                (s.vms, in_map),
+                (s.vss, in_map),
+            ]
         else:
-            resolver = MappedResolver()
-            specs = [(f, resolver) for f in s.single_values]
-        for f, resolver in specs:
-            cf = compile_field(f, resolver, s.schema_name)
-            cols.append(cf.column)
-            if cf.added_field:
-                meta.append(cf.added_field)
+            groups = [(s.single_values, MappedResolver())]
+        cols, meta = [], []
+        for specs, resolver in groups:
+            c, m = compile_projection(specs, resolver, s.schema_name)
+            cols.extend(c)
+            meta.extend(m)
         return df.select(*cols), meta
 
     # -- end-to-end --------------------------------------------------------

@@ -22,7 +22,8 @@ def _mv(prefix: str, struct_field: str) -> F.Column:
     """Build '1:v1#2:v2#...' from the sorted item array (ordinal = 1-based
     position; the synthetic l_linenumber is NOT unique per order, so the
     sort key is the full (l_linenumber, l_partkey, l_quantity) triple —
-    mirrored in ORDERS_CDC_ORACLE ordering)."""
+    every oracle that unpacks these strings must ORDER BY the same
+    triple; see the t24_* oracles in workload.py)."""
     return F.concat_ws(
         "#",
         F.zip_with(
@@ -108,18 +109,3 @@ def orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = cdc.repartition(spark.sparkContext.defaultParallelism).persist()
     _CDC_CACHE[key] = cdc
     return cdc
-
-
-# The DuckDB-side construction of the same multivalue strings, as CTE SQL
-# (spliced into oracle queries). string_agg(... ORDER BY) keeps positions
-# aligned with the Spark array_sort packing.
-ORDERS_CDC_ORACLE_CTE = """
-packed AS (
-  SELECT l_orderkey,
-         string_agg(l_linenumber || ':' || l_partkey, '#' ORDER BY l_linenumber) AS parts_mv,
-         string_agg('s' || l_linenumber || ':' || CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
-                    '#' ORDER BY l_linenumber) AS qtys_mv,
-         COUNT(*) AS n_items
-  FROM lineitem GROUP BY l_orderkey
-)
-"""

@@ -43,11 +43,15 @@ def streaming_first_seen_dedup(
                     yield pdf.head(1)
                     break
             state.update((True,))
-            if timeout_ms:
-                state.setTimeoutDuration(timeout_ms)
         else:
             for _ in pdfs:  # drain
                 pass
+        if timeout_ms:
+            # MUST re-arm on every invocation: Spark clears a pending
+            # timeout whenever the function runs for a key, so arming
+            # only on first sight would leave re-delivered keys
+            # resident forever (unbounded state)
+            state.setTimeoutDuration(timeout_ms)
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout

@@ -433,7 +433,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+                       >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
       FROM events
     ), numbered AS (
       SELECT user_id, ts,
@@ -1388,7 +1388,7 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (SELECT event_id, user_id, ts, event_type FROM events) b
       ON b.user_id = a.user_id
      AND b.ts >= a.ts
-     AND epoch(b.ts) < epoch(a.ts) + 600
+     AND epoch_us(b.ts) < epoch_us(a.ts) + 600000000
     """,
 )
 def range_join_events_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:

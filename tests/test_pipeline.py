@@ -79,9 +79,9 @@ def test_xml_multivalue_pipeline(raw_xml):
     assert r2["INPUTTER_HIS"] == "OP1 OP2"
     # empty-multivalue record survives with NULL elements (outer explode)
     assert ("CUST-2", None) in by_key
-    # multivalue DDL keys on (RECID, MV_POS)... MV_POS not projected here,
-    # so PK is RECID only
-    assert "PRIMARY KEY" in res.ddl
+    # MV_POS is not in this sink projection, so the exploded table has
+    # no unique key to claim — the DDL must NOT assert a PK on RECID
+    assert "PRIMARY KEY" not in res.ddl
 
 
 def test_blob_fe_pipeline(spark):

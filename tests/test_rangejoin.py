@@ -43,3 +43,18 @@ def test_range_join_no_nested_loop(spark):
     right = spark.createDataFrame([(2, 1, ts("2024-01-01T10:02:00"))], "rid int, k int, rts timestamp")
     plan = range_join(left, right, "k", "lts", "rts", 600)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_subsecond_boundary(spark):
+    # exact diff 599.2s < 600 -> must match; unix_timestamp()-based
+    # (whole-second) arithmetic would wrongly drop it
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01T10:00:00.900"))], "lid int, k int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(2, 1, ts("2024-01-01T10:10:00.100")),   # 599.2s -> in
+         (3, 1, ts("2024-01-01T10:10:00.900"))],  # exactly 600.0s -> out
+        "rid int, k int, rts timestamp",
+    )
+    got = sorted(r.rid for r in range_join(left, right, "k", "lts", "rts", 600).collect())
+    assert got == [2]
