@@ -43,8 +43,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, (fn, _) in WORKLOAD.items():
-        df = fn(spark, sf_dir)
+        # time fn() too: streaming entries execute eagerly inside it,
+        # and plan construction is part of a query's cost
         t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 

@@ -68,21 +68,7 @@ def get_proc_data(registry: SchemaRegistry, schema_name: str) -> dict:
     fields = registry.get(schema_name)
     return {
         "schema_name": schema_name,
-        "fields": [
-            {
-                "name": f.name,
-                "transformation": f.transformation,
-                "type": list(f.type),
-                "nested": f.nested,
-                "aliases": f.aliases,
-                "doc": f.doc,
-                "isAddedField": f.is_added_field,
-                "should_parse_sv": f.should_parse_sv,
-                "should_parse_vm": f.should_parse_vm,
-                "should_parse_vs": f.should_parse_vs,
-            }
-            for f in fields
-        ],
+        "fields": [f.to_dict() for f in fields],
     }
 
 

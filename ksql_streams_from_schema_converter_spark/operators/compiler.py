@@ -69,6 +69,20 @@ class FieldSpec:
     should_parse_vm: bool = False
     should_parse_vs: bool = False
 
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "transformation": self.transformation,
+            "type": list(self.type),
+            "nested": self.nested,
+            "aliases": self.aliases,
+            "doc": self.doc,
+            "isAddedField": self.is_added_field,
+            "should_parse_sv": self.should_parse_sv,
+            "should_parse_vm": self.should_parse_vm,
+            "should_parse_vs": self.should_parse_vs,
+        }
+
     @classmethod
     def from_dict(cls, d: dict) -> "FieldSpec":
         t = d.get("type", ["string", "string"])

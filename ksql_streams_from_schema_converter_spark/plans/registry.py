@@ -22,16 +22,17 @@ class SchemaRegistry:
             self._load(path)
 
     def _load(self, path: str) -> None:
-        if os.path.isdir(path):
-            for fn in sorted(os.listdir(path)):
-                if fn.endswith(".json"):
-                    with open(os.path.join(path, fn)) as fh:
-                        self._ingest(json.load(fh))
-        else:
-            with open(path) as fh:
+        files = (
+            [os.path.join(path, fn) for fn in sorted(os.listdir(path)) if fn.endswith(".json")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        for f in files:
+            with open(f) as fh:
                 doc = json.load(fh)
-                for item in doc if isinstance(doc, list) else [doc]:
-                    self._ingest(item)
+            # both single-document and list-of-documents files round-trip
+            for item in doc if isinstance(doc, list) else [doc]:
+                self._ingest(item)
 
     def _ingest(self, doc: dict) -> None:
         self._schemas[doc["schema_name"]] = [
@@ -56,25 +57,14 @@ class SchemaRegistry:
         if not path:
             raise ValueError("no path to save registry to")
         docs = [
-            {
-                "schema_name": name,
-                "fields": [
-                    {
-                        "name": f.name,
-                        "transformation": f.transformation,
-                        "type": list(f.type),
-                        "nested": f.nested,
-                        "aliases": f.aliases,
-                        "doc": f.doc,
-                        "isAddedField": f.is_added_field,
-                        "should_parse_sv": f.should_parse_sv,
-                        "should_parse_vm": f.should_parse_vm,
-                        "should_parse_vs": f.should_parse_vs,
-                    }
-                    for f in fields
-                ],
-            }
+            {"schema_name": name, "fields": [f.to_dict() for f in fields]}
             for name, fields in sorted(self._schemas.items())
         ]
-        with open(path, "w") as fh:
-            json.dump(docs, fh, indent=2)
+        if os.path.isdir(path):
+            # directory registry: one file per schema (the loadable shape)
+            for doc in docs:
+                with open(os.path.join(path, f"{doc['schema_name']}.json"), "w") as fh:
+                    json.dump(doc, fh, indent=2)
+        else:
+            with open(path, "w") as fh:
+                json.dump(docs, fh, indent=2)

@@ -30,9 +30,14 @@ def write_keyed_parquet(
     """Write the sink projection keyed by ``key``: hash-repartition on
     the key (optionally to a fixed file count), sort within partitions
     for run-length/dictionary-friendly parquet, then write."""
+    # when writing hive-style partitions, distribute by the partition
+    # columns (plus key) — hash-distributing by key alone would make
+    # every task hold rows for most partition values and write
+    # n_tasks x n_partitions tiny files
+    dist_cols = [F.col(c) for c in (partition_by or [])] + [F.col(key)]
     out = (
-        df.repartition(num_files, F.col(key)) if num_files else df.repartition(F.col(key))
-    ).sortWithinPartitions(key)
+        df.repartition(num_files, *dist_cols) if num_files else df.repartition(*dist_cols)
+    ).sortWithinPartitions(*(list(partition_by or []) + [key]))
     writer = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -47,7 +52,12 @@ def jdbc_upsert_batch(batch_df: DataFrame, batch_id: int, *, url: str, table: st
     is what makes foreachBatch exactly-once. Requires a JDBC driver on
     the cluster; in this container it exists for API-shape completeness
     and is exercised via a mock in tests."""
-    staging = f"{table}_staging_{batch_id}"
+    # ONE fixed staging table, overwritten per batch: a per-batch name
+    # (f"{table}_staging_{batch_id}") would leak thousands of tables in
+    # the target catalog, and the out-of-band MERGE needs a stable name.
+    # Overwrite + keyed MERGE is what makes retries of the same batch_id
+    # idempotent (exactly-once on top of at-least-once delivery).
+    staging = f"{table}_staging"
     (batch_df.write.mode("overwrite").format("jdbc")
      .option("url", url).option("dbtable", staging)
      .options(**(properties or {})).save())

@@ -74,7 +74,7 @@ def kafka_raw_stream(
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
     )
-    if max_offsets_per_trigger:
+    if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     raw = reader.load()
     cols = parse_blob_cdc(F.col("value")) if blob else parse_xml_cdc(F.col("value"))

@@ -50,7 +50,9 @@ def orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     several workload queries share this input, and re-running the
     pack-join for each would charge fixture construction to every
     query's runtime."""
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a new session allocated at a
+    # recycled object address must not inherit a stopped session's cache
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _CDC_CACHE:
         return _CDC_CACHE[key]
     orders = load_table(spark, sf_dir, "orders")

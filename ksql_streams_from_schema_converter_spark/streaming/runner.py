@@ -65,13 +65,25 @@ def stream_to_batch(
 ) -> DataFrame:
     """Convenience: drain ``source`` through the pipeline with an
     availableNow trigger and return the materialized result as a batch
-    DataFrame (used by parity tests and the driver contract)."""
+    DataFrame (used by parity tests and the driver contract).
+
+    Raises TimeoutError if the drain does not finish in ``timeout_sec``
+    (stopping the query first) — reading the sink while the query still
+    writes would silently return partial results. The read-back carries
+    the sink's known schema so a zero-row drain returns an empty
+    DataFrame instead of failing parquet schema inference."""
     output_path = output_path or os.path.join(
         tempfile.gettempdir(), f"ksql_spark_out_{uuid.uuid4().hex}"
     )
+    sink_schema = EtlPipeline(spec).apply(source).sink.schema
     q = run_pipeline_stream(spark, spec, source, output_path)
-    q.awaitTermination(timeout_sec)
-    return spark.read.parquet(output_path)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_sec}s "
+            f"(query {q.id} stopped; partial output at {output_path})"
+        )
+    return spark.read.schema(sink_schema).parquet(output_path)
 
 
 def foreach_batch_upsert(df: DataFrame, write_fn, checkpoint: str):
