@@ -93,3 +93,99 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta_width", T.IntegerType()),
+        T.StructField("meta_height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_width: int = 64) -> DataFrame:
+    """Resize (downsample) each payload to roughly ``target_width``.
+
+    STUB resize: a real deployment calls ``PIL.Image.resize`` /
+    ``cv2.resize`` on the decoded pixels; here the deterministic fake
+    keeps every ``stride``-th byte where
+    ``stride = max(1, meta_width // target_width)``, and scales the
+    metadata by the same factor (ceil division). The Spark plumbing —
+    1:1 Arrow-batched mapInPandas producing a new binary payload plus
+    recomputed typed metadata — is exactly what the real kernel needs.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stride = (pdf["meta_width"] // target_width).clip(lower=1).astype("int64")
+            payload = [
+                bytes(b)[::s] for b, s in zip(pdf["payload"], stride, strict=True)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payload,
+                    "meta_width": (-(-pdf["meta_width"] // stride)).astype("int32"),
+                    "meta_height": (-(-pdf["meta_height"] // stride)).astype("int32"),
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payload], index=pdf.index, dtype="int32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 8) -> DataFrame:
+    """Sample ``n_frames`` evenly-spaced frames from each payload
+    (video-style 1 row → N rows fan-out via mapInPandas).
+
+    STUB frame decode: a real deployment seeks ``n_frames`` keyframes
+    with ffmpeg; the deterministic fake slices the byte payload into
+    ``n_frames`` near-equal chunks (frame ``i`` spans bytes
+    ``[i*L//n, (i+1)*L//n)``) and emits each chunk's size + md5. Empty
+    chunks (payload shorter than ``n_frames``) are skipped, as a real
+    sampler would skip past-EOF seeks.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"], strict=True):
+                data = bytes(b)
+                n = len(data)
+                for i in range(n_frames):
+                    chunk = data[i * n // n_frames : (i + 1) * n // n_frames]
+                    if not chunk:
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    sums.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)

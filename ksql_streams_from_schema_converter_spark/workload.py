@@ -797,6 +797,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id, strlen(text) AS L,
+             strlen(text) % 640 + 1 AS w, strlen(text) % 480 + 1 AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, L, w, h, greatest(1, w // 64) AS stride FROM m
+    )
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST((w + stride - 1) // stride AS INTEGER) AS meta_width,
+           CAST((h + stride - 1) // stride AS INTEGER) AS meta_height,
+           CAST((L + stride - 1) // stride AS INTEGER) AS n_bytes
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed image resize over binary payloads (mapInPandas producing
+    a new payload + rescaled typed metadata; multimodal/binary.py). The
+    integer metadata/byte-count arithmetic is oracle-checked; the
+    payload bytes themselves are covered by unit tests."""
+    from .multimodal import attach_fake_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(attach_fake_media(docs), target_width=64)
+    return resized.select("doc_id", "media_type", "meta_width", "meta_height", "n_bytes")
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (SELECT doc_id, text, strlen(text) AS L FROM documents),
+         f AS (SELECT unnest(range(0, 8)) AS i)
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST((i + 1) * L // 8 - i * L // 8 AS INTEGER) AS frame_bytes,
+           md5(substring(text, CAST(i * L // 8 + 1 AS INTEGER),
+                         CAST((i + 1) * L // 8 - i * L // 8 AS INTEGER))) AS frame_checksum
+    FROM m CROSS JOIN f
+    WHERE (i + 1) * L // 8 - i * L // 8 > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed video frame sampling: 1 payload row → 8 frame rows via
+    mapInPandas fan-out (multimodal/binary.py); each frame's byte span
+    and md5 are deterministic, so the full output is oracle-checked."""
+    from .multimodal import attach_fake_media, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_fake_media(docs), n_frames=8)
+
+
+@query(
     "streaming_events_hourly",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -93,3 +93,46 @@ def test_multimodal_feature_extraction(spark):
     assert row.n_bytes > 0 and len(row.checksum) == 32
     assert row.feat_mean > 0  # deterministic fake decode
     assert feats.count() == docs.count()
+
+
+def test_multimodal_resize_payload_bytes(spark):
+    from ksql_streams_from_schema_converter_spark.multimodal import (
+        attach_fake_media,
+        resize_media,
+    )
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = {r.doc_id: r for r in attach_fake_media(docs).collect()}
+    for r in resize_media(attach_fake_media(docs), target_width=64).collect():
+        src = media[r.doc_id]
+        stride = max(1, src.meta_width // 64)
+        assert bytes(r.payload) == bytes(src.payload)[::stride]
+        assert r.n_bytes == len(r.payload)
+        assert r.meta_width == -(-src.meta_width // stride)
+        assert r.meta_height == -(-src.meta_height // stride)
+
+
+def test_multimodal_frame_sample_reassembles(spark):
+    import hashlib
+
+    from ksql_streams_from_schema_converter_spark.multimodal import (
+        attach_fake_media,
+        sample_frames,
+    )
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = {r.doc_id: bytes(r.payload) for r in attach_fake_media(docs).collect()}
+    frames = sample_frames(attach_fake_media(docs), n_frames=8).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(media)
+    for doc_id, rows in by_doc.items():
+        data, n = media[doc_id], len(media[doc_id])
+        total = sum(r.frame_bytes for r in rows)
+        assert total == n  # frames tile the payload exactly
+        for r in rows:
+            chunk = data[r.frame_idx * n // 8 : (r.frame_idx + 1) * n // 8]
+            assert r.frame_checksum == hashlib.md5(chunk).hexdigest()
