@@ -68,6 +68,124 @@ def hyperplane_sketch(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return F.concat(*bits)
 
 
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _cell_sims(v: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<sim,cell>> of the row's cosine to every centroid —
+    all JVM-native; struct ordering (sim first) makes array_max /
+    array_sort rank cells by similarity with cell-id tie-break."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(cosine(v, _lit_vec(c)), 9).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def nearest_cell(v: Column, centroids: list[list[float]]) -> Column:
+    return F.array_max(_cell_sims(v, centroids))["cell"]
+
+
+def probe_cells(v: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` most-similar cells for a query vector (IVF's
+    recall/cost knob): ascending sort, take the last ``nprobe``."""
+    top = F.slice(F.array_sort(_cell_sims(v, centroids)), -nprobe, nprobe)
+    return F.transform(top, lambda s: s["cell"])
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    refine_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: deterministic seeds (the
+    ``n_cells`` lowest-id vectors) + ``refine_iters`` Lloyd steps
+    (assign → per-cell elementwise mean, computed distributed via
+    posexplode/groupBy — one shuffle per iteration). Centroid
+    components are rounded to 9 decimals so the trained quantizer is
+    reproducible across partitionings. At 100 TB you train on
+    ``emb.sample(...)`` — the quantizer only needs a sample, and
+    everything downstream is unchanged."""
+    base = emb.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+    centroids = [r.v for r in base.orderBy("i").limit(n_cells).collect()]
+    for _ in range(refine_iters):
+        assigned = base.select(nearest_cell(F.col("v"), centroids).alias("cell"), "v")
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .collect()
+        )
+        refined = list(centroids)
+        for r in means:
+            refined[r.cell] = [s.m for s in r.pm]
+        centroids = refined  # empty cells keep their seed
+    return centroids
+
+
+def knn_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    refine_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the
+    classic ANN scale path alongside LSH: a coarse quantizer assigns
+    every vector to its nearest centroid cell, and each query scores
+    only the ``nprobe`` most-similar cells (~``nprobe/n_cells`` of the
+    corpus). The cell-equality join co-locates candidates by cell, so
+    at scale the scan partitions by cell instead of broadcasting the
+    corpus. Same output shape as :func:`knn_bruteforce`; recall < 1 by
+    design (rows-only correctness check).
+
+    Reference: Jégou et al., "Product Quantization for Nearest
+    Neighbor Search" (TPAMI 2011) — the IVF coarse stage, without PQ
+    residual compression (we score exact vectors within probed cells,
+    i.e. IVF-Flat)."""
+    centroids = train_ivf_centroids(emb, n_cells, refine_iters, vec_col, id_col)
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        nearest_cell(F.col(vec_col).cast("array<double>"), centroids).alias("cell"),
+    )
+    queries = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("qcell", F.explode(probe_cells(F.col("qv"), centroids, nprobe)))
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("cell") == F.col("qcell"))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def knn_bruteforce(
     emb: DataFrame,
     query_ids: list[int],

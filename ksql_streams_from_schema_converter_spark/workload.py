@@ -317,6 +317,129 @@ def q5_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(12,6))) AS DECIMAL(38,8)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped scan-heavy filter + global aggregate — the
+    predicate-pushdown showcase: every conjunct reaches the parquet
+    scan as a PushedFilter, and the agg is a partial→final combine with
+    no groupBy shuffle (single exchange of one row per partition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * F.col("l_discount").cast("decimal(12,6)"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("decimal(38,8)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l_discount AS DECIMAL(12,6))
+                         ELSE 0 END) AS DECIMAL(38,8)) AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,6))) AS DECIMAL(38,8)) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share: broadcast the part
+    dimension, conditional aggregation. Both sums returned as exact
+    decimals (the ratio is one client-side division away — decimal
+    division scale rules differ between engines, so the oracle-checked
+    surface stays exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("decimal(38,8)").alias("promo_revenue"),
+            F.sum(rev).cast("decimal(38,8)").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q10_returned_item_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,6))) AS DECIMAL(38,8)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: who returned the most revenue last quarter.
+    Four-way join (customer/nation broadcast), agg, deterministic
+    top-20 (key tie-break)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
+    dims = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name")
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
     "window_top3_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey, rnk,
@@ -762,6 +885,15 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path (scores only same-bucket candidates)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_lsh(emb, _KNN_QUERY_IDS, k=5)
+
+
+@query("knn_ivf_ann", None)  # approximate by design → rows-only check
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via an IVF coarse quantizer (deterministic seeds + one
+    distributed Lloyd step): each query scores only its nprobe most
+    similar cells — the partition-by-cell scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_ivf(emb, _KNN_QUERY_IDS, k=5, n_cells=16, nprobe=3)
 
 
 @query("embedding_near_dup", None)  # float cosine output → rows-only check

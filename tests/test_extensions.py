@@ -62,6 +62,32 @@ def test_knn_lsh_recall_against_bruteforce(spark):
     assert recall >= 0.2, f"suspiciously low ANN recall: {recall}"
 
 
+def test_knn_ivf_recall_against_bruteforce(spark):
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = list(range(5))
+    exact = {(r.query_id, r.neighbor_id) for r in S.knn_bruteforce(emb, qids, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf(emb, qids, k=5, n_cells=8, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"suspiciously low IVF recall: {recall}"
+    # every query must produce a full top-k (probed cells are never empty:
+    # the query's own cell is always among its probes)
+    assert len(approx) == len(exact)
+
+
+def test_ivf_centroids_deterministic(spark):
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c1 = S.train_ivf_centroids(emb, n_cells=4, refine_iters=1)
+    c2 = S.train_ivf_centroids(emb.repartition(7), n_cells=4, refine_iters=1)
+    assert c1 == c2  # reproducible across partitionings
+
+
 def test_simhash_near_dups_have_small_hamming(spark, corpus):
     sig = D.simhash_signatures(corpus)
     a = sig.alias("a")
