@@ -68,34 +68,41 @@ def hyperplane_sketch(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return F.concat(*bits)
 
 
-def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
+def assign_cells(df: DataFrame, centroids: list[list[float]], nprobe: int = 1,
+                 vec_col: str = "v") -> DataFrame:
+    """Append an int ``cell`` column: each row's ``nprobe`` most-cosine-
+    similar centroid cells (rows fan out nprobe×).
 
+    Vectorized numpy over Arrow batches (one GEMM per batch) — this is
+    how real IVF implementations score the coarse quantizer (BLAS), and
+    it avoids a ~16×dim-literal Catalyst expression per row whose
+    codegen cost dwarfs 2k-row inputs. Scales with corpus size at
+    O(batch × dim × n_cells) flops, no shuffle. Ties break toward the
+    lower cell id (stable argsort on rounded sims) so assignment is
+    deterministic across partitionings."""
+    import numpy as np
+    from pyspark.sql import types as T
 
-def _cell_sims(v: Column, centroids: list[list[float]]) -> Column:
-    """array<struct<sim,cell>> of the row's cosine to every centroid —
-    all JVM-native; struct ordering (sim first) makes array_max /
-    array_sort rank cells by similarity with cell-id tie-break."""
-    return F.array(
-        *[
-            F.struct(
-                F.round(cosine(v, _lit_vec(c)), 9).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    cmat = np.asarray(centroids, dtype="float64").T  # dim × cells
+    cnorm = np.linalg.norm(cmat, axis=0)
+    cmat = cmat / np.where(cnorm == 0, 1.0, cnorm)
+    out_schema = T.StructType(
+        list(df.schema) + [T.StructField("cell", T.IntegerType(), False)]
     )
 
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].values).astype("float64")
+            vnorm = np.linalg.norm(v, axis=1, keepdims=True)
+            sims = np.round((v / np.where(vnorm == 0, 1.0, vnorm)) @ cmat, 9)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]  # b × nprobe
+            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            rep["cell"] = top.reshape(-1).astype("int32")
+            yield rep
 
-def nearest_cell(v: Column, centroids: list[list[float]]) -> Column:
-    return F.array_max(_cell_sims(v, centroids))["cell"]
-
-
-def probe_cells(v: Column, centroids: list[list[float]], nprobe: int) -> Column:
-    """The ``nprobe`` most-similar cells for a query vector (IVF's
-    recall/cost knob): ascending sort, take the last ``nprobe``."""
-    top = F.slice(F.array_sort(_cell_sims(v, centroids)), -nprobe, nprobe)
-    return F.transform(top, lambda s: s["cell"])
+    return df.mapInPandas(score, schema=out_schema)
 
 
 def train_ivf_centroids(
@@ -104,32 +111,37 @@ def train_ivf_centroids(
     refine_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_sample: int = 512,
 ) -> list[list[float]]:
-    """Train an IVF coarse quantizer: deterministic seeds (the
-    ``n_cells`` lowest-id vectors) + ``refine_iters`` Lloyd steps
-    (assign → per-cell elementwise mean, computed distributed via
-    posexplode/groupBy — one shuffle per iteration). Centroid
-    components are rounded to 9 decimals so the trained quantizer is
-    reproducible across partitionings. At 100 TB you train on
-    ``emb.sample(...)`` — the quantizer only needs a sample, and
-    everything downstream is unchanged."""
-    base = emb.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
-    centroids = [r.v for r in base.orderBy("i").limit(n_cells).collect()]
+    """Train an IVF coarse quantizer on a deterministic sample: collect
+    the ``train_sample`` lowest-id vectors (ONE small job — a quantizer
+    never needs the full corpus; FAISS trains IVF on a sample too), run
+    ``refine_iters`` Lloyd steps in numpy on the driver, seed = first
+    ``n_cells`` sampled vectors. Components are rounded to 9 decimals;
+    the whole procedure is exactly reproducible across partitionings.
+    At 100 TB swap the id-ordered head for ``emb.sample(fraction,
+    seed)`` — still one tiny collect; everything downstream is
+    unchanged."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("i")
+        .limit(max(train_sample, n_cells))
+        .collect()
+    )
+    x = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
+    xnorm = np.linalg.norm(x, axis=1, keepdims=True)
+    xn = x / np.where(xnorm == 0, 1.0, xnorm)
+    centroids = x[:n_cells].copy()
     for _ in range(refine_iters):
-        assigned = base.select(nearest_cell(F.col("v"), centroids).alias("cell"), "v")
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("x"), 9).alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .collect()
-        )
-        refined = list(centroids)
-        for r in means:
-            refined[r.cell] = [s.m for s in r.pm]
-        centroids = refined  # empty cells keep their seed
-    return centroids
+        cmat = centroids.T / np.maximum(np.linalg.norm(centroids.T, axis=0), 1e-30)
+        assign = np.argmax(np.round(xn @ cmat, 9), axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):  # empty cells keep their seed
+                centroids[c] = members.mean(axis=0)
+    return np.round(centroids, 9).tolist()
 
 
 def knn_ivf(
@@ -156,19 +168,19 @@ def knn_ivf(
     residual compression (we score exact vectors within probed cells,
     i.e. IVF-Flat)."""
     centroids = train_ivf_centroids(emb, n_cells, refine_iters, vec_col, id_col)
-    base = emb.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        nearest_cell(F.col(vec_col).cast("array<double>"), centroids).alias("cell"),
+    base = assign_cells(
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")),
+        centroids,
     )
-    queries = (
-        emb.where(F.col(id_col).isin(query_ids))
-        .select(
+    queries = assign_cells(
+        emb.where(F.col(id_col).isin(query_ids)).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
-        )
-        .withColumn("qcell", F.explode(probe_cells(F.col("qv"), centroids, nprobe)))
-    )
+        ),
+        centroids,
+        nprobe=nprobe,
+        vec_col="qv",
+    ).withColumnRenamed("cell", "qcell")
     scored = (
         base.join(F.broadcast(queries), F.col("cell") == F.col("qcell"))
         .where(F.col(id_col) != F.col("query_id"))
