@@ -161,6 +161,52 @@ def t24_multivalue_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t24_inferred_pipeline",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey,
+                                         CAST(l_quantity AS DECIMAL(12,2))) AS pos,
+             l_partkey, CAST(l_quantity AS DECIMAL(4,2)) AS qty
+      FROM lineitem),
+    cnt AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),
+    posn AS (
+      SELECT o_orderkey, unnest(range(1, greatest(coalesce(cnt.n, 0), 2) + 1)) AS pos
+      FROM orders LEFT JOIN cnt ON cnt.l_orderkey = o_orderkey)
+    SELECT CAST(o.o_orderkey AS VARCHAR)        AS RECID,
+           o.o_custkey                          AS CUST,
+           CAST(o.o_orderdate AS DATE)          AS ORDER_DATE,
+           o.o_orderpriority                    AS PRIORITY,
+           o.o_orderstatus                      AS STATUS,
+           CAST(o.o_totalprice AS DECIMAL(8,2)) AS TOTAL,
+           CASE p.pos
+             WHEN 1 THEN o.o_custkey || '_OP' || (o.o_custkey % 7) || '_A'
+             WHEN 2 THEN o.o_custkey || '_OP' || ((o.o_custkey + 1) % 7) || '_B'
+           END AS INPUTTER,
+           li.l_partkey AS PART,
+           li.qty AS QTY
+    FROM orders o
+    JOIN posn p ON p.o_orderkey = o.o_orderkey
+    LEFT JOIN li ON li.l_orderkey = o.o_orderkey AND li.pos = p.pos
+    """,
+)
+def t24_inferred_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference end-to-end (the BASELINE.json 'schema
+    inference' capability; plans/inference.py): derive every field spec
+    — types, parse_date, vm/vs routing — from the raw CDC data itself,
+    then run the inferred pipeline. The oracle hand-codes what
+    inference must discover: CUST as bigint, ORDER_DATE as a yyyyMMdd
+    date, TOTAL decimal(8,2), PART vm / QTY vs exploded positionally,
+    INPUTTER's 2 multivalue elements padding orders with fewer items."""
+    from .plans.inference import infer_field_specs
+
+    cdc = orders_cdc(spark, sf_dir)
+    specs = infer_field_specs(cdc)
+    return EtlPipeline(PipelineSpec(schema_name="INFERRED", fields=specs)).apply(cdc).sink
+
+
+@query(
     "t24_blob_roundtrip",
     """
     SELECT CAST(c_custkey AS VARCHAR)       AS RECID,
