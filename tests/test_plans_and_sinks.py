@@ -46,6 +46,38 @@ def test_asof_join_has_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q6_all_predicates_pushed(spark):
+    import contextlib
+    import io
+
+    fn, _ = WORKLOAD["q6_forecast_revenue"]
+    # toString() elides long expression lists; formatted explain doesn't
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate,",
+        "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"predicate not pushed to scan: {pushed}"
+    # only the 4 referenced columns are read
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    )
+
+
+def test_q10_and_q14_broadcast_dimensions(spark):
+    for name in ("q10_returned_item_customers", "q14_promo_revenue"):
+        plan = physical_plan(WORKLOAD[name][0](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_q1_partial_aggregation(spark):
     fn, _ = WORKLOAD["q1_pricing_summary"]
     plan = physical_plan(fn(spark, SF_DIR))
