@@ -161,6 +161,41 @@ def t24_multivalue_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t24_seab_field_variants",
+    """
+    WITH posn AS (SELECT unnest(range(1, 3)) AS pos)
+    SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+           CASE p.pos WHEN 1 THEN 'OP' || (o_custkey % 7)
+                      WHEN 2 THEN 'OP' || ((o_custkey + 1) % 7) END AS INPUTTER,
+           'OP' || (o_custkey % 7) AS OP1
+    FROM orders CROSS JOIN posn p
+    """,
+)
+def t24_seab_field_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two remaining DSL branches as an oracle-gated query:
+    ``seab_field`` applied to each exploded INPUTTER element (the
+    multiParser variant, reference :90-91 / :205-206) and
+    ``FUNC([n] params)`` with auto-inferred seab-params and alias
+    override (reference :115-144) — SEAB_FIELD of INPUTTER's 1st
+    element read from the packed multivalue string, so the same field
+    flows through both the exploded and the indexed-packed paths."""
+    spec = PipelineSpec(
+        schema_name="FBNK_ORDERS",
+        fields=[
+            FieldSpec(name="RECID"),
+            FieldSpec(
+                name="INPUTTER",
+                transformation="seab_field",
+                should_parse_sv=False,
+                should_parse_vm=True,
+            ),
+            FieldSpec(name="INPUTTER", transformation="seab_field([1]) OP1"),
+        ],
+    )
+    return EtlPipeline(spec).apply(orders_cdc(spark, sf_dir)).sink
+
+
+@query(
     "t24_inferred_pipeline",
     """
     WITH li AS (
