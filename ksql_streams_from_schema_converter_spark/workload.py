@@ -1258,6 +1258,45 @@ def dense_rank_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_frames_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS running_total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS moving3_total,
+           lag(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_total
+    FROM orders
+    """,
+)
+def window_frames_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES (ROWS BETWEEN): per-customer running total, 3-row
+    moving total, and lag — one shuffle keyed by customer serves all
+    three window specs (same partitioning + ordering)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    total = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        total.alias("total"),
+        F.sum(total).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,2)").alias("running_total"),
+        F.sum(total).over(w.rowsBetween(-2, 0))
+        .cast("decimal(38,2)").alias("moving3_total"),
+        F.lag(total).over(w).alias("prev_total"),
+    )
+
+
+@query(
     "correlated_above_avg_orders",
     """
     SELECT o_orderkey, o_custkey
