@@ -1235,6 +1235,28 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_customer_metrics",
+    """
+    SELECT c_custkey, 'acctbal' AS metric,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DECIMAL(18,2))
+    FROM customer
+    """,
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long reshape; the inverse of pivot). Spark's
+    native unpivot/melt — a Generate node, no shuffle at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
+        F.col("c_nationkey").cast("decimal(18,2)").alias("nationkey"),
+    ).unpivot(["c_custkey"], ["acctbal", "nationkey"], "metric", "value")
+
+
+@query(
     "dense_rank_parts_by_brand",
     """
     SELECT p_brand, p_partkey, drnk FROM (
