@@ -51,25 +51,32 @@ _SV_RE = r"^s[0-9]+:"
 
 
 def _pattern_stats(kv: DataFrame):
-    """Per-key pattern counts over non-empty values. Exact aggregates →
-    deterministic; one row per distinct field name comes back."""
+    """Per-(tag, key) pattern counts over non-empty values. Exact
+    aggregates → deterministic; one row per distinct field name per tag
+    comes back, all in ONE shuffle + collect."""
     v = F.col("v")
-    n_int = F.count_if(v.rlike(_INT_RE))
+    is_int = v.rlike(_INT_RE)
+    is_dec = v.rlike(_DEC_RE)
+    # the expensive parses/extracts run only on rows whose cheap shape
+    # check passes (F.when short-circuits per row)
     return (
-        kv.groupBy("k")
+        kv.groupBy("tag", "k")
         .agg(
             F.count("*").alias("n"),
             F.count_if(
-                v.rlike(_DATE_RE) & F.try_to_timestamp(v, F.lit("yyyyMMdd")).isNotNull()
+                F.when(v.rlike(_DATE_RE), F.try_to_timestamp(v, F.lit("yyyyMMdd"))).isNotNull()
             ).alias("n_date"),
             F.count_if(
-                v.rlike(_TS_RE) & F.try_to_timestamp(v, F.lit("yyMMddHHmm")).isNotNull()
+                F.when(v.rlike(_TS_RE), F.try_to_timestamp(v, F.lit("yyMMddHHmm"))).isNotNull()
             ).alias("n_ts"),
-            n_int.alias("n_int"),
-            F.count_if(v.rlike(_DEC_RE)).alias("n_dec"),
-            F.max(F.length(F.regexp_extract(v, r"^-?([0-9]+)", 1))).alias("int_digits"),
-            F.max(F.length(F.regexp_extract(v, r"\.([0-9]+)$", 1))).alias("frac_digits"),
-            F.count_if(v.rlike(_MV_RE)).alias("n_mv"),
+            F.count_if(is_int).alias("n_int"),
+            F.count_if(is_dec).alias("n_dec"),
+            F.max(
+                F.when(is_int | is_dec, F.length(F.regexp_extract(v, r"^-?([0-9]+)", 1)))
+            ).alias("int_digits"),
+            F.max(
+                F.when(is_dec, F.length(F.regexp_extract(v, r"\.([0-9]+)$", 1)))
+            ).alias("frac_digits"),
             F.count_if(v.rlike(_SV_RE)).alias("n_sv"),
         )
         .collect()
@@ -103,21 +110,32 @@ def infer_field_specs(
     ``PipelineSpec(schema_name=..., fields=...)``."""
     kv = cdc.select(F.explode(F.col(xml_col)).alias("k", "v")).where(F.length("v") > 0)
 
-    plain = kv.where(~F.col("k").endswith(MV_SUFFIX))
-    # multivalue keys: classify vm/vs from the packed string, but infer
-    # the TYPE from the decoded elements (the packed '1:..#2:..' string
-    # would never look numeric/date-like)
+    base_key = F.expr(f"substring(k, 1, length(k) - {len(MV_SUFFIX)})")
+    plain = kv.where(~F.col("k").endswith(MV_SUFFIX)).select(
+        F.lit("plain").alias("tag"), "k", "v"
+    )
     packed = kv.where(F.col("k").endswith(MV_SUFFIX))
-    elements = packed.select(
-        F.expr(f"substring(k, 1, length(k) - {len(MV_SUFFIX)})").alias("k"),
-        F.explode(mv_array(F.col("v"))).alias("v"),
-    ).where(F.length("v") > 0)
+    # multivalue keys: classify vm/vs from the packed string ('packed'
+    # rows), but infer the TYPE from the decoded elements ('elem' rows —
+    # the packed '1:..#2:..' string would never look numeric/date-like)
+    marks = packed.select(F.lit("packed").alias("tag"), base_key.alias("k"), "v")
+    elements = (
+        packed.select(base_key.alias("k"), F.explode(mv_array(F.col("v"))).alias("v"))
+        .where(F.length("v") > 0)
+        .select(F.lit("elem").alias("tag"), "k", "v")
+    )
+    # one stats pass over the union → a single shuffle + collect instead
+    # of three sequential jobs
+    rows = _pattern_stats(plain.unionByName(marks).unionByName(elements))
+    by_tag: dict[str, list] = {"plain": [], "packed": [], "elem": []}
+    for r in rows:
+        by_tag[r.tag].append(r)
 
     specs: list[FieldSpec] = []
     if include_recid:
         specs.append(FieldSpec(name="RECID"))
 
-    for r in sorted(_pattern_stats(plain), key=lambda r: r.k):
+    for r in sorted(by_tag["plain"], key=lambda r: r.k):
         transformation, target = _target_type(r, min_match)
         specs.append(
             FieldSpec(
@@ -127,15 +145,8 @@ def infer_field_specs(
             )
         )
 
-    sv_marks = {
-        r.k: r
-        for r in packed.groupBy(
-            F.expr(f"substring(k, 1, length(k) - {len(MV_SUFFIX)})").alias("k")
-        )
-        .agg(F.count("*").alias("n"), F.count_if(F.col("v").rlike(_SV_RE)).alias("n_sv"))
-        .collect()
-    }
-    for r in sorted(_pattern_stats(elements), key=lambda r: r.k):
+    sv_marks = {r.k: r for r in by_tag["packed"]}
+    for r in sorted(by_tag["elem"], key=lambda r: r.k):
         transformation, target = _target_type(r, min_match)
         mark = sv_marks[r.k]
         is_sv = mark.n_sv >= mark.n * min_match
