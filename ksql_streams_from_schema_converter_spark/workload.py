@@ -1600,6 +1600,44 @@ def full_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "percentile_quantities",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(round(median(CAST(l_quantity AS DOUBLE)), 2) AS DECIMAL(12,2)) AS med_qty,
+           CAST(round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 2) AS DECIMAL(12,2)) AS q1_qty,
+           CAST(round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 2) AS DECIMAL(12,2)) AS q3_qty,
+           CAST(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.95) AS DECIMAL(12,2)) AS p95_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles: median / interpolated quartiles
+    (``percentile_cont`` semantics, position ``p*(n-1)``) and a
+    discrete p95 (``percentile_disc``: first value with cume_dist >=
+    p). The exact path complements the sketch-based ``approx_stats`` —
+    at 100 TB it is one shuffle on low-cardinality group keys with a
+    per-group sort inside the agg buffer, still far cheaper than a
+    global ORDER BY; quantities are integral so interpolated quartiles
+    land on exact binary fractions (engine-independent doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.median(qty), 2).cast("decimal(12,2)").alias("med_qty"),
+        F.round(F.percentile(qty, F.lit(0.25)), 2).cast("decimal(12,2)").alias("q1_qty"),
+        F.round(F.percentile(qty, F.lit(0.75)), 2).cast("decimal(12,2)").alias("q3_qty"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY cast(l_extendedprice as double))"
+        )
+        .cast("decimal(12,2)")
+        .alias("p95_price"),
+        F.count("*").alias("n"),
+    )
+
+
 @query("approx_stats", None)  # sketch-based: engine-specific, rows-only
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct count, quantile sketch) —
