@@ -1601,6 +1601,540 @@ def full_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,6))) AS DECIMAL(38,8)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ((r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA')
+           OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume between two regions
+    (adapted: the synthetic nations are uniform, so the classic
+    two-nation filter is region-level to stay non-empty at every SF).
+    Both supplier-side and customer-side dimension chains collapse to
+    broadcast maps (supplier/nation/region and customer/nation/region
+    are tiny vs lineitem), so the only shuffle is the lineitem-orders
+    join + the final group-by — the disjunctive region pair predicate
+    is applied after the cheap broadcast lookups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp_dim = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("supp_nation"),
+            F.col("r_name").alias("supp_region"),
+        )
+    )
+    cust_dim = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("cust_nation"),
+            F.col("r_name").alias("cust_region"),
+        )
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(supp_dim, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_region") == "AMERICA") & (F.col("cust_region") == "ASIA"))
+            | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "AMERICA"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(rev).cast("decimal(38,8)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CASE WHEN r1.r_name = 'ASIA'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l_discount AS DECIMAL(12,6))
+                         ELSE 0 END) AS DECIMAL(38,8)) AS asia_supplied_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,6))) AS DECIMAL(38,8)) AS total_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE r2.r_name = 'EUROPE'
+      AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: of ECONOMY-part revenue sold to
+    EUROPE customers, what fraction was supplied out of ASIA, by order
+    year (adapted to region-level supplier share — the synthetic data
+    has no fixed nation list across SFs). Numerator and denominator
+    are returned as exact decimals (the share is one division away;
+    decimal division scale rules differ between engines). All four
+    dimension chains broadcast; lineitem-orders is the one big
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    supp_dim = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cust_dim = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("c_custkey")
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp_dim, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_region") == "ASIA", rev).otherwise(F.lit(0)))
+            .cast("decimal(38,8)").alias("asia_supplied_revenue"),
+            F.sum(rev).cast("decimal(38,8)").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q12_priority_shipping_delay",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           count(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                      THEN 1 END) AS late_lines
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate < TIMESTAMP '2001-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_priority_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-delay audit (adapted: the synthetic
+    lineitem has no shipmode/commitdate/receiptdate, so lateness is
+    ship-vs-order-date > 60 days grouped by order priority).
+    Conditional count over one fact-fact join; at scale the join
+    shuffles on orderkey and the 5-group agg is map-side partial."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(
+                F.when(
+                    F.col("l_shipdate")
+                    >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                )
+            ).alias("late_lines"),
+        )
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution (orders
+    excluding urgent ones, customers with zero kept via outer-join
+    semantics). Spark-first rewrite: aggregate orders per custkey
+    FIRST (shuffle on the small pre-aggregated key set), then left
+    join customer and coalesce missing counts to 0 — cheaper than the
+    naive outer-join-then-double-group, which shuffles the full orders
+    table joined row set."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        cust.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(12,6))) AS DECIMAL(38,8)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    keep the max. The max is an exact-decimal scalar (ties kept, as in
+    the spec). Spark plan: one shuffle to the per-supplier agg, then a
+    1-row broadcast cross join for the scalar max — no global sort and
+    no single-partition window, so the agg output can be arbitrarily
+    wide at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("total_revenue"))
+    )
+    top = F.broadcast(revenue.agg(F.max("total_revenue").alias("max_revenue")))
+    return (
+        revenue.crossJoin(top)
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,8)) AS total_price,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS agg_pk, count(*) AS n_pk,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+          FROM lineitem GROUP BY l_partkey) per_part
+      ON agg_pk = l_partkey
+    WHERE p_brand = 'Brand#11' AND p_size <= 15
+      AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_pk < sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: lineitems whose
+    quantity is below 20% of the part's average quantity, for one
+    brand's small parts. The correlated ``l_quantity < 0.2*avg(...)``
+    is decorrelated into a per-part aggregate join, and the threshold
+    is cross-multiplied (``5*qty*n < sum``) so the comparison is exact
+    decimal arithmetic — no float-division boundary divergence between
+    engines. Spark plan: the brand/size part filter broadcasts, the
+    per-part agg runs only over the semi-joined surviving partkeys,
+    and its (tiny) result broadcasts back onto lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    keep_parts = F.broadcast(
+        part.where((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    per_part = F.broadcast(
+        li.join(keep_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("agg_pk"))
+        .agg(
+            F.count("*").alias("n_pk"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)").alias("sum_qty"),
+        )
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("agg_pk"))
+        .where(
+            F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("n_pk")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,8)").alias("total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 200)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    quantity exceeds 200, with their customer. Spark plan computes the
+    per-order quantity sum ONCE (the SQL form's IN-subquery + regroup
+    collapses to a single orderkey shuffle), filters, then joins
+    orders and customer — the filtered survivors are rare, so both
+    following joins see a tiny left side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)").alias("sum_qty")
+        )
+        .where(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,6))) AS DECIMAL(38,8)) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity >= 1 AND l_quantity <= 30
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue (adapted: no
+    container/shipmode columns, so the three arms vary brand, size,
+    and quantity bands). The redundant ``l_quantity BETWEEN 1 AND 30``
+    conjunct is stated explicitly so it pushes to the parquet scan as
+    a PushedFilter even though each OR-arm only implies it; part
+    broadcasts and the OR evaluates post-join inside codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, size_hi))
+        & (F.col("l_quantity").between(q_lo, q_hi))
+    )
+    return (
+        li.where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#7", 15, 20, 30)
+        )
+        .agg(
+            F.sum(rev).cast("decimal(38,8)").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate >= o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "suppliers who kept orders waiting": late
+    lineitems (ship >= order date + 90d, adapted — no commit/receipt
+    dates) on finalized multi-supplier orders where this supplier was
+    the ONLY late one. The SQL's EXISTS / NOT EXISTS double
+    self-correlation is rewritten Spark-first as ONE pass over the
+    joined fact: aggregate per (order, supplier), re-aggregate per
+    order, and filter — two orderkey-clustered shuffles instead of
+    three self-joins of the full lineitem table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    joined = li.join(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_os = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("is_late"), 1)).alias("n_late_lines")
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("agg_ok")).agg(
+        F.count("*").alias("n_supps"),
+        F.count(F.when(F.col("n_late_lines") > 0, 1)).alias("n_late_supps"),
+    )
+    return (
+        per_os.join(per_o, F.col("l_orderkey") == F.col("agg_ok"))
+        .where(
+            (F.col("n_late_lines") > 0)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+    )
+
+
+@query(
+    "q22_dormant_high_balance",
+    """
+    SELECT n_name, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(c_acctbal AS DECIMAL(12,2))
+            * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))
+             FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY n_name
+    """,
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped global sales opportunity: customers with
+    above-average positive balance and no recent orders (adapted —
+    every synthetic customer has SOME order, so dormancy is "none
+    since 2000-06"; and there is no phone column, so grouping is by
+    nation). The ``c_acctbal > avg(...)`` threshold is
+    cross-multiplied into exact decimals (``bal*n > sum``) — float
+    division order would otherwise make the boundary engine-dependent.
+    Spark plan: 1-row stats broadcast cross join, anti join on the
+    date-filtered orders, broadcast nation, one final agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    stats = F.broadcast(
+        cust.where(F.col("c_acctbal") > 0).agg(
+            F.count("*").alias("n_pos"),
+            F.sum(bal).cast("decimal(38,2)").alias("sum_pos"),
+        )
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(stats)
+        .where(bal * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal).cast("decimal(38,2)").alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "percentile_quantities",
     """
     SELECT l_returnflag,
