@@ -275,3 +275,64 @@ def embedding_near_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list via hash-min
+    label propagation (the iterative-MapReduce formulation of
+    Rastogi et al., "Finding connected components in MapReduce and
+    MapReduce-like systems", ICDE 2013): every node starts labeled
+    with itself, and each round adopts the minimum label among itself
+    and its neighbors, until a fixpoint.  Output: ``(node,
+    component)`` with ``component`` = the minimum node id in the
+    component — the canonical representative a dedup pipeline keeps.
+
+    Scale notes: each round is ONE shuffle (edge-label join keyed on
+    node) + a min-aggregate; rounds needed = graph diameter, which for
+    dedup candidate graphs is tiny (near-dup clusters are cliques or
+    short chains).  ``localCheckpoint`` truncates the growing lineage
+    so round N's plan does not replay rounds 1..N-1, and the
+    convergence check is a metadata-cheap ``count`` of changed labels.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("u").distinct().select("u", F.col("u").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        by_node = labels.select(F.col("u").alias("n"), F.col("label").alias("n_label"))
+        neighbor_min = (
+            edges.join(by_node, edges.v == by_node.n)
+            .groupBy(F.col("u").alias("n"))
+            .agg(F.min("n_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.u == neighbor_min.n, "left")
+            .select(
+                "u",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        old = labels.select(F.col("u").alias("o"), F.col("label").alias("o_label"))
+        changed = (
+            new_labels.join(old, new_labels.u == old.o)
+            .where(F.col("label") != F.col("o_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

@@ -2135,6 +2135,224 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_split_md5",
+    """
+    SELECT split, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM (SELECT CASE WHEN h <= 'b' THEN 'train'
+                      WHEN h IN ('c', 'd') THEN 'valid'
+                      ELSE 'test' END AS split,
+                 n_chars, lang
+          FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+                       n_chars, lang
+                FROM documents))
+    GROUP BY split
+    """,
+)
+def dataset_split_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split — the training-pipeline
+    staple. The split key is the first hex nibble of md5(doc_id):
+    0-b → train (75%), c-d → valid (12.5%), else test (12.5%).
+    Hash-based splits are reproducible across engines, runs, and
+    cluster sizes (no sampling RNG, no coordination), map-side-only,
+    and stable under re-partitioning — the property that matters when
+    the same 100 TB corpus is re-split by every downstream job. md5 is
+    the portable determinism primitive (identical hex in Spark and
+    DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h <= "b", "train").when(h.isin("c", "d"), "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_oracle_exprs(8)} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_oracle(8, 4)}),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT u, v AS r FROM edges
+      UNION
+      SELECT e.u, t.r FROM edges e JOIN reach t ON e.v = t.u
+    )
+    SELECT u AS node, least(u, min(r)) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: LSH candidate pairs → connected
+    components → canonical representative (min doc_id) per component —
+    the step that turns pairwise near-dup hits into "keep one, drop
+    the rest" at corpus scale. Spark runs hash-min label propagation
+    (operators/dedup.py `connected_components`, one shuffle per round,
+    rounds = component diameter); the oracle computes the same
+    components with a DuckDB recursive transitive closure."""
+    return D.connected_components(
+        D.lsh_candidate_pairs(dedup_corpus(spark, sf_dir))
+    )
+
+
+@query(
+    "streaming_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) as a REAL Structured Streaming
+    query — `F.session_window` state merging under availableNow,
+    checked against the batch gaps-and-islands oracle. This is the
+    stateful-streaming counterpart of `events_sessionization` (batch):
+    same answer, session state maintained by the streaming aggregation
+    operator instead of a sort-based window."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from .sources.parquet import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanosAsLong
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        src.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = f"ev_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query(
+    "cdc_latest_state",
+    """
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           CAST(value AS DECIMAL(18,2)) AS last_value
+    FROM (SELECT user_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: materialize the latest record per key —
+    the standard CDC "table view of a stream". Spark-first rewrite:
+    instead of the SQL's window sort (full per-partition sort of every
+    version), use ``max_by`` keyed on the (ts, event_id) struct — a
+    hash aggregate with map-side partial combine, so each executor
+    forwards ONE candidate row per key per partition; at 100 TB of
+    changelog that is the difference between shuffling every version
+    and shuffling ~one row per key per map task."""
+    ev = load_table(spark, sf_dir, "events")
+    ver = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        # timestamp_ntz output: collected values must not shift on a
+        # non-UTC driver host (see tests/driver_sim.py)
+        F.max_by(F.col("ts").cast("timestamp_ntz"), ver).alias("last_ts"),
+        F.max_by("event_type", ver).alias("last_event_type"),
+        F.max_by(F.col("value").cast("decimal(18,2)"), ver).alias("last_value"),
+    )
+
+
+@query(
+    "stratified_sample_per_lang",
+    """
+    SELECT lang, doc_id
+    FROM (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 50
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: up to 50 documents per
+    language, chosen by md5 hash order — the balanced-subsample step
+    of a pretraining mix. Hash order makes the sample reproducible
+    across engines/runs/partitionings (no RNG state), and the
+    rank-filter pushes through a single per-stratum shuffle; skewed
+    strata are bounded because only rank <= k rows survive each
+    partition's sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 50)
+        .select("lang", "doc_id")
+    )
+
+
+@query(
     "percentile_quantities",
     """
     SELECT l_returnflag,

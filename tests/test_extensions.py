@@ -162,3 +162,29 @@ def test_multimodal_frame_sample_reassembles(spark):
         for r in rows:
             chunk = data[r.frame_idx * n // 8 : (r.frame_idx + 1) * n // 8]
             assert r.frame_checksum == hashlib.md5(chunk).hexdigest()
+
+
+def test_connected_components_chain_and_cliques(spark):
+    # A 5-node chain (diameter 4: forces multiple propagation rounds),
+    # a separate triangle, and an isolated edge.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.node: r.component
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_respects_iteration_cap(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    got = {r.node: r.component for r in D.connected_components(pairs, max_iterations=1).collect()}
+    # After exactly one round node 3 has only adopted its neighbor's id
+    # (2), not yet the transitive min (1) — the cap is honored.
+    assert got == {1: 1, 2: 1, 3: 2}
