@@ -316,23 +316,23 @@ def connected_components(
             .groupBy(F.col("u").alias("n"))
             .agg(F.min("n_label").alias("nbr_label"))
         )
-        new_labels = (
+        # One join yields BOTH the next labels and the convergence
+        # signal: a label changes iff a neighbor offered a smaller one.
+        joined = (
             labels.join(neighbor_min, labels.u == neighbor_min.n, "left")
             .select(
                 "u",
                 F.least(
                     "label", F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()
         )
-        old = labels.select(F.col("u").alias("o"), F.col("label").alias("o_label"))
-        changed = (
-            new_labels.join(old, new_labels.u == old.o)
-            .where(F.col("label") != F.col("o_label"))
-            .count()
-        )
-        labels = new_labels
+        changed = joined.where("chg").count()
+        labels = joined.select("u", "label")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

@@ -2353,6 +2353,46 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_event_type_totals",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+           CAST(min(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_value,
+           CAST(max(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation gate: the salted two-phase aggregate
+    (operators/skew.py) over the low-cardinality, skew-prone
+    ``event_type`` key must produce EXACTLY the plain GROUP BY answer —
+    the oracle proves salting is a pure execution-strategy change. The
+    hot key spreads over 16 (key, salt) reducers in phase 1; phase 2
+    combines 16 partial rows per key."""
+    from .operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("sum", F.count("*")),
+            "total_value": ("sum", F.sum(val)),
+            "min_value": ("min", F.min(val)),
+            "max_value": ("max", F.max(val)),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("decimal(38,2)").alias("total_value"),
+        F.col("min_value").cast("decimal(18,2)").alias("min_value"),
+        F.col("max_value").cast("decimal(18,2)").alias("max_value"),
+    )
+
+
+@query(
     "percentile_quantities",
     """
     SELECT l_returnflag,

@@ -127,3 +127,34 @@ def test_write_keyed_parquet_roundtrip(spark):
     assert back.count() == df.count()
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) == 4
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = os.path.join(tempfile.gettempdir(), f"part_{uuid.uuid4().hex}")
+    write_keyed_parquet(
+        ev, out, key="user_id", num_files=2, partition_by=["event_date"]
+    )
+    dates = sorted(
+        d.split("=")[1] for d in os.listdir(out) if d.startswith("event_date=")
+    )
+    assert len(dates) > 1  # data spans multiple partitions
+    # Plant an unreadable "data file" in every OTHER partition: the
+    # filtered read below only succeeds if pruning never touches them.
+    for d in dates[1:]:
+        with open(
+            os.path.join(out, f"event_date={d}", "part-junk.snappy.parquet"), "wb"
+        ) as fh:
+            fh.write(b"not a parquet file")
+    back = spark.read.parquet(out).where(F.col("event_date") == dates[0])
+    plan = physical_plan(back)
+    # The date predicate must land in PartitionFilters (metadata-only
+    # pruning: untouched partitions are never listed or read)...
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # ...and the pruned scan still computes the right answer without
+    # ever opening the corrupt files in the excluded partitions.
+    expected = ev.where(F.to_date("ts") == dates[0]).count()
+    assert back.count() == expected
