@@ -2393,6 +2393,74 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_enriched_events",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY window_start, c_mktsegment
+    """,
+)
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: a streaming fact enriched against a static
+    dimension, then window-aggregated — the standard streaming
+    enrichment topology. The static side re-resolves per micro-batch
+    (dimension updates are picked up) and broadcasts, so the stream
+    side never shuffles before the windowed agg; checked against the
+    batch join+group oracle."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from .sources.parquet import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanosAsLong
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        src.join(dim, F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "c_mktsegment", "n_events", "total_value",
+        )
+    )
+    name = f"ev_enriched_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query(
     "percentile_quantities",
     """
     SELECT l_returnflag,
