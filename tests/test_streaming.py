@@ -38,3 +38,39 @@ def test_stream_matches_batch(spark):
     key = lambda r: (r["RECID"], r["ACCT_NO"] or "")
     assert sorted(map(key, batch_out.collect())) == sorted(map(key, stream_out.collect()))
     assert set(batch_out.columns) == set(stream_out.columns)
+
+
+def test_restart_from_checkpoint_never_reprocesses(spark):
+    """Exactly-once across restarts: a second run over the same
+    checkpoint must only pick up NEW input files — the already-committed
+    micro-batch is not re-emitted into the sink."""
+    from ksql_streams_from_schema_converter_spark.streaming.runner import (
+        run_pipeline_stream,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"restart_{uuid.uuid4().hex}")
+    src_dir, out_dir = os.path.join(base, "src"), os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+
+    def write_input(rows, name):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(src_dir))
+        del name
+
+    write_input(ROWS, "batch1")
+    source = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    q = run_pipeline_stream(spark, SPEC, source, out_dir, checkpoint=ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out_dir)
+    # c-1 explodes to two multivalue rows, c-2 to one
+    assert sorted(r.RECID for r in first.collect()) == ["C-1", "C-1", "C-2"]
+
+    write_input([("c-3", {"CUSTOMER_NO": "3", "ACCT_NO_multivalue": "1:D"})], "batch2")
+    source2 = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    q2 = run_pipeline_stream(spark, SPEC, source2, out_dir, checkpoint=ckpt)
+    q2.awaitTermination(120)
+    after = spark.read.parquet(out_dir)
+    # batch-1 rows appear exactly once; only c-3 was processed on restart.
+    assert sorted(r.RECID for r in after.collect()) == ["C-1", "C-1", "C-2", "C-3"]
