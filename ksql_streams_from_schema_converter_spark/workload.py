@@ -2461,6 +2461,79 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11_revenue_concentration",
+    """
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(12,6))) AS DECIMAL(38,8)) AS supp_revenue
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, supp_revenue
+    FROM per_supp
+    WHERE supp_revenue * 200 > (SELECT CAST(sum(supp_revenue) AS DECIMAL(38,8))
+                                FROM per_supp)
+    """,
+)
+def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped concentration filter (adapted: no partsupp, so
+    the "important stock" fraction is revenue share per supplier):
+    keep suppliers contributing more than 1/200th of global revenue.
+    The per-group aggregate is computed ONCE and reused for both the
+    rows and the global threshold; the threshold comparison is exact
+    decimal cross-multiplication. Spark: single supplier-key shuffle,
+    then a 1-row broadcast cross join — no second scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("supp_revenue"))
+        .localCheckpoint()  # reused twice: rows + global threshold
+    )
+    total = F.broadcast(
+        per_supp.agg(F.sum("supp_revenue").cast("decimal(38,8)").alias("total_revenue"))
+    )
+    return (
+        per_supp.crossJoin(total)
+        .where(F.col("supp_revenue") * 200 > F.col("total_revenue"))
+        .select("l_suppkey", "supp_revenue")
+    )
+
+
+@query(
+    "q16_part_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier variety: how many distinct suppliers
+    ship each surviving (brand, type, size) combination (adapted: the
+    part-supplier relation comes from lineitem — there is no
+    partsupp). Exclusion predicates (<>, NOT-IN shape) stay on the
+    broadcast part side; the distinct-agg expands to a two-phase
+    (keys+suppkey dedup, then count) under partial aggregation."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    keep = part.where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(keep), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
     "percentile_quantities",
     """
     SELECT l_returnflag,

@@ -158,3 +158,34 @@ def test_partitioned_write_prunes_partitions(spark):
     # ever opening the corrupt files in the excluded partitions.
     expected = ev.where(F.to_date("ts") == dates[0]).count()
     assert back.count() == expected
+
+
+def test_q7_q8_broadcast_dimension_chains(spark):
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        plan = physical_plan(WORKLOAD[name][0](spark, SF_DIR))
+        # every dimension chain broadcasts; never a cartesian fallback
+        assert plan.count("BroadcastHashJoin") >= 2, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q17_threshold_join_broadcasts(spark):
+    plan = physical_plan(WORKLOAD["q17_small_quantity_revenue"][0](spark, SF_DIR))
+    # part filter AND the per-part aggregate both broadcast back onto
+    # lineitem — no shuffle (sort-merge) join anywhere in the plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_or_predicate_pushed_to_scan(spark):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        WORKLOAD["q19_disjunctive_predicates"][0](spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    # the explicit quantity envelope reaches the lineitem scan...
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    # ...and the OR-of-ANDs is pushed (parquet row-group pruning)
+    assert "Or(Or(" in plan
