@@ -2534,6 +2534,37 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_intervals",
+    """
+    SELECT user_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           event_type,
+           CAST(value AS DECIMAL(18,2)) AS value
+    FROM events
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: turn a
+    changelog into validity ranges — each version is valid from its own
+    timestamp until the next version's (NULL = current). One window
+    shuffle keyed by the entity; the standard temporal-table build that
+    as-of joins (`asof_join_latest_event`) then consume. Timestamps
+    are emitted as timestamp_ntz (non-UTC driver hosts)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("valid_from"),
+        F.lead(F.col("ts").cast("timestamp_ntz")).over(w).alias("valid_to"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+
+
+@query(
     "percentile_quantities",
     """
     SELECT l_returnflag,
