@@ -189,3 +189,71 @@ def test_q19_or_predicate_pushed_to_scan(spark):
     assert "LessThanOrEqual(l_quantity,30.0)" in plan
     # ...and the OR-of-ANDs is pushed (parquet row-group pruning)
     assert "Or(Or(" in plan
+
+
+def test_foreach_batch_upsert_merges_by_key(spark):
+    """The foreachBatch sink shape: write_fn receives each micro-batch;
+    an idempotent keyed merge yields latest-wins state exactly once."""
+    from ksql_streams_from_schema_converter_spark.streaming.runner import (
+        foreach_batch_upsert,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"upsert_{uuid.uuid4().hex}")
+    src_dir, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [("r-1", "v1"), ("r-2", "v1")], "RECID string, VAL string"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    state: dict[str, str] = {}
+    seen_batches: list[int] = []
+
+    def merge(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        for row in batch_df.collect():  # tiny test batches only
+            state[row.RECID] = row.VAL
+
+    src = spark.readStream.schema("RECID string, VAL string").parquet(src_dir)
+    q = foreach_batch_upsert(src, merge, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert state == {"r-1": "v1", "r-2": "v1"}
+
+    # second run over the same checkpoint: only the NEW file is merged
+    spark.createDataFrame(
+        [("r-1", "v2"), ("r-3", "v1")], "RECID string, VAL string"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    src2 = spark.readStream.schema("RECID string, VAL string").parquet(src_dir)
+    q2 = foreach_batch_upsert(src2, merge, ckpt).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert state == {"r-1": "v2", "r-2": "v1", "r-3": "v1"}
+    assert len(seen_batches) == 2  # one batch per run, none re-applied
+
+
+def test_jdbc_upsert_batch_stages_with_stable_name(spark, monkeypatch):
+    """jdbc_upsert_batch must stage to ONE fixed overwrite table (not a
+    per-batch name that leaks into the target catalog)."""
+    from ksql_streams_from_schema_converter_spark.plans.sink import jdbc_upsert_batch
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    captured = {}
+    orig_option = DataFrameWriter.option
+
+    def spy_option(self, key, value):
+        captured[key.lower()] = str(value)
+        return orig_option(self, key, value)
+
+    def fake_save(self, path=None):
+        captured["saved"] = True
+
+    monkeypatch.setattr(DataFrameWriter, "option", spy_option)
+    monkeypatch.setattr(DataFrameWriter, "save", fake_save)
+    df = spark.createDataFrame([("r-1", "v1")], "RECID string, VAL string")
+    for batch_id in (7, 8):
+        captured.clear()
+        jdbc_upsert_batch(
+            df, batch_id, url="jdbc:oracle:thin:@host/db", table="FBNK_SINK"
+        )
+        assert captured.get("saved")
+        assert captured.get("dbtable") == "FBNK_SINK_staging"
+        assert captured.get("url") == "jdbc:oracle:thin:@host/db"
