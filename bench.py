@@ -47,16 +47,22 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).persist().count()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name, (fn, _) in WORKLOAD.items():
         # time fn() too: streaming entries execute eagerly inside it,
         # and plan construction is part of a query's cost
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one bad query must never zero the round
+            msg = f"{type(e).__name__}: {e}"
+            timings[name] = {"err": msg[:300]}
+            errors[name] = msg[:300]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     print(
         json.dumps(
             {
@@ -64,10 +70,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "methodology": "hot-data: base tables persisted before timing",
                 "sf": sf,
             }
         )
     )
+    if errors:
+        print(f"bench: {len(errors)} queries errored: {sorted(errors)}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -33,7 +33,15 @@ def range_join(
     # sub-second precision and would wrongly drop in-window pairs near
     # the boundary (e.g. 10:00:00.9 + 600s vs 10:10:00.1)
     window_us = window_seconds * 1_000_000
-    lb = F.floor(F.unix_micros(F.col(left_ts)) / window_us)
+
+    # unix_micros only accepts TIMESTAMP (with local timezone); parquet
+    # TIMESTAMP(micros) loads as TIMESTAMP_NTZ and would throw
+    # DATATYPE_MISMATCH. The session TZ is pinned to UTC (session.py),
+    # so the NTZ→LTZ cast is lossless.
+    def _us(col: str) -> F.Column:
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    lb = F.floor(_us(left_ts) / window_us)
 
     # rename the right side up front: self-joins (left and right derived
     # from the same source) would otherwise hit ambiguous-column errors
@@ -41,17 +49,14 @@ def range_join(
     rt = right.select(
         F.col(on).alias("__rk"),
         *[F.col(c).alias(f"__r_{c}") for c in payload],
-    ).withColumn("__b", F.floor(F.unix_micros(F.col(f"__r_{right_ts}")) / window_us))
+    ).withColumn("__b", F.floor(_us(f"__r_{right_ts}") / window_us))
     lt = left.withColumn("__b", F.explode(F.array(lb, lb + 1)))
 
     cond = (
         (lt["__b"] == rt["__b"])
         & (F.col(on) == F.col("__rk"))
         & (F.col(f"__r_{right_ts}") >= F.col(left_ts))
-        & (
-            F.unix_micros(F.col(f"__r_{right_ts}"))
-            < F.unix_micros(F.col(left_ts)) + window_us
-        )
+        & (_us(f"__r_{right_ts}") < _us(left_ts) + window_us)
     )
     joined = lt.join(rt, cond, "inner")
     return joined.select(

@@ -44,16 +44,42 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Defensive only: the current testdata stores events.ts as parquet
+    TIMESTAMP(micros) (reads as TIMESTAMP_NTZ), so this branch never
+    fires. It is kept for a driver regeneration that switches to
+    TIMESTAMP(NANOS), which the nanosAsLong conf surfaces as bigint
+    nanoseconds — truncate to micros (DuckDB's TIMESTAMP cast does the
+    same) and restore the timestamp type."""
+    from pyspark.sql import types as T
+
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
-    # as bigint nanoseconds — truncate to microseconds (what DuckDB's
-    # TIMESTAMP cast does too) and restore the timestamp type.
-    from pyspark.sql import types as T
+    if name == "events":
+        df = _normalize_events_ts(df)
+    return df
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming file source over one table. The schema is derived from
+    the batch read of the same file, so it always matches the parquet
+    footer — a hardcoded schema silently yields NULL columns when it
+    disagrees with the file (streaming sources don't validate)."""
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)  # streaming file source requires a directory
+    )
+    if name == "events":
+        df = _normalize_events_ts(df)
     return df
 
 

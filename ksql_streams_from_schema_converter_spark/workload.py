@@ -1076,27 +1076,9 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink) — batch/stream parity is the correctness claim."""
     import uuid
 
-    from pyspark.sql import types as T
+    from .sources.parquet import stream_table
 
-    from .sources.parquet import ensure_session_confs
-
-    ensure_session_confs(spark)
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanosAsLong
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)  # streaming file source requires a directory
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    src = stream_table(spark, sf_dir, "events")
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -2246,27 +2228,9 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator instead of a sort-based window."""
     import uuid
 
-    from pyspark.sql import types as T
+    from .sources.parquet import stream_table
 
-    from .sources.parquet import ensure_session_confs
-
-    ensure_session_confs(spark)
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanosAsLong
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    src = stream_table(spark, sf_dir, "events")
     agg = (
         src.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -2411,27 +2375,9 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch join+group oracle."""
     import uuid
 
-    from pyspark.sql import types as T
+    from .sources.parquet import stream_table
 
-    from .sources.parquet import ensure_session_confs
-
-    ensure_session_confs(spark)
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanosAsLong
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    src = stream_table(spark, sf_dir, "events")
     dim = F.broadcast(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     )
