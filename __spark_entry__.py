@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ksql_streams_from_schema_converter_spark.canon import (
+    canonicalize_oracle_sql,
+    canonicalize_spark_output,
+)
 from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
 
 
@@ -29,14 +33,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, "/root/testdata/sf0.001")
 
 
+def _canon(fn: Callable[[SparkSession, str], DataFrame]):
+    """Driver-boundary canonicalization (canon.py): DECIMAL/DATE result
+    columns become strings so both engines hash identically. Applied
+    here — not in the queries — so the engine keeps exact decimal
+    arithmetic and bench.py times the un-retyped plans."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return canonicalize_spark_output(fn(spark, sf_dir))
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (plus the
     north-star extension operators)."""
-    return {name: fn for name, (fn, _) in WORKLOAD.items()}
+    return {name: _canon(fn) for name, (fn, _) in WORKLOAD.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """Equivalent ANSI SQL per query, runnable by DuckDB on the same
     parquet views. Entries without SQL-expressible semantics are omitted
     (driver records a rows-only check for those)."""
-    return {name: sql for name, (_, sql) in WORKLOAD.items() if sql is not None}
+    return {
+        name: canonicalize_oracle_sql(sql)
+        for name, (_, sql) in WORKLOAD.items()
+        if sql is not None
+    }

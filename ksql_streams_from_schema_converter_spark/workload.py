@@ -977,12 +977,37 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(emb, _KNN_QUERY_IDS, k=5, n_cells=16, nprobe=3)
 
 
-@query("embedding_near_dup", None)  # float cosine output → rows-only check
+@query(
+    "embedding_near_dup",
+    """
+    WITH planted AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> x * 2) AS embedding
+      FROM embeddings WHERE vec_id % 25 = 0),
+    un AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT * FROM planted)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+    FROM un a JOIN un b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """,
+)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.9) bucketed by
-    hyperplane sketch before pairing."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_near_dup_pairs(emb, threshold=0.9)
+    hyperplane sketch before pairing.
+
+    The corpus's natural vectors top out at pairwise cosine ≈ 0.51, so
+    the gate plants scaled copies (×2: identical direction → identical
+    hyperplane signs → LSH recall is exactly 1 for them) of every 25th
+    vector. The found set is then provably the planted set, which the
+    exact all-pairs DuckDB oracle reproduces — a non-vacuous,
+    fully-checked gate instead of the r1 empty result."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return D.embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.9)
 
 
 @query(
