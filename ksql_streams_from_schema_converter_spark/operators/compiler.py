@@ -356,18 +356,26 @@ class CompiledField:
         return F.expr(self.sql).alias(self.out_name)
 
 
-def _added_field_meta(spec: FieldSpec, schema_name: str) -> dict | None:
+def _added_field_meta(
+    spec: FieldSpec, schema_name: str, out_name: str = ""
+) -> dict | None:
     """The ``-- add field`` Oracle-dictionary side-channel
-    (src/controllers/index.js:42-54,159-167), as structured metadata
-    instead of a SQL comment."""
+    (src/controllers/index.js:42-54,159-167): structured metadata plus
+    the reference's exact comment string (``comment`` key, rendered by
+    plans.ddl.added_field_comment) for artifact-level parity."""
+    from ..plans.ddl import added_field_comment
+
     if not spec.is_added_field:
         return None
     alias0 = spec.aliases[0] if spec.aliases else ""
+    comment = added_field_comment(
+        schema_name, spec.name, alias0, spec.doc, out_name=out_name
+    )
     if not alias0:
-        return {"name": spec.name, "note": "add field (no alias)"}
+        return {"name": spec.name, "note": "add field (no alias)", "comment": comment}
     m = _ALIAS_PART_RE.match(alias0)
     if not m:
-        return {"name": spec.name, "note": "INPUT FORMAT ERROR"}
+        return {"name": spec.name, "note": "INPUT FORMAT ERROR", "comment": comment}
     return {
         "name": spec.name,
         "alias": alias0,
@@ -378,6 +386,7 @@ def _added_field_meta(spec: FieldSpec, schema_name: str) -> dict | None:
         "field_vm": m.group(2) or None,
         "field_single_multi": spec.doc or "S",
         "data_type": "VARCHAR2",
+        "comment": comment,
     }
 
 
@@ -459,7 +468,9 @@ def compile_field(spec: FieldSpec, resolver, schema_name: str = "") -> CompiledF
         return CompiledField(
             sql=rewrite_ksql_sql(t),
             out_name=(field_name.upper() or name),
-            added_field=_added_field_meta(spec, schema_name),
+            added_field=_added_field_meta(
+                spec, schema_name, out_name=(field_name.upper() or name)
+            ),
         )
 
     if "$" in spec.nested:
@@ -476,7 +487,9 @@ def compile_field(spec: FieldSpec, resolver, schema_name: str = "") -> CompiledF
     return CompiledField(
         sql=sql,
         out_name=(field_name.upper() or name),
-        added_field=_added_field_meta(spec, schema_name),
+        added_field=_added_field_meta(
+            spec, schema_name, out_name=(field_name.upper() or name)
+        ),
     )
 
 

@@ -10,7 +10,43 @@ RECID (plus MV_POS for multivalue sinks).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import types as T
+
+_ALIAS_PART_RE = re.compile(r"^c(\d*)(?:_m(\d*))*$")
+
+
+def added_field_comment(
+    schema_name: str,
+    name: str,
+    alias: str | None,
+    doc: str | None,
+    out_name: str = "",
+) -> str:
+    """The ``-- add field`` Oracle-dictionary comment, reconstructed
+    verbatim from the reference's addedFieldComment
+    (src/controllers/index.js:42-54) and its no-alias fallback
+    (:395-399), including the JS quirks a downstream consumer may have
+    come to rely on: an empty FM capture renders as nothing, a missing
+    VM group renders as the literal ``null`` (JS template coercion),
+    ``doc`` defaults to 'S', and a non-matching alias yields
+    ``-- INPUT FORMAT ERROR`` (the reference's catch branch)."""
+    if not alias:
+        return f" -- add field {name} AS {out_name or name}"
+    m = _ALIAS_PART_RE.match(alias)
+    if m is None:
+        return " -- INPUT FORMAT ERROR"
+    vm = m.group(2) if m.group(2) else "null"
+    return (
+        f" -- add field {name} - {alias} || "
+        f"INSERT INTO T24BNK.STANDARD_SELECTION_MANUAL "
+        f"(PREFIX, TABLE_NAME, FIELD_NAME, FIELD_FM, FIELD_VM, "
+        f"FIELD_SINGLE_MULTI, DATA_TYPE) "
+        f"VALUES('FBNK', '{schema_name.replace('_', '.')}', "
+        f"'{name.replace('_', '.')}', {m.group(1)}, {vm}, "
+        f"'{doc or 'S'}', 'VARCHAR2'); commit;"
+    )
 
 _ORACLE_TYPES: list[tuple[type, str]] = [
     (T.StringType, "VARCHAR2(4000)"),

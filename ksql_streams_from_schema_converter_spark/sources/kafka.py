@@ -53,6 +53,38 @@ def parse_blob_cdc(value: Column) -> list[Column]:
     ]
 
 
+#: The exact output schema of Spark's ``format("kafka")`` source
+#: (spark-sql-kafka's KafkaRecordToRowConverter): the file-backed
+#: contract stream below reproduces it so everything downstream of the
+#: source — parse, pipeline, sink — runs the same plan it would run
+#: against a broker.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def kafka_wire_file_stream(
+    spark: SparkSession, path: str, blob: bool = False
+) -> DataFrame:
+    """Broker-free stand-in for :func:`kafka_raw_stream`: a streaming
+    read over parquet files laid out in ``KAFKA_WIRE_SCHEMA``. The
+    select is byte-for-byte the one `kafka_raw_stream` attaches to the
+    real source, so a contract test over this stream exercises the full
+    RAW → MAPPED → SINK streaming topology the broker path would run
+    (this sandbox has no spark-sql-kafka package)."""
+    raw = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(path)
+    cols = parse_blob_cdc(F.col("value")) if blob else parse_xml_cdc(F.col("value"))
+    return raw.select(*cols)
+
+
 def kafka_raw_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -276,6 +276,84 @@ def t24_blob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EtlPipeline(spec).apply(raw).sink
 
 
+# Golden expected artifact (byte-exact, dollar-quoted to avoid escaping):
+# any drift in the DDL pretty-printer or the addedFieldComment contract
+# flips this gate red.
+_DDL_ARTIFACT_ORACLE = """
+SELECT * FROM (VALUES
+  ('ddl', 'FBNK_CUSTOMER_SINK', $gold$CREATE TABLE T24BNK."FBNK_CUSTOMER_SINK" (
+  "RECID" VARCHAR2(4000),
+  "LEGAL_ID" VARCHAR2(4000),
+  "JOINT_HOLDER" VARCHAR2(4000),
+  "EMPTY_FM" VARCHAR2(4000),
+  "BAD_ALIAS" VARCHAR2(4000),
+  "NOTE" VARCHAR2(4000),
+  CONSTRAINT pk_fbnk_customer_sink PRIMARY KEY ("RECID")
+);$gold$),
+  ('dict_insert', 'LEGAL_ID', $gold$ -- add field LEGAL_ID - c23 || INSERT INTO T24BNK.STANDARD_SELECTION_MANUAL (PREFIX, TABLE_NAME, FIELD_NAME, FIELD_FM, FIELD_VM, FIELD_SINGLE_MULTI, DATA_TYPE) VALUES('FBNK', 'FBNK.CUSTOMER', 'LEGAL.ID', 23, null, 'S', 'VARCHAR2'); commit;$gold$),
+  ('dict_insert', 'JOINT_HOLDER', $gold$ -- add field JOINT_HOLDER - c45_m2 || INSERT INTO T24BNK.STANDARD_SELECTION_MANUAL (PREFIX, TABLE_NAME, FIELD_NAME, FIELD_FM, FIELD_VM, FIELD_SINGLE_MULTI, DATA_TYPE) VALUES('FBNK', 'FBNK.CUSTOMER', 'JOINT.HOLDER', 45, 2, 'M', 'VARCHAR2'); commit;$gold$),
+  ('dict_insert', 'EMPTY_FM', $gold$ -- add field EMPTY_FM - c || INSERT INTO T24BNK.STANDARD_SELECTION_MANUAL (PREFIX, TABLE_NAME, FIELD_NAME, FIELD_FM, FIELD_VM, FIELD_SINGLE_MULTI, DATA_TYPE) VALUES('FBNK', 'FBNK.CUSTOMER', 'EMPTY.FM', , null, 'S', 'VARCHAR2'); commit;$gold$),
+  ('dict_insert', 'BAD_ALIAS', ' -- INPUT FORMAT ERROR'),
+  ('dict_insert', 'LOCALREF_NOTE', ' -- add field LOCALREF_NOTE AS NOTE')
+) AS t(artifact_kind, object_name, statement)
+"""
+
+
+def _ddl_artifact_rows() -> list[tuple[str, str, str]]:
+    """The full emitted DDL artifact for a spec that exercises every
+    addedFieldComment branch (src/controllers/index.js:42-54,395-399):
+    matched alias with FM+VM, matched alias FM-only, empty-FM alias,
+    malformed alias (INPUT FORMAT ERROR), and no alias at all."""
+    spec = PipelineSpec(
+        schema_name="FBNK_CUSTOMER",
+        fields=[
+            FieldSpec(name="RECID", transformation="UCASE($)"),
+            FieldSpec(name="LEGAL_ID", is_added_field=True, aliases=["c23"], doc="S"),
+            FieldSpec(
+                name="JOINT_HOLDER", is_added_field=True, aliases=["c45_m2"], doc="M"
+            ),
+            FieldSpec(name="EMPTY_FM", is_added_field=True, aliases=["c"], doc=""),
+            FieldSpec(name="BAD_ALIAS", is_added_field=True, aliases=["x-9!"]),
+            FieldSpec(name="LOCALREF_NOTE", is_added_field=True),
+        ],
+    )
+    from pyspark.sql import types as T
+
+    from .operators.compiler import MappedResolver, compile_field
+    from .plans.ddl import generate_oracle_ddl
+
+    compiled = [
+        compile_field(f, MappedResolver(), spec.schema_name) for f in spec.fields
+    ]
+    sink_schema = T.StructType(
+        [T.StructField(cf.out_name, T.StringType()) for cf in compiled]
+    )
+    ddl = generate_oracle_ddl(f"{spec.schema_name}_SINK", sink_schema)
+    rows = [("ddl", f"{spec.schema_name}_SINK", ddl)]
+    rows += [
+        (
+            "dict_insert",
+            cf.added_field["name"],
+            cf.added_field["comment"],
+        )
+        for cf in compiled
+        if cf.added_field
+    ]
+    return rows
+
+
+@query("t24_ddl_artifact", _DDL_ARTIFACT_ORACLE)
+def t24_ddl_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-table DDL + Oracle-dictionary INSERT comments as a queryable
+    artifact (reference 'DDL_SINGLE' template + addedFieldComment,
+    src/controllers/index.js:42-54,408). Golden-gated: the oracle holds
+    the byte-exact expected strings."""
+    return spark.createDataFrame(
+        _ddl_artifact_rows(),
+        "artifact_kind string, object_name string, statement string",
+    )
+
+
 # ===========================================================================
 # Relational coverage (SURVEY.md §2.5 gap list — from Spark SQL natively)
 # ===========================================================================

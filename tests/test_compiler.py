@@ -240,6 +240,14 @@ def test_added_field_metadata(t24_df):
         "field_vm": "3",
         "field_single_multi": "M",
         "data_type": "VARCHAR2",
+        "comment": (
+            " -- add field NEW_FIELD - c12_m3 || "
+            "INSERT INTO T24BNK.STANDARD_SELECTION_MANUAL "
+            "(PREFIX, TABLE_NAME, FIELD_NAME, FIELD_FM, FIELD_VM, "
+            "FIELD_SINGLE_MULTI, DATA_TYPE) "
+            "VALUES('FBNK', 'FBNK.CUSTOMER', 'NEW.FIELD', 12, 3, "
+            "'M', 'VARCHAR2'); commit;"
+        ),
     }
 
 
