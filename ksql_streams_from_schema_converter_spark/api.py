@@ -13,10 +13,13 @@ it replaces:
                                the bound DataFrame + DDL + dictionary rows)
 ``GET /api/proc-data``         :func:`get_proc_data` — schema fetch by name
                                (src/controllers/index.js:4-7)
-``GET/POST/DELETE templates``  template CRUD (src/services/index.js:43-79) —
-                               intentionally ABSENT: templates became code
-                               paths (plans/pipeline.py); there is nothing
-                               left to CRUD. See SURVEY.md §7.
+``GET/POST/DELETE templates``  :func:`get_templates` / :func:`update_templates`
+                               / :func:`get_template` — template CRUD
+                               (src/services/index.js:43-79). The engine
+                               doesn't *execute* templates (they became code
+                               paths, plans/pipeline.py; SURVEY.md §7) but
+                               the storage contract is kept for migration
+                               parity via :class:`TemplateRegistry`.
 ``POST /api/execute``          :func:`execute` — raw query passthrough;
                                the reference hands N1QL to Couchbase
                                (src/services/index.js:82-90), we hand SQL
@@ -33,7 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans.pipeline import EtlPipeline, PipelineResult, PipelineSpec
-from .plans.registry import SchemaRegistry
+from .plans.registry import SchemaRegistry, TemplateRegistry
 from .sources.parquet import register_views
 
 
@@ -70,6 +73,24 @@ def get_proc_data(registry: SchemaRegistry, schema_name: str) -> dict:
         "schema_name": schema_name,
         "fields": [f.to_dict() for f in fields],
     }
+
+
+def get_templates(registry: TemplateRegistry) -> list[dict]:
+    """``GET`` all templates: ``{template_name, template}`` rows
+    (src/services/index.js:43-52)."""
+    return registry.get_all()
+
+
+def update_templates(registry: TemplateRegistry, templates: list[dict]) -> None:
+    """``POST`` bulk template upsert/delete (src/services/index.js:54-68):
+    truthy ``template`` upserts, falsy deletes, per-item errors skipped."""
+    registry.update_all(templates)
+
+
+def get_template(registry: TemplateRegistry, template_name: str) -> str:
+    """``GET`` one template by name, backtick-escaped like the reference
+    (src/services/index.js:70-79)."""
+    return registry.get_by_name(template_name)
 
 
 def execute(spark: SparkSession, query: str) -> DataFrame:

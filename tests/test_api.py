@@ -60,3 +60,57 @@ def test_execute_passthrough(spark):
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     )
     assert df.count() > 0
+
+
+def test_template_registry_crud(tmp_path):
+    """Full template CRUD parity with src/services/index.js:43-79."""
+    from ksql_streams_from_schema_converter_spark.plans.registry import TemplateRegistry
+
+    reg = TemplateRegistry()
+    reg.update_all(
+        [
+            {"template_name": "RAW", "template": "CREATE STREAM `x` ..."},
+            {"template_name": "SINK", "template": "CREATE STREAM s AS SELECT *"},
+        ]
+    )
+    assert [d["template_name"] for d in api.get_templates(reg)] == ["RAW", "SINK"]
+    # get-by-name backtick-escapes exactly like the reference (:74)
+    assert api.get_template(reg, "RAW") == "CREATE STREAM \\`x\\` ..."
+    # bulk update: falsy template deletes; bad rows are skipped not fatal
+    api.update_templates(
+        reg,
+        [
+            {"template_name": "RAW", "template": ""},
+            {"no_name_key": True},
+            {"template_name": "SINK", "template": "CREATE STREAM s2 AS SELECT 1"},
+        ],
+    )
+    assert reg.names() == ["SINK"]
+    assert "s2" in api.get_template(reg, "SINK")
+    with pytest.raises(KeyError):
+        api.get_template(reg, "RAW")
+    # persistence round-trip
+    p = tmp_path / "templates.json"
+    reg.save(str(p))
+    reg2 = TemplateRegistry(str(p))
+    assert reg2.names() == ["SINK"]
+
+
+def test_schema_registry_bulk_update():
+    """SchemaRegistry gains the same bulk upsert/delete shape."""
+    reg = SchemaRegistry()
+    reg.update_all(
+        [
+            {"schema_name": "A", "fields": [{"name": "F1", "transformation": ""}]},
+            {"schema_name": "B", "fields": [{"name": "F2", "transformation": ""}]},
+        ]
+    )
+    assert reg.names() == ["A", "B"]
+    assert [d["schema_name"] for d in reg.get_all()] == ["A", "B"]
+    reg.update_all(
+        [
+            {"schema_name": "A", "fields": []},  # falsy -> remove
+            {"fields": [{"name": "X"}]},  # bad row skipped
+        ]
+    )
+    assert reg.names() == ["B"]
