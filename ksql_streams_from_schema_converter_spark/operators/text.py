@@ -160,6 +160,77 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
+# PII patterns, RE2-compatible (no lookaround) so the oracle engine can
+# run the byte-identical regex. URL first: emails inside URLs must not
+# be double-redacted.
+PII_PATTERNS = [
+    ("url", r"https?://[^ \t\n\f\r]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace URLs, emails and phone-shaped digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass. Pure
+    ``regexp_replace`` chain: whole-stage codegen, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind redaction counts (how much PII a scrub pass would remove).
+    Counted on the same progressively-redacted text the replacement chain
+    sees, so counts always equal the number of substitutions made."""
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for kind, pat, repl in PII_PATTERNS:
+        out[kind] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, repl)
+    return out
+
+
+def repetition_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, all exact integers:
+    token/2-gram totals, distinct counts, and the top 2-gram's frequency
+    (a high ``top_2gram_count / n_2grams`` marks degenerate repetition).
+
+    Distributed shape: the most-frequent-2-gram count needs a per-(doc,
+    gram) aggregation — explode + two partial-agg shuffles keyed by
+    doc_id, never a per-document O(n²) higher-order scan. Documents with
+    <2 tokens survive via the left join (zero-filled)."""
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        ngrams_from_tokens(toks, 2).alias("grams"),
+    )
+    gram_stats = (
+        base.select(id_col, F.explode("grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_2grams"),
+            F.count("*").alias("n_distinct_2grams"),
+            F.max("c").alias("top_2gram_count"),
+        )
+    )
+    return base.drop("grams").join(gram_stats, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        F.coalesce("n_2grams", F.lit(0)).cast("bigint").alias("n_2grams"),
+        F.coalesce("n_distinct_2grams", F.lit(0)).cast("bigint").alias("n_distinct_2grams"),
+        F.coalesce("top_2gram_count", F.lit(0)).cast("bigint").alias("top_2gram_count"),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document integer quality metrics (exact, oracle-checkable)."""
     return docs.select(

@@ -2924,3 +2924,207 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", TX.rolling_from_hashes(F.col("__hs")).alias("rhash")
     )
+
+
+# ===========================================================================
+# Pre-training corpus preparation: PII scrub, repetition quality,
+# benchmark decontamination, sequence packing (operators/text.py,
+# operators/pretrain.py)
+# ===========================================================================
+
+# PII-planted corpus: the synthetic documents carry no PII, so both
+# engines append identical synthetic PII to every 5th document — the
+# gate exercises real redactions, not a no-op regex pass.
+_PII_SNIPPET = (
+    " contact john.doe@example.com or https://example.com/d?id=1"
+    " call 555-123-4567"
+)
+_PII_CTE = f"""
+pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '{_PII_SNIPPET}'
+              ELSE text END AS text
+  FROM documents
+)
+"""
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(_PII_SNIPPET))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _pii_oracle() -> str:
+    url, email, phone = (p for _, p, _ in TX.PII_PATTERNS)
+    red1 = f"regexp_replace(text, '{url}', '<URL>', 'g')"
+    red2 = f"regexp_replace({red1}, '{email}', '<EMAIL>', 'g')"
+    red3 = f"regexp_replace({red2}, '{phone}', '<PHONE>', 'g')"
+    return f"""
+    WITH {_PII_CTE.strip()}
+    SELECT doc_id,
+           {red3} AS redacted,
+           len(regexp_extract_all(text, '{url}')) AS n_url,
+           len(regexp_extract_all({red1}, '{email}')) AS n_email,
+           len(regexp_extract_all({red2}, '{phone}')) AS n_phone
+    FROM pii
+    """
+
+
+@query("text_pii_redact", _pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: URL → <EMAIL> → <PHONE> redaction chain plus
+    per-kind counts, all native regexp (whole-stage codegen — this is
+    the pass that touches every byte of a 100 TB corpus, so it must
+    never leave the JVM). Counts are taken on the progressively
+    redacted text, exactly as the replacement chain sees it."""
+    docs = _pii_corpus(spark, sf_dir)
+    counts = TX.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        TX.redact_pii("text").alias("redacted"),
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+_NGRAMS2 = (
+    "CASE WHEN len(t) >= 2 THEN "
+    "list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+
+@query(
+    "text_repetition_metrics",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             len(list_distinct(t)) AS n_distinct_tokens,
+             {_NGRAMS2} AS g
+      FROM toks
+    ),
+    gc AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM (SELECT doc_id, unnest(g) AS gram FROM base)
+      GROUP BY doc_id, gram
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_2grams,
+             CAST(count(*) AS BIGINT) AS n_distinct_2grams,
+             CAST(max(c) AS BIGINT) AS top_2gram_count
+      FROM gc GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+           coalesce(a.n_2grams, 0) AS n_2grams,
+           coalesce(a.n_distinct_2grams, 0) AS n_distinct_2grams,
+           coalesce(a.top_2gram_count, 0) AS top_2gram_count
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (token/2-gram totals, distinct
+    counts, top-2-gram frequency) — exact integers. The top-frequency
+    count is computed by explode + two doc_id-keyed partial aggs, never
+    a per-document O(n²) loop."""
+    return TX.repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def _ngrams_list(n: int) -> str:
+    """DuckDB n-gram builder over a token list column ``t``."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(generate_series(1, len(t)-{n - 1}), i -> {joined}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+@query(
+    "decontamination_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bench AS (
+      SELECT doc_id + 90000 AS bench_id,
+             array_to_string(t[1:12], ' ') AS text
+      FROM toks WHERE doc_id % 50 = 0
+    ),
+    bt AS (
+      SELECT bench_id,
+             string_split_regex(trim(lower(text)), '[{_WS}]+') AS t
+      FROM bench
+    ),
+    bg AS (
+      SELECT bench_id, unnest(list_distinct({_ngrams_list(5)})) AS gram FROM bt
+    ),
+    cg AS (
+      SELECT doc_id, unnest(list_distinct({_ngrams_list(5)})) AS gram FROM toks
+    )
+    SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+    FROM cg JOIN bg USING (gram)
+    GROUP BY doc_id, bench_id
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct shared 5-grams between every
+    corpus doc and a benchmark set (here: 12-token snippets carved from
+    every 50th doc, constructed identically on both engines — source
+    docs are guaranteed hits, proving the gate is non-vacuous). The
+    benchmark side broadcasts; the corpus grams probe the hash join
+    without an all-pairs shuffle (operators/pretrain.py)."""
+    from .operators import pretrain as P
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TX.tokens("text")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 90000).alias("bench_id"),
+        F.array_join(F.slice(toks, 1, 12), " ").alias("text"),
+    )
+    return P.contamination_overlap(docs, bench, n=5)
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, n_tok,
+           CAST(cum - n_tok AS BIGINT) AS tok_offset,
+           CAST(floor((cum - n_tok) / 256) AS BIGINT) AS seq_in_shard,
+           CAST((cum - n_tok) % 256 AS BIGINT) AS offset_in_seq,
+           (n_tok > 0 AND floor((cum - n_tok) / 256) != floor((cum - 1) / 256))
+             AS spans_cut
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing layout: per-shard doc_id-ordered
+    concatenation cut every 256 tokens; emits each document's shard,
+    sequence index, offset and cut-straddle flag (exact integers via
+    one window cumsum per shard — operators/pretrain.py)."""
+    from .operators import pretrain as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    return P.pack_sequences(docs, budget=256, shards=8)

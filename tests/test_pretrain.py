@@ -1,0 +1,115 @@
+"""Unit tests for the pre-training corpus operators
+(operators/text.py PII/repetition, operators/pretrain.py)."""
+
+from ksql_streams_from_schema_converter_spark.operators import pretrain as P
+from ksql_streams_from_schema_converter_spark.operators import text as TX
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.org now"),
+            (2, "see https://x.org/p?q=1 and http://y.io"),
+            (3, "call 555-123-4567 twice 555-000-1111"),
+            (4, "email inside url https://x.org/a@b.com stays one <URL>"),
+            (5, "clean text"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["red"]
+        for r in df.select("id", TX.redact_pii("text").alias("red")).collect()
+    }
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "see <URL> and <URL>"
+    assert out[3] == "call <PHONE> twice <PHONE>"
+    # URL redaction runs first, so the embedded email is not double-hit
+    assert out[4] == "email inside url <URL> stays one <URL>"
+    assert out[5] == "clean text"
+
+
+def test_pii_counts_match_redactions(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.co https://x.io 555-123-4567 c@d.eu")], "id long, text string"
+    )
+    counts = TX.pii_counts("text")
+    row = df.select(
+        counts["url"].alias("u"), counts["email"].alias("e"), counts["phone"].alias("p")
+    ).first()
+    assert (row["u"], row["e"], row["p"]) == (1, 2, 1)
+
+
+def test_repetition_metrics_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # fully degenerate
+            (2, "all words here differ"),  # no repetition
+            (3, "x"),  # too short for 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.repetition_metrics(df).collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["n_distinct_tokens"] == 1
+    assert rows[1]["n_2grams"] == 3
+    assert rows[1]["top_2gram_count"] == 3  # "spam spam" x3
+    assert rows[2]["top_2gram_count"] == 1
+    assert rows[3]["n_2grams"] == 0 and rows[3]["top_2gram_count"] == 0
+
+
+def test_contamination_overlap_finds_planted_leak(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven"),
+            (3, "unrelated words entirely different content here today"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        # first 5-gram of doc 1, twice (distinct grams, one hit)
+        [(100, "alpha beta gamma delta epsilon")],
+        "bench_id long, text string",
+    )
+    out = P.contamination_overlap(corpus, bench, n=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["bench_id"], r["n_shared_ngrams"]) == (1, 100, 1)
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d e")], "bench_id long, text string")
+    plan = P.contamination_overlap(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark side must broadcast
+
+
+def test_pack_sequences_layout(spark):
+    # 5 docs of 10 tokens in one shard, budget 16: offsets 0,10,20,30,40
+    docs = spark.createDataFrame(
+        [(i * 8, " ".join(f"t{j}" for j in range(10))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in P.pack_sequences(docs, budget=16, shards=8).collect()}
+    assert all(r["shard"] == 0 for r in out.values())
+    assert [out[i * 8]["tok_offset"] for i in range(5)] == [0, 10, 20, 30, 40]
+    assert [out[i * 8]["seq_in_shard"] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert [out[i * 8]["offset_in_seq"] for i in range(5)] == [0, 10, 4, 14, 8]
+    # doc at offset 10 spans the cut at 16; doc at offset 0 does not
+    assert out[8]["spans_cut"] and not out[0]["spans_cut"]
+    # token accounting: every shard's total tokens equals sum of n_tok
+    assert sum(r["n_tok"] for r in out.values()) == 50
+
+
+def test_pack_sequences_sharding(spark):
+    docs = spark.createDataFrame(
+        [(i, "w1 w2 w3") for i in range(16)], "doc_id long, text string"
+    )
+    out = P.pack_sequences(docs, budget=4, shards=4).collect()
+    shards = {r["shard"] for r in out}
+    assert shards == {0, 1, 2, 3}
+    # within a shard offsets restart from 0 and increase by 3
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r["tok_offset"])
+    assert all(offs == [0, 3, 6, 9] for offs in by_shard.values())
