@@ -283,3 +283,37 @@ def knn_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``,
+    ``q_i = floor(v_i / scale + 0.5)`` (half-up via floor — both engines
+    agree on floor's IEEE semantics, unlike round()'s tie rules). The
+    4× storage cut is the standard embedding-at-rest layout at corpus
+    scale; dequantization error per element is bounded by scale/2.
+
+    All-native expressions; ``scale`` is materialized into a column
+    BEFORE the per-element lambda — referencing the array_max expression
+    inside ``transform`` would re-evaluate it per element (O(dim²))."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_scale = df.select(F.col(id_col), v.alias("__v")).select(
+        id_col,
+        "__v",
+        (F.array_max(F.transform("__v", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.when(
+            F.col("scale") > 0, F.floor(x / F.col("scale") + 0.5).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return with_scale.select(id_col, "scale", q.alias("q"))
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "q", scale_col: str = "scale"
+) -> Column:
+    """Inverse of :func:`quantize_int8`: ``v_i ≈ q_i * scale``."""
+    return F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col))

@@ -231,6 +231,42 @@ def repetition_metrics(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: token windows of ``chunk_tokens`` with
+    ``overlap`` tokens of context carried between consecutive chunks
+    (stride = chunk_tokens - overlap) — the standard layout for RAG
+    indexing and long-doc training. One row per (doc, chunk), exact and
+    deterministic: chunk k covers tokens [k*stride+1, k*stride+chunk]
+    (1-based, clamped at the document end).
+
+    All-native: sequence + explode + slice; the token array is
+    materialized into a column before the explode so each chunk slice
+    is O(chunk), not a re-tokenization."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n_chunks = F.ceil(F.size("__t") / F.lit(float(stride))).cast("int")
+    ks = toked.select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    window = F.slice("__t", F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return ks.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).alias("n_chunk_tokens"),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document integer quality metrics (exact, oracle-checkable)."""
     return docs.select(

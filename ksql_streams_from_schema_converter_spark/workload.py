@@ -3128,3 +3128,57 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return P.pack_sequences(docs, budget=256, shards=8)
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id, scale,
+           list_transform(v, x -> CASE WHEN scale > 0
+                                       THEN CAST(floor(x / scale + 0.5) AS INT)
+                                       ELSE 0 END) AS q
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column
+    (operators/similarity.quantize_int8) — exact parity via double
+    arithmetic and floor-based half-up rounding on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb)
+
+
+@query(
+    "document_chunking",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ks AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0,
+               CAST(ceil(len(t) / 48.0) AS INT) - 1)) AS k
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_idx,
+           array_to_string(t[k*48+1 : k*48+64], ' ') AS chunk_text,
+           len(t[k*48+1 : k*48+64]) AS n_chunk_tokens
+    FROM ks
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token chunks, 16-token overlap →
+    stride 48) for RAG/long-doc training layouts
+    (operators/text.chunk_documents)."""
+    return TX.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )

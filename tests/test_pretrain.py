@@ -113,3 +113,55 @@ def test_pack_sequences_sharding(spark):
     for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
         by_shard.setdefault(r["shard"], []).append(r["tok_offset"])
     assert all(offs == [0, 3, 6, 9] for offs in by_shard.values())
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    from ksql_streams_from_schema_converter_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 127.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_int8(df)
+    rows = {r["vec_id"]: r for r in q.withColumn(
+        "deq", dequantize_int8(q)
+    ).collect()}
+    # max-magnitude element maps exactly to ±127
+    assert rows[1]["q"][3] == 127
+    assert abs(rows[1]["scale"] - 1.0) < 1e-12
+    # reconstruction error bounded by scale/2 per element
+    orig = [1.0, -0.5, 0.25, 127.0]
+    for o, d in zip(orig, rows[1]["deq"]):
+        assert abs(o - d) <= rows[1]["scale"] / 2 + 1e-12
+    # zero vector: scale 0, all-zero codes, no division blowup
+    assert rows[2]["scale"] == 0.0 and rows[2]["q"] == [0, 0, 0, 0]
+
+
+def test_chunk_documents_window_layout(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(10))), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = TX.chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"]) for r in out.collect())
+    )
+    # stride 2 over 10 tokens -> 5 chunks; consecutive chunks share 2 tokens
+    assert [r[1] for r in rows if r[0] == 1] == [0, 1, 2, 3, 4]
+    assert rows[0][2] == "t0 t1 t2 t3"
+    assert rows[1][2] == "t2 t3 t4 t5"
+    # final chunk is clamped at the document end
+    assert rows[4][2] == "t8 t9" and rows[4][3] == 2
+    # a short doc still yields exactly one chunk
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "solo", 1)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        TX.chunk_documents(docs, chunk_tokens=4, overlap=4)
