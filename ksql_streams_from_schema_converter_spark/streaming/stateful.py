@@ -79,3 +79,57 @@ def batch_first_seen_dedup(df: DataFrame, key_col: str = "recid", order_col: str
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def streaming_running_totals(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running count + sum over an unbounded stream, emitted
+    once per key per micro-batch (update semantics through an append
+    operator: downstream sinks key on ``key_col`` and keep the latest).
+    The CDC shape this serves: continuously-maintained per-account
+    totals over the T24 entry stream.
+
+    State per key is two numbers — O(distinct keys) total, partitioned
+    by key like any shuffle, optionally TTL-bounded via ``timeout_ms``
+    (the unbounded-key-space knob, same discipline as
+    :func:`streaming_first_seen_dedup`)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)  # re-arm every batch
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

@@ -69,3 +69,50 @@ def test_batch_first_seen_dedup_ordered(spark):
     )
     out = {r["recid"]: r["payload"] for r in batch_first_seen_dedup(df, "recid", "seq").collect()}
     assert out == {"A": "first", "B": "only"}
+
+
+def test_streaming_running_totals_across_restart(spark):
+    """Keyed running totals accumulate within a run AND survive a
+    checkpointed restart (state store recovery)."""
+    from ksql_streams_from_schema_converter_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    src = tempfile.mkdtemp()
+    ckpt = tempfile.mkdtemp()
+    out = tempfile.mkdtemp()
+    schema = "k string, v double"
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], schema
+    ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            streaming_running_totals(stream, "k", "v")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {r["key"]: (r["n"], r["total"]) for r in spark.read.parquet(out).collect()}
+    assert first == {"a": (2, 3.0), "b": (1, 5.0)}
+
+    # restart with new data: totals continue from recovered state
+    spark.createDataFrame([("a", 10.0), ("c", 7.0)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:  # keep the max-n row per key (latest emission)
+        if r["key"] not in latest or r["n"] > latest[r["key"]][0]:
+            latest[r["key"]] = (r["n"], r["total"])
+    assert latest == {"a": (3, 13.0), "b": (1, 5.0), "c": (1, 7.0)}

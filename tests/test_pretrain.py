@@ -165,3 +165,66 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         TX.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+# --- property tests (one DataFrame pass per property; examples built
+# up front because Spark jobs are expensive per-example) ---
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
+docs_strategy = st.lists(
+    st.lists(words, min_size=1, max_size=40), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs_strategy, st.integers(2, 10), st.integers(0, 5))
+def test_chunking_covers_every_token_exactly(spark, docs, chunk, overlap):
+    """Every token appears in some chunk; de-overlapped concatenation
+    reconstructs the document exactly."""
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    from ksql_streams_from_schema_converter_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        assert len(toks) == r["n_chunk_tokens"]
+        # each chunk after the first re-covers `overlap` trailing tokens
+        keep = toks if r["chunk_idx"] == 0 else toks[overlap:]
+        by_doc.setdefault(r["doc_id"], []).extend(keep)
+    for i, toks in enumerate(docs):
+        assert by_doc[i] == toks
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs_strategy, st.integers(1, 64), st.integers(1, 4))
+def test_packing_offsets_are_contiguous(spark, docs, budget, shards):
+    """Within each shard, token offsets tile the stream with no gaps or
+    overlaps, and every seq index equals offset div budget."""
+    from ksql_streams_from_schema_converter_spark.operators.pretrain import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(df, budget=budget, shards=shards).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        expect = 0
+        for r in rows:
+            assert r["tok_offset"] == expect
+            assert r["seq_in_shard"] == r["tok_offset"] // budget
+            assert r["offset_in_seq"] == r["tok_offset"] % budget
+            expect += r["n_tok"]
