@@ -3182,3 +3182,218 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH region_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS supply_cost
+      FROM lineitem
+      JOIN region_supp ON s_suppkey = l_suppkey
+      GROUP BY l_partkey, l_suppkey
+    ),
+    min_cost AS (
+      SELECT l_partkey AS mc_pk, min(supply_cost) AS mc FROM cost GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+    FROM cost
+    JOIN min_cost ON mc_pk = l_partkey AND supply_cost = mc
+    JOIN region_supp ON s_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size = 15 AND p_type = 'SMALL'
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier (adapted: no partsupp table in
+    the synthetic schema, so supply cost = the supplier's minimum
+    observed line price for the part — same correlated-min shape).
+    Plan: the region→nation→supplier chain broadcasts into the
+    lineitem scan; the per-(part,supplier) agg shuffles once; the
+    per-part min re-joins on the SAME partkey-clustered shuffle
+    (AQE reuses it), then small dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    region_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(region_supp.select("s_suppkey")),
+                F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("supply_cost")
+        )
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_pk")).agg(
+        F.min("supply_cost").alias("mc")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (F.col("mc_pk") == F.col("l_partkey")) & (F.col("supply_cost") == F.col("mc")),
+        )
+        .join(F.broadcast(region_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(
+                part.where((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,6))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(0.1 AS DECIMAL(3,1)))
+                AS DECIMAL(38,8)) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit by nation and year (adapted: no
+    ps_supplycost, so cost = 10% of retail price × quantity — same
+    5-table join + conditional-profit-aggregate shape, exact decimal).
+    Plan: part/supplier/nation broadcast; orders joins on the orderkey
+    shuffle; one final agg shuffle on (nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)")
+        - F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * F.lit(0.1).cast("decimal(3,1)")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("decimal(38,8)").alias("sum_profit"))
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    totals AS (
+      SELECT l_partkey AS t_pk,
+             CAST(sum(qty) AS DECIMAL(38,2)) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    ),
+    dominant AS (
+      SELECT DISTINCT l_suppkey
+      FROM shipped JOIN totals ON t_pk = l_partkey
+      WHERE qty * 2 > total_qty
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+      AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped supplier screen (adapted: no ps_availqty, so
+    the 'excess stock' predicate becomes 'supplied more than half of a
+    part's 1996 shipments' — same nested double-aggregate + semi-join
+    shape). Exact arithmetic: the share test cross-multiplies
+    (qty*2 > total) instead of dividing. Plan: both aggs reuse one
+    partkey-clustered shuffle; the dominant-supplier set semi-joins
+    into the broadcast supplier⋈nation chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("qty")
+        )
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_pk")).agg(
+        F.sum("qty").cast("decimal(38,2)").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(totals, F.col("t_pk") == F.col("l_partkey"))
+        .where(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(
+                    F.col("n_name").isin("NATION_3", "NATION_7")
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(dominant, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
