@@ -3397,3 +3397,74 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dominant, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@query(
+    "events_gap_filled_daily",
+    """
+    WITH ev AS (SELECT * FROM events WHERE event_id % 37 = 0),
+    bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM ev
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    counts AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+      FROM ev GROUP BY event_type, d
+    )
+    SELECT t.event_type, s.d AS day,
+           coalesce(c.n_events, 0) AS n_events,
+           CAST(coalesce(c.total_value, 0) AS DECIMAL(38,2)) AS total_value
+    FROM types t
+    CROSS JOIN spine s
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.d = s.d
+    """,
+)
+def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: a complete daily spine per
+    event type, zero-filled where no events occurred (the downstream
+    guarantee dashboards and window models need). The spine is generated
+    ENGINE-SIDE — a 1-row min/max aggregate broadcast-cross-joined into
+    a sequence() explode — never a driver-side collect/loop, so the
+    pattern works identically when the spine spans years at 100 TB."""
+    # every-37th event: sparse enough that real gaps exist at sf0.01,
+    # so the zero-fill branch is exercised, not just the dense join
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 37 == 0)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.col("event_type").alias("c_type"), F.to_date("ts").alias("d")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )
+    return (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            counts,
+            (F.col("c_type") == F.col("event_type")) & (F.col("d") == F.col("day")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0).cast("decimal(38,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+        )
+    )
