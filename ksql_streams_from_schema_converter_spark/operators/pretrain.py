@@ -42,13 +42,20 @@ def contamination_overlap(
     number of distinct shared n-grams — downstream policy (drop doc,
     drop span) is the caller's. Only pairs with >=1 shared gram appear.
     """
+    # tokens are materialized into a column before the n-gram transform:
+    # an embedded split() expression would be re-evaluated per element
+    # inside the lambda (O(len²) — see ngrams_from_tokens's note)
     corpus_grams = corpus.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(ngrams_from_tokens(tokens(text_col), n))).alias("gram"),
+        F.explode(F.array_distinct(ngrams_from_tokens(F.col("__t"), n))).alias("gram"),
     )
     bench_grams = benchmark.select(
+        F.col(bench_id_col), tokens(text_col).alias("__t")
+    ).select(
         F.col(bench_id_col),
-        F.explode(F.array_distinct(ngrams_from_tokens(tokens(text_col), n))).alias("gram"),
+        F.explode(F.array_distinct(ngrams_from_tokens(F.col("__t"), n))).alias("gram"),
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram")

@@ -64,19 +64,24 @@ def fingerprint(text: Column | str) -> Column:
 def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token-array column.
 
-    PERFORMANCE: pass an *attribute* (a materialized column), not a big
-    expression — expressions referenced inside a ``transform`` lambda are
-    re-evaluated per element, so an embedded ``split()`` would turn this
-    O(len) loop into O(len²). See :func:`word_ngrams` for the guard on
-    short docs (Spark's ``sequence(1, 0)`` counts DOWN, not empty)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    Built as ``arrays_zip`` of the n shifted slices of the token array,
+    then a ``transform`` whose lambda touches ONLY its own variable.
+    This shape is load-bearing for performance: a lambda that referenced
+    the token expression itself (e.g. ``element_at(toks, i+j)``) would
+    re-evaluate it per element — and even a pre-materialized column gets
+    re-inlined by CollapseProject once column pruning leaves it with a
+    single reference, silently turning O(len) into O(len²) (observed
+    16× on the repetition workload). With slices, the outer expression
+    is evaluated a constant n times per row, whatever the optimizer
+    collapses. Documents shorter than ``n`` tokens yield an empty array
+    (slice length clamps to 0)."""
+    if n < 2:
+        return toks
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    slices = [F.slice(toks, j + 1, width).alias(f"g{j}") for j in range(n)]
+    return F.transform(
+        F.arrays_zip(*slices),
+        lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(n)]),
     )
 
 
@@ -202,13 +207,15 @@ def repetition_metrics(
     Distributed shape: the most-frequent-2-gram count needs a per-(doc,
     gram) aggregation — explode + two partial-agg shuffles keyed by
     doc_id, never a per-document O(n²) higher-order scan. Documents with
-    <2 tokens survive via the left join (zero-filled)."""
-    toks = tokens(text_col)
-    base = docs.select(
+    <2 tokens survive via the left join (zero-filled). The token array
+    is materialized into a column BEFORE the n-gram transform (see
+    :func:`ngrams_from_tokens`'s performance note — an embedded split
+    would re-tokenize per element)."""
+    base = docs.select(F.col(id_col), tokens(text_col).alias("__t")).select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        ngrams_from_tokens(toks, 2).alias("grams"),
+        F.size("__t").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).alias("n_distinct_tokens"),
+        ngrams_from_tokens(F.col("__t"), 2).alias("grams"),
     )
     gram_stats = (
         base.select(id_col, F.explode("grams").alias("gram"))
