@@ -54,7 +54,9 @@ FUNCTION_REGISTRY: dict[str, str] = {
     "LEAST": "least",
     # date/time (ksqlDB PARSE_* -> Spark to_* ; src/controllers/index.js:85,87)
     "PARSE_DATE": "to_date",
-    "PARSE_TIMESTAMP": "to_timestamp",
+    # NTZ: ksqlDB timestamps are zoneless; a zoned parse would shift
+    # collected values with the reading process's timezone
+    "PARSE_TIMESTAMP": "to_timestamp_ntz",
     "FORMAT_DATE": "date_format",
     "FORMAT_TIMESTAMP": "date_format",
     "DATEADD": "dateadd",

@@ -20,7 +20,7 @@ DSL branches implemented (reference line refs in each branch):
 ``''``                identity map lookup (:73-74)
 ``string-join(sep)``  multivalue flatten + join (:75-83)
 ``parse_date``        ``to_date(c,'yyyyMMdd')`` (:84-85)
-``parse_timestamp``   ``to_timestamp(c,'yyMMddHHmm')`` (:86-87)
+``parse_timestamp``   ``to_timestamp_ntz(c,'yyMMddHHmm')`` (:86-87; NTZ — ksqlDB timestamps are zoneless)
 ``substring``         fixed ``substring(c,1,35)`` (:88-89)
 ``seab_field``        2nd ``_``-token (:90-91)
 ``[n]``               1-based multivalue element, NULL out-of-range (:92-95)
@@ -410,7 +410,9 @@ def compile_field(spec: FieldSpec, resolver, schema_name: str = "") -> CompiledF
     elif t == "parse_date":
         sql = f"to_date({resolver.sql(name)}, 'yyyyMMdd')"
     elif t == "parse_timestamp":
-        sql = f"to_timestamp({resolver.sql(name)}, 'yyMMddHHmm')"
+        # to_timestamp_NTZ: ksqlDB's TIMESTAMP has no timezone, and a
+        # zoned result would shift with the collecting process's tz
+        sql = f"to_timestamp_ntz({resolver.sql(name)}, 'yyMMddHHmm')"
     elif t == "substring":
         sql = f"substring({resolver.sql(name)}, 1, 35)"
     elif t == "seab_field":

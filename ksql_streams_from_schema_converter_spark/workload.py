@@ -3468,3 +3468,142 @@ def events_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "t24_blob_split_projection",
+    """
+    WITH whole AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS recid,
+             CAST(o_orderkey AS VARCHAR) || '_' || o_orderstatus || '_'
+               || o_orderpriority AS blob
+      FROM orders
+    )
+    SELECT upper(recid) AS RECID,
+           string_split(blob, '_')[2] AS OPERATOR,
+           substr(blob, 1, 4) AS HEAD
+    FROM whole
+    """,
+)
+def t24_blob_split_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOB SPLIT pipeline end-to-end over real data (reference
+    'BLOB_SPLIT' template, src/controllers/index.js:601-609): the whole
+    hex blob decodes to ONE value and every field carves out of it
+    (seab_field token extraction, substring with alias override). The
+    oracle states the carved results directly — the hex encode/decode
+    identity is the pipeline's to prove."""
+    orders = load_table(spark, sf_dir, "orders")
+    payload = F.concat_ws(
+        "_",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    raw = orders.select(
+        F.col("o_orderkey").cast("string").alias("recid"),
+        F.hex(F.encode(payload, "ISO-8859-1")).alias("value_hex"),
+    )
+    spec = PipelineSpec(
+        schema_name="FBNK_ORDER_SPLIT",
+        proc_type="BLOB",
+        blob_delim="SPLIT",
+        fields=[
+            FieldSpec(name="RECID", transformation="UCASE($)"),
+            FieldSpec(name="OPERATOR", transformation="seab_field"),
+            FieldSpec(name="PART1", transformation="SUBSTRING($,1,4) HEAD"),
+        ],
+    )
+    return EtlPipeline(spec).apply(raw).sink
+
+
+@query(
+    "t24_parse_timestamp",
+    """
+    WITH cdc AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS recid,
+             strftime(o_orderdate, '%y%m%d')
+               || lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0')
+               || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') AS last_update
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    SELECT upper(recid) AS RECID,
+           strptime(last_update, '%y%m%d%H%M') AS LAST_UPDATE
+    FROM cdc
+    """,
+)
+def t24_parse_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_timestamp DSL branch oracle-gated (reference
+    PARSE_TIMESTAMP(c,'yyMMddHHmm'), src/controllers/index.js:86-87):
+    a yyMMddHHmm LAST_UPDATE field built from real order dates, parsed
+    through the pipeline. Restricted to orders from 2000 on because the
+    engines' two-digit-year pivots differ below that (Spark 'yy' bases
+    at 2000; strptime %y maps 69-99 to the 1900s — T24's own convention
+    is 20yy, matching Spark)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    raw = orders.select(
+        F.col("o_orderkey").cast("string").alias("recid"),
+        F.create_map(
+            F.lit("LAST_UPDATE"),
+            F.concat(
+                F.date_format("o_orderdate", "yyMMdd"),
+                F.lpad((F.col("o_orderkey") % 24).cast("string"), 2, "0"),
+                F.lpad((F.col("o_orderkey") % 60).cast("string"), 2, "0"),
+            ),
+        ).alias("xmlrecord"),
+    )
+    spec = PipelineSpec(
+        schema_name="FBNK_TS",
+        fields=[
+            FieldSpec(name="RECID", transformation="UCASE($)"),
+            FieldSpec(name="LAST_UPDATE", transformation="parse_timestamp"),
+        ],
+    )
+    return EtlPipeline(spec).apply(raw).sink
+
+
+@query(
+    "kafka_raw_parse",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+           o_orderstatus AS STATUS,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS TOTAL
+    FROM orders
+    """,
+)
+def kafka_raw_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW Kafka source parse path oracle-gated (reference RAW stream,
+    src/controllers/index.js:574,611): orders are serialized into the
+    exact wire contract — JSON ``{"RECID", "XMLRECORD": {...}}`` bytes —
+    then parsed back with `sources/kafka.parse_xml_cdc` and projected
+    through the pipeline compiler. The oracle states the original
+    fields: the serialize→parse identity is what the gate proves."""
+    from .sources.kafka import parse_xml_cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    wire = orders.select(
+        F.encode(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").cast("string").alias("RECID"),
+                    F.create_map(
+                        F.lit("STATUS"), F.col("o_orderstatus"),
+                        F.lit("TOTAL"),
+                        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                    ).alias("XMLRECORD"),
+                )
+            ),
+            "UTF-8",
+        ).alias("value")
+    )
+    parsed = wire.select(*parse_xml_cdc(F.col("value")))
+    spec = PipelineSpec(
+        schema_name="FBNK_KAFKA_ORDERS",
+        fields=[
+            FieldSpec(name="RECID", transformation="UCASE($)"),
+            FieldSpec(name="STATUS"),
+            FieldSpec(name="TOTAL", type=("string", "decimal(18,2)")),
+        ],
+    )
+    return EtlPipeline(spec).apply(parsed).sink
