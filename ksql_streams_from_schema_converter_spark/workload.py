@@ -3607,3 +3607,86 @@ def kafka_raw_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return EtlPipeline(spec).apply(parsed).sink
+
+
+@query(
+    "kafka_blob_raw_parse",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS RECID,
+           c_name AS NAME
+    FROM customer
+    """,
+)
+def kafka_blob_raw_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOB_RAW Kafka source oracle-gated (reference BLOB_RAW stream,
+    src/controllers/index.js:583): customers serialized to the BLOB wire
+    contract — JSON ``{"RECID", "XMLRECORD": {"VALUE": hex}}`` bytes —
+    parsed back with `sources/kafka.parse_blob_cdc` and decoded through
+    the BLOB FE pipeline. The oracle states the original fields."""
+    from .sources.kafka import parse_blob_cdc
+
+    cust = load_table(spark, sf_dir, "customer")
+    wire = cust.select(
+        F.encode(
+            F.to_json(
+                F.struct(
+                    F.col("c_custkey").cast("string").alias("RECID"),
+                    F.struct(
+                        F.hex(
+                            F.encode(F.concat(F.lit("NAMEý"), F.col("c_name")), "ISO-8859-1")
+                        ).alias("VALUE")
+                    ).alias("XMLRECORD"),
+                )
+            ),
+            "UTF-8",
+        ).alias("value")
+    )
+    parsed = wire.select(*parse_blob_cdc(F.col("value")))
+    spec = PipelineSpec(
+        schema_name="FBNK_KAFKA_BLOB",
+        proc_type="BLOB",
+        blob_delim="FE",
+        fields=[
+            FieldSpec(name="RECID", transformation="UCASE($)"),
+            FieldSpec(name="NAME"),
+        ],
+    )
+    return EtlPipeline(spec).apply(parsed).sink
+
+
+@query(
+    "t24_verbatim_fallback",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS RECID,
+           upper(o_orderstatus || '/' || o_orderpriority) AS TAG
+    FROM orders
+    """,
+)
+def t24_verbatim_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-fallback DSL branch oracle-gated (reference
+    src/controllers/index.js:145-147: any unrecognized transformation
+    string is emitted as raw SQL): a ksqlDB-dialect expression with
+    DATA.XMLRECORD map access and UCASE/CONCAT is rewritten to Spark SQL
+    by `rewrite_ksql_sql` and executed in the projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.col("o_orderkey").cast("string").alias("recid"),
+        F.create_map(
+            F.lit("STATUS"), F.col("o_orderstatus"),
+            F.lit("PRIORITY"), F.col("o_orderpriority"),
+        ).alias("xmlrecord"),
+    )
+    spec = PipelineSpec(
+        schema_name="FBNK_VERBATIM",
+        fields=[
+            FieldSpec(name="RECID", transformation="UCASE($)"),
+            FieldSpec(
+                name="TAG",
+                transformation=(
+                    "UCASE(CONCAT(DATA.XMLRECORD['STATUS'], '/', "
+                    "DATA.XMLRECORD['PRIORITY']))"
+                ),
+            ),
+        ],
+    )
+    return EtlPipeline(spec).apply(raw).sink
