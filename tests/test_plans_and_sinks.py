@@ -257,3 +257,36 @@ def test_jdbc_upsert_batch_stages_with_stable_name(spark, monkeypatch):
         assert captured.get("saved")
         assert captured.get("dbtable") == "FBNK_SINK_staging"
         assert captured.get("url") == "jdbc:oracle:thin:@host/db"
+
+
+def test_adapted_tpch_q2_q9_q20_plan_shapes(spark):
+    """The three adapted shapes keep the plans the originals want:
+    dimension broadcasts, no cartesian/nested-loop joins."""
+    for name in (
+        "q2_min_cost_supplier",
+        "q9_profit_by_nation_year",
+        "q20_dominant_suppliers",
+    ):
+        fn, _ = WORKLOAD[name]
+        plan = physical_plan(fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pii_scrub_is_scan_only(spark):
+    """The every-byte corpus pass must not shuffle: a pure projection
+    over the scan (zero Exchange nodes)."""
+    fn, _ = WORKLOAD["text_pii_redact"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # all-native regexp chain
+
+
+def test_sequence_packing_single_shuffle(spark):
+    """Packing is exactly one hash-partitioned exchange (the per-shard
+    window) — no global single-partition sort."""
+    fn, _ = WORKLOAD["sequence_packing"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
