@@ -3690,3 +3690,58 @@ def t24_verbatim_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return EtlPipeline(spec).apply(raw).sink
+
+
+def _source_mix_oracle() -> str:
+    nib = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)"
+    h12 = " + ".join(f"{nib.format(p=p)} * {16 ** (3 - p)}" for p in range(1, 4))
+    return f"""
+    WITH scored AS (
+      SELECT source,
+             len({_TOKS}) AS n_tok,
+             ({h12}) AS h12,
+             (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) AS rate4
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN h12 * 4 < rate4 * 4096 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN h12 * 4 < rate4 * 4096 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM scored
+    GROUP BY source
+    """
+
+
+@query("source_mix_sample", _source_mix_oracle())
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sampler: each source gets a sampling
+    rate from its mix tier (srcN → (N mod 4 + 1)/4, i.e. 25/50/75/100%),
+    and a document is kept iff its first-3-md5-nibble value clears the
+    rate threshold — the reproducible per-source downsampling step of a
+    pretraining mix, with per-source document and token budgets before
+    and after. Map-side-only (one agg shuffle); the same hash-threshold
+    keeps document identity stable when the mix is re-tuned (only the
+    marginal documents flip, unlike RNG sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "source",
+        "doc_id",
+        TX.token_count("text").alias("n_tok"),
+    ).select(
+        "source",
+        "n_tok",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10)
+        .cast("int")
+        .alias("h12"),
+        (
+            F.regexp_extract("source", r"([0-9]+)$", 1).cast("int") % 4 + 1
+        ).alias("rate4"),
+    )
+    keep = F.col("h12") * 4 < F.col("rate4") * 4096
+    return toked.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).cast("bigint").alias("tokens_kept"),
+    )
