@@ -3745,3 +3745,82 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("tokens_total"),
         F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).cast("bigint").alias("tokens_kept"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, term, tf, df,
+           CAST(tf AS DOUBLE) / df AS score
+    FROM tf JOIN df USING (term)
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, term
+    ) <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by df-damped term
+    frequency (tf/df — the tf-idf ordering with a rational score
+    instead of a log, because a single IEEE division is bit-identical
+    across engines while libm log is not). Distributed shape: tf is one
+    (doc,term) agg; df reuses tf's output with a term-keyed agg whose
+    result broadcasts back (vocabulary ≪ corpus); top-k is a window
+    rank per doc — the inverted-index scoring skeleton at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+@query(
+    "inverted_index_postings",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok AS term
+      FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents)
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           (list(doc_id ORDER BY doc_id))[1:10] AS postings_head
+    FROM tf GROUP BY term
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per-term document frequency and the sorted
+    head of the postings list (first 10 doc ids — bounded output per
+    term, so a hot term cannot blow up a row). One explode + one
+    term-keyed agg; postings are sorted deterministically inside the
+    aggregate, never via a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(TX.tokens("text"))).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10).alias(
+                "postings_head"
+            ),
+        )
+    )
