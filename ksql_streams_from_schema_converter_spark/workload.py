@@ -3824,3 +3824,85 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(date_trunc('week', cohort_day) AS DATE) AS cohort_week,
+           CAST(floor(date_diff('day', cohort_day, day) / 7.0) AS BIGINT) AS offset_weeks,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    WHERE date_diff('day', cohort_day, day) / 7.0 < 4
+    GROUP BY cohort_week, offset_weeks
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, then
+    distinct actives per (cohort week, weeks-since-first) for the first
+    four weeks — the standard retention triangle. Two user-keyed aggs
+    (first-seen, distinct activity) meet in a user-keyed join: at scale
+    both sides are already clustered on user_id, so AQE keeps the join
+    co-partitioned; the final matrix agg is tiny."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    offset = F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7.0)
+    return (
+        activity.join(firsts, "user_id")
+        .where(offset < 4)
+        .groupBy(
+            F.date_trunc("week", F.col("cohort_day")).cast("date").alias("cohort_week"),
+            offset.cast("bigint").alias("offset_weeks"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "event_funnel_signup_click_purchase",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (t_signup IS NOT NULL) AS stage_signup,
+           count(*) FILTER (t_click > t_signup) AS stage_click,
+           count(*) FILTER (t_click > t_signup AND t_purchase > t_click)
+             AS stage_purchase
+    FROM per_user
+    """,
+)
+def event_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first signup precedes their first
+    click precedes their first purchase. One user-keyed conditional-min
+    aggregation (map-side partial) and a 1-row global rollup — no
+    self-joins, no per-stage passes over the event log."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t_signup").isNotNull(), 1)).alias("stage_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias("stage_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("stage_purchase"),
+    )
