@@ -30,6 +30,15 @@ def main() -> None:
     # Warm-up: JVM/codegen spin-up and the shared T24 CDC fixture (input
     # construction, not engine work) are excluded from per-query timings.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # decimal-aggregate and local-relation codegen paths: first use costs
+    # seconds of JIT that would otherwise be misattributed to whichever
+    # query happens to run first
+    spark.range(100_000).selectExpr(
+        "sum(cast(id as decimal(18,2)) * cast(1.1 as decimal(8,6)))"
+    ).collect()
+    spark.createDataFrame([("w", 1)], "a string, b int").write.format(
+        "noop"
+    ).mode("overwrite").save()
     from ksql_streams_from_schema_converter_spark.sources.parquet import TABLE_NAMES, load_table
     from ksql_streams_from_schema_converter_spark.sources.t24_fixture import orders_cdc
 

@@ -13,8 +13,10 @@ the semantics of those generated pipelines *natively* on Spark:
 - ``plans.pipeline``  — the RAW → MAPPED → MULTIVALUE → SINK topology
   (reference template names, src/controllers/index.js:407-422,567-610)
   as chained DataFrame transforms.
-- ``operators.{dedup,similarity,text}`` — large-scale training-data
-  pipeline operators (dedup, ANN search, text analysis).
+- ``operators.{dedup,similarity,text,pretrain}`` — large-scale
+  training-data pipeline operators (dedup, ANN search and int8
+  quantization, text analysis / PII scrub / chunking, benchmark
+  decontamination, sequence packing).
 - ``streaming.runner`` — the same pipelines under Structured Streaming.
 """
 
