@@ -3771,9 +3771,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency (tf/df — the tf-idf ordering with a rational score
     instead of a log, because a single IEEE division is bit-identical
     across engines while libm log is not). Distributed shape: tf is one
-    (doc,term) agg; df reuses tf's output with a term-keyed agg whose
-    result broadcasts back (vocabulary ≪ corpus); top-k is a window
-    rank per doc — the inverted-index scoring skeleton at any scale."""
+    (doc,term) agg; df reuses tf's output with a term-keyed agg joined
+    back on term — NOT force-broadcast, because vocabulary is unbounded
+    at corpus scale (AQE still broadcasts it when it measures small);
+    top-k is a window rank per doc."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -3783,7 +3784,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").withColumn(
+    scored = tf.join(df, "term").withColumn(
         "score", F.col("tf").cast("double") / F.col("df")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
