@@ -1953,10 +1953,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("decimal(38,8)").alias("total_revenue"))
     )
     top = F.broadcast(revenue.agg(F.max("total_revenue").alias("max_revenue")))
+    # broadcast the max-ties side (≈1 row), not the SF-proportional
+    # supplier table — the hint direction that survives a 100× supplier
+    winners = revenue.crossJoin(top).where(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
     return (
-        revenue.crossJoin(top)
-        .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        supp.join(F.broadcast(winners), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
