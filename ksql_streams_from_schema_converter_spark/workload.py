@@ -417,8 +417,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + aggregate + deterministic top-k (revenue is exact decimal;
-    ties broken by key). Customer side is broadcast — it's the small
-    dimension at any scale factor."""
+    ties broken by key). The segment-filtered customer side is left to
+    AQE's runtime sizing (it auto-broadcasts when small; customer is
+    SF-proportional, so a hard hint would not survive 100×)."""
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -426,7 +427,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
         .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -451,7 +452,8 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way dimensional join rolled up by region/nation. All three
-    dimensions broadcast; only the orders⋈lineitem join shuffles."""
+    dimension chain is AQE-sized (broadcast when small); only the
+    orders⋈lineitem join always shuffles."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -459,7 +461,7 @@ def q5_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
-    dims = F.broadcast(
+    dims = (
         cust.join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "r_name", "n_name")
@@ -526,7 +528,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-shaped promo-revenue share: broadcast the part
+    """TPC-H Q14-shaped promo-revenue share: join the part
     dimension, conditional aggregation. Both sums returned as exact
     decimals (the ratio is one client-side division away — decimal
     division scale rules differ between engines, so the oracle-checked
@@ -540,7 +542,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
             .cast("decimal(38,8)").alias("promo_revenue"),
@@ -569,7 +571,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped: who returned the most revenue last quarter.
-    Four-way join (customer/nation broadcast), agg, deterministic
+    Four-way join (customer/nation chain AQE-sized), agg, deterministic
     top-20 (key tie-break)."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -577,7 +579,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
-    dims = F.broadcast(
+    dims = (
         cust.join(nation, cust.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "c_name", "n_name")
     )
@@ -1713,15 +1715,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     (adapted: the synthetic nations are uniform, so the classic
     two-nation filter is region-level to stay non-empty at every SF).
     Both supplier-side and customer-side dimension chains collapse to
-    broadcast maps (supplier/nation/region and customer/nation/region
+    AQE-sized dimension maps (supplier/nation/region and customer/nation/region
     are tiny vs lineitem), so the only shuffle is the lineitem-orders
     join + the final group-by — the disjunctive region pair predicate
-    is applied after the cheap broadcast lookups."""
+    is applied after the cheap dimension lookups."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    supp_dim = F.broadcast(
+    supp_dim = (
         load_table(spark, sf_dir, "supplier")
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
@@ -1731,7 +1733,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("supp_region"),
         )
     )
-    cust_dim = F.broadcast(
+    cust_dim = (
         load_table(spark, sf_dir, "customer")
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
@@ -1800,20 +1802,20 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no fixed nation list across SFs). Numerator and denominator
     are returned as exact decimals (the share is one division away;
     decimal division scale rules differ between engines). All four
-    dimension chains broadcast; lineitem-orders is the one big
+    dimension chains are AQE-sized; lineitem-orders is the one big
     shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     part = load_table(spark, sf_dir, "part")
-    supp_dim = F.broadcast(
+    supp_dim = (
         load_table(spark, sf_dir, "supplier")
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", F.col("r_name").alias("supp_region"))
     )
-    cust_dim = F.broadcast(
+    cust_dim = (
         load_table(spark, sf_dir, "customer")
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
@@ -1824,7 +1826,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
     return (
         li.join(
-            F.broadcast(part.where(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            part.where(F.col("p_type") == "ECONOMY").select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(supp_dim, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -1986,16 +1988,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is decorrelated into a per-part aggregate join, and the threshold
     is cross-multiplied (``5*qty*n < sum``) so the comparison is exact
     decimal arithmetic — no float-division boundary divergence between
-    engines. Spark plan: the brand/size part filter broadcasts, the
+    engines. Spark plan: the brand/size part filter joins AQE-sized, the
     per-part agg runs only over the semi-joined surviving partkeys,
-    and its (tiny) result broadcasts back onto lineitem."""
+    and its result joins back onto lineitem (AQE-sized)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    keep_parts = F.broadcast(
+    keep_parts = (
         part.where((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 15))
         .select("p_partkey")
     )
-    per_part = F.broadcast(
+    per_part = (
         li.join(keep_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("agg_pk"))
         .agg(
@@ -2087,7 +2089,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     and quantity bands). The redundant ``l_quantity BETWEEN 1 AND 30``
     conjunct is stated explicitly so it pushes to the parquet scan as
     a PushedFilter even though each OR-arm only implies it; part
-    broadcasts and the OR evaluates post-join inside codegen."""
+    joins AQE-sized and the OR evaluates post-join inside codegen."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
@@ -2099,7 +2101,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(
             arm("Brand#12", 5, 1, 11)
             | arm("Brand#23", 10, 10, 20)
@@ -2164,7 +2166,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supps") > 1)
             & (F.col("n_late_supps") == 1)
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
     )
@@ -2569,7 +2571,7 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship each surviving (brand, type, size) combination (adapted: the
     part-supplier relation comes from lineitem — there is no
     partsupp). Exclusion predicates (<>, NOT-IN shape) stay on the
-    broadcast part side; the distinct-agg expands to a two-phase
+    part side (AQE-sized); the distinct-agg expands to a two-phase
     (keys+suppkey dedup, then count) under partial aggregation."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
@@ -2579,7 +2581,7 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        li.join(F.broadcast(keep), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(keep, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -3219,10 +3221,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped min-cost supplier (adapted: no partsupp table in
     the synthetic schema, so supply cost = the supplier's minimum
     observed line price for the part — same correlated-min shape).
-    Plan: the region→nation→supplier chain broadcasts into the
+    Plan: the region→nation→supplier chain joins into the
     lineitem scan; the per-(part,supplier) agg shuffles once; the
     per-part min re-joins on the SAME partkey-clustered shuffle
-    (AQE reuses it), then small dims broadcast."""
+    (AQE reuses it); nation/region broadcast, supplier-chain joins
+    are AQE-sized."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     region_supp = (
@@ -3240,7 +3243,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
-        li.join(F.broadcast(region_supp.select("s_suppkey")),
+        li.join(region_supp.select("s_suppkey"),
                 F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
@@ -3257,11 +3260,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_cost,
             (F.col("mc_pk") == F.col("l_partkey")) & (F.col("supply_cost") == F.col("mc")),
         )
-        .join(F.broadcast(region_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(region_supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
-            F.broadcast(
-                part.where((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
-            ),
+            part.where((F.col("p_size") == 15) & (F.col("p_type") == "SMALL")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
@@ -3292,7 +3293,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-shaped profit by nation and year (adapted: no
     ps_supplycost, so cost = 10% of retail price × quantity — same
     5-table join + conditional-profit-aggregate shape, exact decimal).
-    Plan: part/supplier/nation broadcast; orders joins on the orderkey
+    Plan: nation broadcasts, part/supplier are AQE-sized; orders joins on the orderkey
     shuffle; one final agg shuffle on (nation, year)."""
     li = load_table(spark, sf_dir, "lineitem")
     profit = (
@@ -3304,13 +3305,11 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
-            ),
+            load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(
-            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            load_table(spark, sf_dir, "supplier"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .join(
@@ -3364,7 +3363,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). Exact arithmetic: the share test cross-multiplies
     (qty*2 > total) instead of dividing. Plan: both aggs reuse one
     partkey-clustered shuffle; the dominant-supplier set semi-joins
-    into the broadcast supplier⋈nation chain."""
+    into the supplier⋈nation chain (nation broadcast)."""
     li = load_table(spark, sf_dir, "lineitem")
     shipped = (
         li.where(
