@@ -290,3 +290,16 @@ def test_sequence_packing_single_shuffle(spark):
     plan = physical_plan(fn(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_aqe_broadcasts_dehinted_customer_chain(spark):
+    """q5's customer chain carries no broadcast hint (SF-proportional
+    side — a hard hint would not survive 100×). Prove the claim that
+    AQE still broadcasts it when it measures small: after execution,
+    the adaptive final plan must contain a broadcast join."""
+    fn, _ = WORKLOAD["q5_revenue_by_region"]
+    df = fn(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan during execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
+    assert "AdaptiveSparkPlan isFinalPlan=true" in final
