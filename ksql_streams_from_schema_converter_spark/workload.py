@@ -3909,3 +3909,40 @@ def event_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> Data
             )
         ).alias("stage_purchase"),
     )
+
+
+@query(
+    "streaming_stateful_running_totals",
+    """
+    SELECT event_type AS key, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState running
+    totals, streaming/stateful.py) executed as a real streaming query
+    and gated against the batch aggregate: after the stream drains,
+    each key's LAST emission must carry exactly the batch count. Only
+    the integer count is gated — the running float sum's addition order
+    is batch-dependent, so it stays a pytest concern (exact-decimal
+    aggregation is the batch path's job)."""
+    import uuid
+
+    from .sources.parquet import stream_table
+    from .streaming.stateful import streaming_running_totals
+
+    src = stream_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    name = f"run_tot_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_running_totals(src, "event_type", "v")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest emission per key = the final running count
+    return spark.table(name).groupBy("key").agg(F.max("n").alias("n"))
