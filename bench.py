@@ -56,37 +56,51 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).persist().count()
 
+    # Each query is timed TWICE and the min reported: plans are
+    # deterministic, so the min is the engine signal — a single-shot
+    # number on a shared local[32] brands a healthy plan as a
+    # regression after one GC/scheduling hiccup (r02: q8/q12 recorded
+    # 5-8 s, re-run 1.4-1.7 s). The second run reuses the persisted
+    # inputs but re-executes the full plan (noop sink defeats no
+    # result caching).
     timings: dict[str, object] = {}
+    both_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, (fn, _) in WORKLOAD.items():
         # time fn() too: streaming entries execute eagerly inside it,
         # and plan construction is part of a query's cost
-        t0 = time.perf_counter()
+        runs: list[float] = []
         try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(runs)
+            both_runs[name] = runs
         except Exception as e:  # one bad query must never zero the round
             msg = f"{type(e).__name__}: {e}"
             timings[name] = {"err": msg[:300]}
             errors[name] = msg[:300]
 
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "n_queries": len(timings),
-                "n_errors": len(errors),
-                "methodology": "hot-data: base tables persisted before timing",
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "workload_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "methodology": "hot-data: base tables persisted; min of 2 runs per query",
+        "sf": sf,
+    }
+    # Full per-query record (incl. both run times) to a file: the
+    # driver's stdout tail truncates the head of long lines, losing the
+    # first ~45 timings of the single-line JSON.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
+        json.dump({**result, "runs": both_runs}, fh, indent=1, sort_keys=True)
+    print(json.dumps(result))
     if errors:
         print(f"bench: {len(errors)} queries errored: {sorted(errors)}", file=sys.stderr)
 

@@ -77,8 +77,17 @@ def _duckdb_output_types(sql: str) -> list[tuple[str, str]] | None:
 
 
 def canonicalize_oracle_sql(sql: str) -> str:
-    """Wrap oracle SQL so DECIMAL/DATE output columns become VARCHAR,
-    mirroring :func:`canonicalize_spark_output` on the DuckDB side."""
+    """Wrap oracle SQL so DECIMAL/DATE output columns become VARCHAR and
+    HUGEINT columns become BIGINT, mirroring
+    :func:`canonicalize_spark_output` on the DuckDB side.
+
+    HUGEINT: DuckDB types ``sum(<integer>)`` as int128, which the
+    driver's value hash canonicalizes differently from Spark's int64
+    even when values are bit-identical (round-2 ``json_props_extract``).
+    BIGINT is the canonical form — it matches Spark's LongType sum
+    exactly, and a value outside int64 fails loudly in DuckDB just as
+    the Spark sum could not have produced it.
+    """
     typed = _duckdb_output_types(sql)
     if typed is None:
         return sql
@@ -87,6 +96,9 @@ def canonicalize_oracle_sql(sql: str) -> str:
     for name, typ in typed:
         if typ.startswith("DECIMAL") or typ == "DATE":
             select_list.append(f'CAST("{name}" AS VARCHAR) AS "{name}"')
+            changed = True
+        elif typ in ("HUGEINT", "UHUGEINT"):
+            select_list.append(f'CAST("{name}" AS BIGINT) AS "{name}"')
             changed = True
         else:
             select_list.append(f'"{name}"')

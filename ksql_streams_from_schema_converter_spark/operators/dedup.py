@@ -153,6 +153,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Pairs with word-``ngram`` Jaccard similarity ≥ threshold.
 
@@ -161,7 +162,20 @@ def ngram_jaccard_pairs(
     trick), then |A∩B| / (|A|+|B|-|A∩B|). Scales as a shuffle keyed by
     shingle; a hot shingle is the skew knob (AQE skew-join handles it).
     Jaccard is returned as an exact ratio of integers cast to
-    decimal(9,6) so the oracle matches bit-for-bit."""
+    decimal(9,6) so the oracle matches bit-for-bit.
+
+    ``max_doc_freq`` is the 100 TB safety valve: a shingle present in
+    ``d`` documents emits O(d²) join pairs, so one corpus-wide
+    boilerplate shingle (license header, template text) makes the
+    standalone self-join quadratic — AQE skew-join splits the partition
+    but cannot shrink the pair count. Setting a cutoff drops shingles
+    with document frequency > ``max_doc_freq`` from the universe BEFORE
+    the self-join (standard MinHash/df-pruning practice: the shingle
+    leaves both the intersection and the set sizes, so the result is
+    exact Jaccard over the pruned shingle universe) and bounds the
+    per-shingle fan-out at ``max_doc_freq²``. Near-ubiquitous shingles
+    carry almost no similarity signal, so high cutoffs (e.g. 50-1000)
+    change nothing on real corpora while capping the blowup."""
     shingled = (
         docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
         .select(
@@ -169,6 +183,17 @@ def ngram_jaccard_pairs(
             F.explode(F.array_distinct(ngrams_from_tokens(F.col("__toks"), ngram))).alias("sh"),
         )
     )
+    if max_doc_freq is not None:
+        # Partial aggregation shrinks the df side map-side; the rare-
+        # shingle keep-list then equi-joins back on the same key the
+        # self-join shuffles on, so AQE can reuse/coalesce the exchange.
+        rare = (
+            shingled.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("sh")
+        )
+        shingled = shingled.join(rare, "sh")
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("sz"))
     l, r = shingled.alias("l"), shingled.alias("r")
     inter = (

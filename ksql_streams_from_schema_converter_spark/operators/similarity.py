@@ -312,8 +312,9 @@ def quantize_int8(
     return with_scale.select(id_col, "scale", q.alias("q"))
 
 
-def dequantize_int8(
-    df: DataFrame, q_col: str = "q", scale_col: str = "scale"
-) -> Column:
-    """Inverse of :func:`quantize_int8`: ``v_i ≈ q_i * scale``."""
+def dequantize_int8(q_col: str = "q", scale_col: str = "scale") -> Column:
+    """Inverse of :func:`quantize_int8`: ``v_i ≈ q_i * scale``.
+
+    Returns a Column expression over the ``q``/``scale`` columns that
+    :func:`quantize_int8` emits — select it on that frame."""
     return F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col))

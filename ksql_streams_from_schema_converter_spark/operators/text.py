@@ -74,14 +74,20 @@ def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
     16× on the repetition workload). With slices, the outer expression
     is evaluated a constant n times per row, whatever the optimizer
     collapses. Documents shorter than ``n`` tokens yield an empty array
-    (slice length clamps to 0)."""
+    (slice length clamps to 0), and a NULL token array also yields an
+    empty array (coalesce below) — the slice/arrays_zip chain would
+    otherwise propagate NULL, changing the word_ngrams/minhash contract
+    for dirty rows."""
     if n < 2:
         return toks
     width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     slices = [F.slice(toks, j + 1, width).alias(f"g{j}") for j in range(n)]
-    return F.transform(
-        F.arrays_zip(*slices),
-        lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(n)]),
+    return F.coalesce(
+        F.transform(
+            F.arrays_zip(*slices),
+            lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(n)]),
+        ),
+        F.array().cast("array<string>"),
     )
 
 
@@ -260,10 +266,18 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     toked = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
     n_chunks = F.ceil(F.size("__t") / F.lit(float(stride))).cast("int")
+    # NULL-guard the sequence: Spark's sequence(0, -1) counts DOWN to
+    # [0, -1] (the documented trap), which would emit two bogus rows for
+    # a 0-token document where the oracle's generate_series(0, -1) is
+    # empty. explode(NULL) drops the row, matching the oracle's 0 rows —
+    # previously unreachable only because tokens() never returns an
+    # empty array, a fragile invariant this removes.
     ks = toked.select(
         id_col,
         "__t",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.explode(
+            F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1))
+        ).alias("chunk_idx"),
     )
     window = F.slice("__t", F.col("chunk_idx") * stride + 1, chunk_tokens)
     return ks.select(

@@ -52,6 +52,10 @@ _ORACLE_TYPES: list[tuple[type, str]] = [
     (T.StringType, "VARCHAR2(4000)"),
     (T.DateType, "DATE"),
     (T.TimestampType, "TIMESTAMP"),
+    # parse_timestamp compiles to to_timestamp_ntz (compiler.py:412-415);
+    # TimestampNTZType is NOT a subclass of TimestampType, so it needs
+    # its own row or NTZ columns silently fall through to VARCHAR2(4000)
+    (T.TimestampNTZType, "TIMESTAMP"),
     (T.IntegerType, "NUMBER(10)"),
     (T.LongType, "NUMBER(19)"),
     (T.ShortType, "NUMBER(5)"),

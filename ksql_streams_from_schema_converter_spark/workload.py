@@ -957,9 +957,11 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH {_CORPUS_CTE.strip()},
-    sh AS (
+    sh0 AS (
       SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
     ),
+    rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+    sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
@@ -976,8 +978,12 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard ≥ 0.5 pairs via the sparse shingle join;
-    threshold applied in exact integer arithmetic."""
-    return D.ngram_jaccard_pairs(dedup_corpus(spark, sf_dir), threshold=0.5)
+    threshold applied in exact integer arithmetic. max_doc_freq=50
+    drops boilerplate shingles before the self-join (bounds the pair
+    blowup at scale; a no-op at test SFs where max shingle df is 10)."""
+    return D.ngram_jaccard_pairs(
+        dedup_corpus(spark, sf_dir), threshold=0.5, max_doc_freq=50
+    )
 
 
 def _simhash_oracle(bits: int = 32) -> str:

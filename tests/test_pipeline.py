@@ -12,6 +12,7 @@ XML_ROW = (
     {
         "CUSTOMER_NO": "100123",
         "VALUE_DATE": "20240215",
+        "LAST_UPDATE": "2402151030",
         "SHORT_NAME": "ALICE",
         "ACCT_NO": "1:VND100#2:USD200#3:EUR300",
         "ACCT_NO_multivalue": "1:VND100#2:USD200#3:EUR300",
@@ -37,6 +38,7 @@ def test_xml_single_value_pipeline(raw_xml):
             FieldSpec(name="RECID", transformation="UCASE($)"),
             FieldSpec(name="CUSTOMER_NO"),
             FieldSpec(name="VALUE_DATE", transformation="parse_date", type=("string", "date")),
+            FieldSpec(name="LAST_UPDATE", transformation="parse_timestamp"),
             FieldSpec(name="ACCT_NO", transformation="string-join(',')"),
         ],
     )
@@ -45,9 +47,13 @@ def test_xml_single_value_pipeline(raw_xml):
     assert len(rows) == 2  # single-value pipeline: no explosion
     assert rows["CUST-1"]["ACCT_NO"] == "VND100,USD200,EUR300"
     assert rows["CUST-1"]["VALUE_DATE"] == datetime.date(2024, 2, 15)
+    assert rows["CUST-1"]["LAST_UPDATE"] == datetime.datetime(2024, 2, 15, 10, 30)
     assert rows["CUST-2"]["ACCT_NO"] is None
     assert 'CREATE TABLE T24BNK."FBNK_CUSTOMER_SINK"' in res.ddl
     assert '"VALUE_DATE" DATE' in res.ddl
+    # parse_timestamp compiles to TimestampNTZType, which is NOT a
+    # TimestampType subclass — regression guard for the _ORACLE_TYPES row
+    assert '"LAST_UPDATE" TIMESTAMP' in res.ddl
 
 
 def test_xml_multivalue_pipeline(raw_xml):

