@@ -50,6 +50,65 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def chunk_exact_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (paragraph-granularity) exact dedup: C4-style
+    "remove repeated spans" (Raffel et al., JMLR 2020 §2.2 dedups at
+    three-sentence granularity; here the unit is a fixed
+    ``chunk_tokens``-token window, the tokenizer-friendly equivalent).
+
+    Each document is cut into non-overlapping ``chunk_tokens`` windows;
+    a chunk is a duplicate iff the same token content appeared at a
+    strictly earlier (doc_id, chunk_idx) anywhere in the corpus. Output:
+    one row per chunk with its md5 key and ``is_dup`` — the consumer
+    keeps ``NOT is_dup`` chunks and reassembles documents.
+
+    Scale shape: chunking is a map-side explode (1 → n_chunks rows);
+    the first-occurrence decision is ONE shuffle keyed by the chunk md5
+    (min_by over the 16-byte digest — never the text), exactly the
+    exact-dedup layout that survives 100 TB. Skewed keys (a boilerplate
+    chunk repeated everywhere) hit a single reducer only for their
+    digest's partial-aggregated per-map minima, not the raw rows."""
+    from .text import tokens
+
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n_chunks = F.ceil(F.size("__t") / F.lit(float(chunk_tokens))).cast("int")
+    chunks = toked.select(
+        id_col,
+        "__t",
+        F.explode(
+            F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1))
+        ).alias("chunk_idx"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        F.md5(
+            F.array_join(
+                F.slice("__t", F.col("chunk_idx") * chunk_tokens + 1, chunk_tokens),
+                " ",
+            )
+        ).alias("chunk_fp"),
+    )
+    first = chunks.groupBy("chunk_fp").agg(
+        F.min(F.struct(id_col, "chunk_idx")).alias("first_at")
+    )
+    return (
+        chunks.join(first, "chunk_fp")
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_fp",
+            (
+                F.struct(id_col, "chunk_idx") != F.col("first_at")
+            ).alias("is_dup"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

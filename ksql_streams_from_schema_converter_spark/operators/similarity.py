@@ -285,6 +285,152 @@ def knn_lsh(
     )
 
 
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    refine_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 512,
+):
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 §II): split
+    the vector into ``m`` subvectors and k-means each subspace to
+    ``ksub`` centroids on a deterministic sample (ONE tiny collect —
+    same training policy as :func:`train_ivf_centroids`; FAISS trains
+    PQ on a sample too). Returns an ``m × ksub × dsub`` nested list,
+    rounded to 9 decimals for cross-partitioning reproducibility."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("i")
+        .limit(max(train_sample, ksub))
+        .collect()
+    )
+    x = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cent = xs[:ksub].copy()
+        for _ in range(refine_iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(np.round(d2, 9), axis=1)
+            for c in range(ksub):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(np.round(cent, 9).tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame, codebooks, vec_col: str = "v"
+) -> DataFrame:
+    """Append ``code`` (array<int>, length m) and ``recon``
+    (array<double>, the PQ reconstruction): per subvector, the index of
+    the nearest codebook centroid (L2). Vectorized numpy over Arrow
+    batches — one small GEMM-shaped distance computation per batch, no
+    shuffle, scales linearly with the corpus. The m×ksub codebooks ride
+    along as a task-closure constant (a few KB), the same way a real
+    IVF-PQ index ships its quantizer to searchers."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    out_schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField("code", T.ArrayType(T.IntegerType()), False),
+            T.StructField("recon", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].values).astype("float64")
+            codes = np.empty((len(v), m), dtype="int32")
+            recon = np.empty_like(v)
+            for s in range(m):
+                xs = v[:, s * dsub : (s + 1) * dsub]
+                d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                idx = np.argmin(np.round(d2, 9), axis=1)
+                codes[:, s] = idx
+                recon[:, s * dsub : (s + 1) * dsub] = books[s][idx]
+            pdf = pdf.copy()
+            pdf["code"] = list(codes)
+            pdf["recon"] = list(recon)
+            yield pdf
+
+    return df.mapInPandas(encode, schema=out_schema)
+
+
+def knn_ivf_pq(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al., TPAMI 2011 — the IVFADC
+    system): the IVF coarse quantizer prunes to ``nprobe`` cells and
+    candidates are scored against the query using their PQ
+    reconstruction (asymmetric distance: exact query side, 8-bit-coded
+    database side). At 100 TB the corpus stores only ``m`` bytes + cell
+    id per vector (a 32× compression at dim=64 float32) and the scan
+    partitions by cell — the classic billion-scale ANN layout.
+
+    Same output shape as :func:`knn_bruteforce`; recall < 1 by design
+    (rows-only correctness check; recall gated in pytest against the
+    planted-cluster ground truth)."""
+    centroids = train_ivf_centroids(emb, n_cells, 1, vec_col, id_col)
+    codebooks = train_pq_codebooks(emb, m, ksub, 2, vec_col, id_col)
+    base = pq_encode(
+        assign_cells(
+            emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")),
+            centroids,
+        ),
+        codebooks,
+    ).select(id_col, "cell", "recon")
+    queries = assign_cells(
+        emb.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        centroids,
+        nprobe=nprobe,
+        vec_col="qv",
+    ).withColumnRenamed("cell", "qcell")
+    scored = (
+        base.join(F.broadcast(queries), F.col("cell") == F.col("qcell"))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("recon"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -288,6 +288,65 @@ def chunk_documents(
     )
 
 
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_tokens: int = 90,
+    min_mean_word_len: int = 4,
+    max_mean_word_len: int = 5,
+    max_symbol_ratio_pct: int = 10,
+    min_stopwords: int = 2,
+    min_alpha_token_pct: int = 80,
+) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al., "Scaling
+    Language Models: ... Gopher", 2021 §A1.1): per-document boolean
+    rule columns plus the conjunctive ``keep`` verdict.
+
+    Every rule is evaluated in EXACT integer arithmetic (ratio bounds
+    become cross-multiplications), so the verdict is bit-identical
+    across engines — no float thresholds to drift. All-native
+    expressions over one projection: map-side only, no shuffle; at
+    100 TB this is a pure scan→filter stage that pushes the kept-doc
+    projection straight into the parquet scan."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    # total non-whitespace chars == sum of token lengths (exact)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_word_chars = F.length(F.regexp_replace(F.trim(c), f"[{WS_CLASS}]+", ""))
+    n_alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        ((n_tok >= min_tokens) & (n_tok <= max_tokens)).alias("ok_word_count"),
+        (
+            (n_word_chars >= min_mean_word_len * n_tok)
+            & (n_word_chars <= max_mean_word_len * n_tok)
+        ).alias("ok_mean_word_len"),
+        (punct_count(text_col) * 100 <= max_symbol_ratio_pct * n_tok).alias(
+            "ok_symbol_ratio"
+        ),
+        (stopword_count(text_col) >= min_stopwords).alias("ok_stopwords"),
+        (n_alpha_toks * 100 >= min_alpha_token_pct * n_tok).alias("ok_alpha_tokens"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_stopwords",
+        "ok_alpha_tokens",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_stopwords")
+            & F.col("ok_alpha_tokens")
+        ).alias("keep"),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document integer quality metrics (exact, oracle-checkable)."""
     return docs.select(

@@ -3952,3 +3952,130 @@ def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataF
     q.awaitTermination(120)
     # latest emission per key = the final running count
     return spark.table(name).groupBy("key").agg(F.max("n").alias("n"))
+
+
+# ===========================================================================
+# Round-3 extensions: rule-based quality filtering, sub-document dedup,
+# IVF-PQ ANN, streaming exact dedup
+# ===========================================================================
+
+
+@query(
+    "quality_filter_gopher",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+             length(regexp_replace(trim(text), '[{_WS}]+', '', 'g')) AS n_word_chars,
+             length(regexp_replace(text, '[A-Za-z0-9{_WS}]', '', 'g')) AS n_punct,
+             len(list_filter({_TOKS}, x -> x IN ({_SW['en']}))) AS n_stop,
+             len(list_filter({_TOKS}, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           (n_tokens >= 30 AND n_tokens <= 90)                          AS ok_word_count,
+           (n_word_chars >= 4 * n_tokens AND n_word_chars <= 5 * n_tokens) AS ok_mean_word_len,
+           (n_punct * 100 <= 10 * n_tokens)                             AS ok_symbol_ratio,
+           (n_stop >= 2)                                                AS ok_stopwords,
+           (n_alpha * 100 >= 80 * n_tokens)                             AS ok_alpha_tokens,
+           ((n_tokens >= 30 AND n_tokens <= 90)
+            AND (n_word_chars >= 4 * n_tokens AND n_word_chars <= 5 * n_tokens)
+            AND (n_punct * 100 <= 10 * n_tokens)
+            AND (n_stop >= 2)
+            AND (n_alpha * 100 >= 80 * n_tokens))                       AS keep
+    FROM t
+    """,
+)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1): per-document
+    boolean rule columns + conjunctive keep verdict, all in exact
+    integer arithmetic (ratio thresholds as cross-multiplications) so
+    the verdict is engine-independent. Map-side scan→project only."""
+    return TX.gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+_CHUNK16 = 16
+
+
+@query(
+    "paragraph_exact_dedup",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+    chunks AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, CAST(ceil(len(t) / {_CHUNK16}.0) AS INTEGER))) AS i
+      FROM toks
+    ),
+    fps AS (
+      SELECT doc_id,
+             CAST(i - 1 AS INTEGER) AS chunk_idx,
+             md5(array_to_string(list_slice(t, (i-1) * {_CHUNK16} + 1, i * {_CHUNK16}), ' ')) AS chunk_fp
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx, chunk_fp,
+           (row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_idx) > 1) AS is_dup
+    FROM fps
+    """,
+)
+def paragraph_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document exact dedup at 16-token chunk
+    granularity over the planted corpus (exact-dup docs share every
+    chunk → their chunks all flag as dups). One md5-keyed shuffle."""
+    return D.chunk_exact_dedup(dedup_corpus(spark, sf_dir), chunk_tokens=_CHUNK16)
+
+
+@query("knn_ivf_pq", None)  # approximate by design → rows-only check
+def knn_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors (Jégou et al., TPAMI 2011):
+    coarse IVF pruning + product-quantized candidate scoring (8 bytes
+    per database vector at m=8). Recall vs brute force is gated in
+    pytest on planted near-duplicate clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_ivf_pq(emb, query_ids=list(range(10)), k=5)
+
+
+@query(
+    "streaming_dedup_exact",
+    f"""
+    WITH {_CORPUS_CTE.strip()}
+    SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[{_WS}]+', ' ', 'g'))) AS fp
+    FROM corpus
+    """,
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a real Structured Streaming query:
+    ``dropDuplicates`` on the md5 fingerprint over the planted corpus
+    (the streaming-state analogue of the batch hash-groupBy; state =
+    one 16-byte digest per distinct document, the layout that bounds
+    memory at 100 TB). Output is the distinct fingerprint set — the
+    kept representative is batch-order-dependent in a stream, so only
+    the set is the cross-engine contract."""
+    import uuid
+
+    from .operators.text import fingerprint
+    from .sources.parquet import stream_table
+
+    src = stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = src.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ \t\n\f\r]+[ \t\n\f\r]*", "").alias("text"),
+    )
+    exact = src.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    deduped = (
+        src.union(near).union(exact)
+        .select(fingerprint("text").alias("fp"))
+        .dropDuplicates(["fp"])
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

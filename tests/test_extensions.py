@@ -144,6 +144,62 @@ def test_knn_ivf_recall_against_planted_truth(spark):
     assert len(approx) == len(truth)
 
 
+def test_knn_ivf_pq_recall_against_planted_truth(spark):
+    """PQ-compressed scoring (8-byte codes) must still rank the planted
+    near-identical vectors on top: the reconstruction error (±0.01
+    perturbations vs codebook cells trained on the corpus) is far
+    smaller than the planted/random cosine gap."""
+    qids = list(range(5))
+    corpus, truth = _planted_knn_corpus(spark, qids)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf_pq(corpus, qids, k=5, n_cells=8, nprobe=3, m=8, ksub=16).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"IVF-PQ missed planted near-identical vectors: recall={recall}"
+
+
+def test_pq_encode_roundtrip_error_bounded(spark):
+    """PQ reconstruction quality and determinism. The fixture embeddings
+    are near-random 64-dim vectors — PQ's worst case (no cluster
+    structure to exploit), so the defensible bounds are positive-but-
+    lossy: every reconstruction must keep cosine ≥ 0.4 with its source
+    and ≥ 0.6 on average (random chance is ~0). The planted-cluster
+    recall gate above is where ranking fidelity is asserted; here we
+    pin codes validity and exact reproducibility across partitionings
+    (the property the driver's hash would see)."""
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    books = S.train_pq_codebooks(emb, m=8, ksub=16, vec_col="v", id_col="vec_id")
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    enc = S.pq_encode(emb, books)
+    stats = enc.select(S.cosine(F.col("v"), F.col("recon")).alias("c")).agg(
+        F.min("c").alias("worst"), F.avg("c").alias("mean")
+    ).head()
+    assert stats.worst >= 0.4, f"PQ reconstruction cosine too low: {stats.worst}"
+    assert stats.mean >= 0.6, f"PQ mean reconstruction cosine too low: {stats.mean}"
+    # codes are valid indices
+    rng = enc.select(
+        F.array_min("code").alias("lo"), F.array_max("code").alias("hi")
+    ).agg(F.min("lo"), F.max("hi")).head()
+    assert rng[0] >= 0 and rng[1] < 16
+    # training and encoding are partitioning-independent (deterministic
+    # sample + rounded distance argmins)
+    books2 = S.train_pq_codebooks(
+        emb.repartition(7), m=8, ksub=16, vec_col="v", id_col="vec_id"
+    )
+    assert books == books2
+    codes1 = {r.vec_id: list(r.code) for r in enc.select("vec_id", "code").collect()}
+    codes2 = {
+        r.vec_id: list(r.code)
+        for r in S.pq_encode(emb.repartition(7), books).select("vec_id", "code").collect()
+    }
+    assert codes1 == codes2
+
+
 def test_ivf_centroids_deterministic(spark):
     from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
 
@@ -151,6 +207,67 @@ def test_ivf_centroids_deterministic(spark):
     c1 = S.train_ivf_centroids(emb, n_cells=4, refine_iters=1)
     c2 = S.train_ivf_centroids(emb.repartition(7), n_cells=4, refine_iters=1)
     assert c1 == c2  # reproducible across partitionings
+
+
+def test_chunk_dedup_flags_planted_copies_and_keeps_originals(corpus):
+    """Every chunk of a planted exact-copy document must flag as a dup
+    of the original's chunk; the originals' chunks stay kept (except
+    content shared between originals themselves)."""
+    flags = D.chunk_exact_dedup(corpus, chunk_tokens=16).cache()
+    copies = flags.where(F.col("doc_id") >= 20000)
+    assert copies.count() > 0
+    assert copies.where(~F.col("is_dup")).count() == 0, (
+        "a chunk of an exact copy was not flagged as duplicate"
+    )
+    # first occurrences are never flagged: exactly one kept row per fp
+    per_fp = flags.groupBy("chunk_fp").agg(
+        F.sum(F.when(~F.col("is_dup"), 1).otherwise(0)).alias("kept")
+    )
+    assert per_fp.where(F.col("kept") != 1).count() == 0
+
+
+def test_chunk_dedup_short_and_empty_docs(spark):
+    """Docs shorter than one chunk yield a single (partial) chunk; a
+    0-token doc yields no rows (the sequence(0,-1) guard)."""
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, "only three tokens")],
+        ["doc_id", "text"],
+    )
+    rows = D.chunk_exact_dedup(docs, chunk_tokens=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 3}  # "" tokenizes to [''] → one chunk
+    assert len(by_doc[1]) == 1 and not by_doc[1][0].is_dup
+    assert len(by_doc[3]) == 1 and by_doc[3][0].is_dup
+
+
+def test_gopher_flags_exact_rules(spark):
+    """Hand-built docs exercising each rule boundary."""
+    from ksql_streams_from_schema_converter_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    # 41 toks, word-chars 202 → mean 4.93 ∈ [4,5]; 2 stopword hits
+    good = " ".join(["words"] * 39 + ["that", "was"])
+    too_short = "tiny doc the of"
+    no_stop = " ".join(["word"] * 40)
+    symbols = " ".join(["word"] * 30 + ["###!!!", "%%%", "&&&", "the", "of"])
+    docs = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, no_stop), (4, symbols)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count and not out[2].keep
+    assert not out[3].ok_stopwords and not out[3].keep
+    assert not out[4].ok_symbol_ratio and not out[4].keep
+    # mean-word-len rule: 'word' is 4 chars → ok; all-1-char tokens fail
+    ones = spark.createDataFrame(
+        [(5, " ".join(["a"] * 35 + ["the", "of"]))], ["doc_id", "text"]
+    )
+    r5 = gopher_quality_flags(ones).collect()[0]
+    assert not r5.ok_mean_word_len and not r5.keep
 
 
 def test_simhash_near_dups_have_small_hamming(spark, corpus):
