@@ -68,11 +68,16 @@ def chunk_exact_dedup(
     keeps ``NOT is_dup`` chunks and reassembles documents.
 
     Scale shape: chunking is a map-side explode (1 → n_chunks rows);
-    the first-occurrence decision is ONE shuffle keyed by the chunk md5
-    (min_by over the 16-byte digest — never the text), exactly the
-    exact-dedup layout that survives 100 TB. Skewed keys (a boilerplate
-    chunk repeated everywhere) hit a single reducer only for their
-    digest's partial-aggregated per-map minima, not the raw rows."""
+    the first-occurrence decision is a ``row_number`` window keyed by
+    the chunk md5 — ONE scan and ONE shuffle carrying (id, idx, digest)
+    triples, never the text. (A groupBy(min)+self-join produces the
+    same result but scans the chunk stage twice; the window form is the
+    single-pass layout that survives 100 TB.) A skewed key — one
+    boilerplate chunk repeated across the corpus — lands its triples on
+    one reducer; triples are 28 bytes, so even a 10⁸-dup chunk is
+    ~3 GB, inside executor memory, and AQE splits further if needed."""
+    from pyspark.sql import Window
+
     from .text import tokens
 
     toked = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
@@ -93,19 +98,12 @@ def chunk_exact_dedup(
             )
         ).alias("chunk_fp"),
     )
-    first = chunks.groupBy("chunk_fp").agg(
-        F.min(F.struct(id_col, "chunk_idx")).alias("first_at")
-    )
-    return (
-        chunks.join(first, "chunk_fp")
-        .select(
-            id_col,
-            "chunk_idx",
-            "chunk_fp",
-            (
-                F.struct(id_col, "chunk_idx") != F.col("first_at")
-            ).alias("is_dup"),
-        )
+    w = Window.partitionBy("chunk_fp").orderBy(id_col, "chunk_idx")
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        "chunk_fp",
+        (F.row_number().over(w) > 1).alias("is_dup"),
     )
 
 

@@ -64,3 +64,38 @@ def jdbc_upsert_batch(batch_df: DataFrame, batch_id: int, *, url: str, table: st
     # The MERGE itself is target-dialect SQL executed out-of-band by the
     # warehouse (e.g. Oracle MERGE INTO ... USING staging ON (key));
     # Spark's role ends at the staged, keyed, idempotent batch.
+
+
+def write_range_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    num_files: int | None = None,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort by ``sort_col`` before writing — the
+    data-skipping layout for range-predicated columns (event time,
+    ingestion date). A global ``repartitionByRange`` gives each task a
+    disjoint value range, and the within-partition sort tightens every
+    parquet row-group's min/max footer statistics to a narrow,
+    non-overlapping span — so a reader's range predicate prunes whole
+    row groups/files at the footer, before any IO on the pages
+    (the same effect Delta/Iceberg docs call data skipping; plain
+    parquet already supports it via row-group stats). On an unsorted
+    layout every row group spans the whole value domain and min/max
+    stats prune nothing.
+
+    Cost model at 100 TB: one range-exchange (sampled boundaries) —
+    the same shuffle count as any keyed write — traded for
+    predicate-proportional scan cost forever after."""
+    out = (
+        df.repartitionByRange(num_files, F.col(sort_col))
+        if num_files
+        else df.repartitionByRange(F.col(sort_col))
+    ).sortWithinPartitions(sort_col)
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

@@ -4079,3 +4079,99 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+@query(
+    "jsonl_source_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink→source roundtrip (the LLM-corpus interchange format):
+    write the documents table as JSONL, read it back schema-explicit
+    (no inference scan), and hand the driver the re-read rows — the
+    hash gate proves byte-level value fidelity through the format."""
+    import os
+    import tempfile
+
+    from .sources.files import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(), f"jsonl_rt_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    write_jsonl(docs, path)
+    return read_jsonl(spark, path, docs.schema)
+
+
+@query(
+    "csv_source_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headered-CSV sink→source roundtrip over the nation table
+    (strings with spaces/punctuation exercise RFC-4180 quoting)."""
+    import os
+    import tempfile
+
+    from .sources.files import read_csv, write_csv
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = os.path.join(
+        tempfile.gettempdir(), f"csv_rt_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    write_csv(nation, path)
+    return read_csv(spark, path, nation.schema)
+
+
+@query(
+    "dedup_apply_keep",
+    f"""
+    WITH RECURSIVE {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_oracle_exprs(8)} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_oracle(8, 4)}),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT u, v AS r FROM edges
+      UNION
+      SELECT e.u, t.r FROM edges e JOIN reach t ON e.v = t.u
+    ),
+    comp AS (
+      SELECT u AS node, least(u, min(r)) AS component FROM reach GROUP BY u
+    )
+    SELECT c.doc_id
+    FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+    WHERE comp.node IS NULL OR comp.component = c.doc_id
+    """,
+)
+def dedup_apply_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup APPLY step: LSH candidates → connected
+    components → drop every document that is not its cluster's
+    canonical representative (min doc_id), keep everything unclustered.
+    Produces the deduplicated corpus id set — what a training pipeline
+    actually materializes. The apply itself is one left-anti join keyed
+    by doc_id against the (tiny) drop list; at 100 TB the drop list is
+    proportional to the duplicate count, not the corpus."""
+    corpus = dedup_corpus(spark, sf_dir)
+    comp = D.connected_components(D.lsh_candidate_pairs(corpus))
+    drop = comp.where(F.col("component") != F.col("node")).select("node")
+    return corpus.join(
+        drop, corpus["doc_id"] == drop["node"], "left_anti"
+    ).select("doc_id")

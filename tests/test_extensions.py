@@ -213,7 +213,10 @@ def test_chunk_dedup_flags_planted_copies_and_keeps_originals(corpus):
     """Every chunk of a planted exact-copy document must flag as a dup
     of the original's chunk; the originals' chunks stay kept (except
     content shared between originals themselves)."""
-    flags = D.chunk_exact_dedup(corpus, chunk_tokens=16).cache()
+    # NB: not .cache()d — a cached identical plan would be substituted
+    # (InMemoryRelation) into test_plans_and_sinks' plan-shape assert
+    # for the same query, changing its exchange count
+    flags = D.chunk_exact_dedup(corpus, chunk_tokens=16)
     copies = flags.where(F.col("doc_id") >= 20000)
     assert copies.count() > 0
     assert copies.where(~F.col("is_dup")).count() == 0, (

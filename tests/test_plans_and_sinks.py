@@ -303,3 +303,85 @@ def test_aqe_broadcasts_dehinted_customer_chain(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final
     assert "AdaptiveSparkPlan isFinalPlan=true" in final
+
+
+def test_chunk_dedup_single_scan_single_shuffle(spark):
+    """paragraph_exact_dedup's first-occurrence decision is a window
+    over the chunk digest: exactly one hash exchange, no self-join
+    (a groupBy+join form would scan the chunk stage twice)."""
+    fn, _ = WORKLOAD["paragraph_exact_dedup"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_gopher_filter_is_scan_only(spark):
+    """The rule filter is a pure scan→project stage: zero exchanges,
+    no Python workers (all-native expressions)."""
+    fn, _ = WORKLOAD["quality_filter_gopher"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_range_sorted_write_enables_row_group_skipping(spark, tmp_path):
+    """write_range_sorted_parquet must produce parquet whose row-group
+    min/max footer stats are narrow and non-overlapping on the sort
+    column — the property that lets a range predicate prune row groups
+    at the footer. Proven from the file footers via pyarrow, and
+    contrasted with a shuffled write of the same rows where every row
+    group spans ~the whole domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ksql_streams_from_schema_converter_spark.plans.sink import (
+        write_range_sorted_parquet,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).head()
+    domain = hi - lo
+
+    sorted_dir = str(tmp_path / "sorted")
+    write_range_sorted_parquet(
+        ev, sorted_dir, "event_id", num_files=4, max_records_per_file=100
+    )
+    # baseline: same rows in hash-random order (a repartition alone keeps
+    # scan order within tasks, leaving accidental id locality per file —
+    # the md5 sort destroys it) so each row group spans the domain
+    shuffled_dir = str(tmp_path / "shuffled")
+    ev.repartition(4, F.col("ts")).sortWithinPartitions(
+        F.md5(F.col("event_id").cast("string"))
+    ).write.mode("overwrite").option(
+        "maxRecordsPerFile", 100
+    ).parquet(shuffled_dir)
+
+    def rg_spans(d):
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("event_id")
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(idx).statistics
+                spans.append((st.min, st.max))
+        return spans
+
+    srt, shf = rg_spans(sorted_dir), rg_spans(shuffled_dir)
+    assert len(srt) > 4 and len(shf) > 4  # multiple row groups each
+    # sorted: each row group covers a small slice of the domain…
+    assert max(b - a for a, b in srt) < domain * 0.5
+    # …and row groups don't overlap (pairwise disjoint when sorted)
+    srt.sort()
+    assert all(srt[i][1] <= srt[i + 1][0] for i in range(len(srt) - 1))
+    # shuffled baseline: the typical row group spans most of the domain
+    # (tiny remainder files can be narrow by chance — compare medians)
+    med = sorted(b - a for a, b in shf)[len(shf) // 2]
+    assert med > domain * 0.8
+    # consequence: a 10%-of-domain predicate touches few sorted row
+    # groups but nearly all shuffled ones
+    cut_lo, cut_hi = lo, lo + domain // 10
+    hit = lambda spans: sum(1 for a, b in spans if not (b < cut_lo or a > cut_hi))
+    assert hit(srt) <= max(2, len(srt) // 4)
+    assert hit(shf) >= int(0.8 * len(shf))
