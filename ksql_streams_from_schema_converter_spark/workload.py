@@ -4175,3 +4175,80 @@ def dedup_apply_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(
         drop, corpus["doc_id"] == drop["node"], "left_anti"
     ).select("doc_id")
+
+
+@query(
+    "streaming_interval_join",
+    """
+    SELECT a.event_id AS error_id, a.user_id, b.event_id AS follow_id, b.event_type AS follow_type
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') a
+    JOIN (SELECT event_id, user_id, ts, event_type FROM events) b
+      ON b.user_id = a.user_id
+     AND b.ts >= a.ts
+     AND epoch_us(b.ts) < epoch_us(a.ts) + 600000000
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval join executed as a real stream-STREAM join: both
+    sides are watermarked streams, so Structured Streaming bounds the
+    join state to the watermark horizon (the 100 TB property — state
+    is O(events within the lag window), not O(history)). Inner joins
+    emit every match once both rows are in state, so the drained
+    result equals the batch join bit-for-bit — the correctness gate.
+    Same semantics as `range_join_events_after_error` (batch bucketed
+    equi-join); this entry proves the streaming execution path.
+
+    State partitioning: a stream-stream join keeps FOUR state stores
+    per shuffle partition, and `spark.sql.shuffle.partitions` is frozen
+    into the query at start — so this query pins a smaller explicit
+    value (store-count ∝ partitions dominates wall time at test scale;
+    on a real cluster you size it to executor count instead)."""
+    import uuid
+
+    from .sources.parquet import stream_table
+
+    # watermarks require TIMESTAMP (not NTZ); the session tz is pinned
+    # UTC (ensure_session_confs), so the cast is a deterministic UTC
+    # interpretation and the output carries no timestamp columns
+    errors = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ets"),
+        )
+        .withWatermark("ets", "1 hour")
+    )
+    follow = (
+        stream_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_id").alias("follow_id"),
+            F.col("user_id").alias("f_user_id"),
+            F.col("ts").cast("timestamp").alias("fts"),
+            F.col("event_type").alias("follow_type"),
+        )
+        .withWatermark("fts", "1 hour")
+    )
+    joined = errors.join(
+        follow,
+        (F.col("user_id") == F.col("f_user_id"))
+        & (F.col("fts") >= F.col("ets"))
+        & (F.col("fts") < F.col("ets") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("error_id", "user_id", "follow_id", "follow_type")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.table(name)

@@ -385,3 +385,40 @@ def test_range_sorted_write_enables_row_group_skipping(spark, tmp_path):
     hit = lambda spans: sum(1 for a, b in spans if not (b < cut_lo or a > cut_hi))
     assert hit(srt) <= max(2, len(srt) // 4)
     assert hit(shf) >= int(0.8 * len(shf))
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine's skew answer for JOINS is AQE's runtime skew-join
+    split (salting covers aggregations): with one key owning ~95% of a
+    fact side, the final adaptive plan must mark the join skew-handled
+    (``SortMergeJoin(skew=true)``) — the hot partition is split into
+    advisory-sized chunks instead of serializing one reducer."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 190_500  # 190k hot-key + 500 tail matches
+        plan = physical_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
