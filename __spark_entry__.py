@@ -55,6 +55,14 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: HUGEINT oracle canonicalization is fixed in canon.py this round).
 #: Union of r02+r03 rows then covers 99 of 105 queries with hard signal.
 #: Guarded by tests/test_driver_window.py.
+#:
+#: Round-4 rotation candidates (never driver-checked after r03): the
+#: twin-represented showcases (cube_returnflag_linestatus,
+#: math/datetime/null_handling/array_functions_showcase), approx_stats
+#: (rows-only), and the queries added in r3: quality_filter_gopher,
+#: paragraph_exact_dedup, knn_ivf_pq, streaming_dedup_exact,
+#: jsonl_source_roundtrip, csv_source_roundtrip, dedup_apply_keep,
+#: streaming_interval_join.
 DRIVER_WINDOW_R3: tuple[str, ...] = (
     "json_props_extract",
     "grouping_sets_orders",

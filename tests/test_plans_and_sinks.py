@@ -422,3 +422,23 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_file_readers_fail_fast_on_corrupt_input(spark, tmp_path):
+    """sources/files.py readers are FAILFAST by contract: a corrupt
+    line must raise, not silently null-fill (a silently-nulled corpus
+    is the worst failure mode a training pipeline can have)."""
+    import pytest
+
+    from ksql_streams_from_schema_converter_spark.sources.files import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    d = str(tmp_path / "docs")
+    write_jsonl(docs, d)
+    with open(f"{d}/part-junk.json", "w") as fh:
+        fh.write('{"doc_id": "not-a-number", "text": 42, otherwise broken\n')
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_jsonl(spark, d, docs.schema).count()
