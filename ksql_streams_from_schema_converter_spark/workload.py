@@ -4252,3 +4252,80 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)
+
+
+@query(
+    "model_inference_scores",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_TOKS}) AS f_tokens,
+             len(list_filter({_TOKS}, x -> x IN ({_SW['en']}))) AS f_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-2.0 + 0.03 * f_tokens + 0.5 * f_stop))), 6) AS score
+    FROM feats
+    """,
+)
+def model_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference (quality-classifier / teacher-scoring
+    shape): JVM-side integer feature extraction, then one vectorized
+    forward pass per Arrow batch via mapInPandas — only the numeric
+    features cross the Python boundary, never the text. The bundled
+    model is a frozen deterministic logistic, so the stage is
+    hash-gated against the closed-form SQL twin."""
+    from .operators.scoring import score_documents
+
+    return score_documents(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "data_quality_report",
+    """
+    SELECT 'accepted_values(o_orderstatus)' AS rule,
+           count(*) FILTER (WHERE o_orderstatus IS NULL
+                            OR o_orderstatus NOT IN ('O','F','P')) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           count(*) FILTER (WHERE o_orderpriority IS NULL
+                            OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+    FROM orders
+    UNION ALL
+    SELECT 'not_null(o_custkey)', count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+    UNION ALL
+    SELECT 'range(o_totalprice,0,400000)',
+           count(*) FILTER (WHERE o_totalprice IS NULL
+                            OR o_totalprice < 0 OR o_totalprice > 400000)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_custkey)',
+           coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM orders
+                     GROUP BY o_custkey HAVING count(*) > 1)), 0)
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM orders
+                     GROUP BY o_orderkey HAVING count(*) > 1)), 0)
+    ORDER BY rule
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (dbt-test shape): four
+    row-level rules compiled into ONE aggregate pass plus two
+    key-uniqueness checks (one shuffle each) — the validation stage a
+    pipeline runs before publishing, at a cost independent of the rule
+    count."""
+    from .operators import expectations as E
+
+    orders = load_table(spark, sf_dir, "orders")
+    return E.check(
+        orders,
+        [
+            E.not_null("o_custkey"),
+            E.in_range("o_totalprice", 0, 400000),
+            E.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            E.matches("o_orderpriority", "^[1-5]-"),
+        ],
+        unique_keys=[["o_orderkey"], ["o_custkey"]],
+    )

@@ -442,3 +442,15 @@ def test_file_readers_fail_fast_on_corrupt_input(spark, tmp_path):
         fh.write('{"doc_id": "not-a-number", "text": 42, otherwise broken\n')
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_jsonl(spark, d, docs.schema).count()
+
+
+def test_model_inference_ships_features_not_text(spark):
+    """The inference stage's Python boundary must receive only the
+    numeric feature columns — the text stays JVM-side (at 100 TB this
+    is the difference between ~10 bytes/row and the corpus crossing
+    into Arrow)."""
+    fn, _ = WORKLOAD["model_inference_scores"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    pandas_line = next(l for l in plan.splitlines() if "MapInPandas" in l)
+    assert "f_tokens" in pandas_line and "f_stopwords" in pandas_line
+    assert "text" not in pandas_line
