@@ -51,6 +51,23 @@ def matches(col: str, pattern: str) -> Rule:
     return Rule(f"matches({col})", c.isNull() | ~c.rlike(pattern))
 
 
+def observe_rules(df: DataFrame, rules: list[Rule], name: str = "quality"):
+    """Piggyback row-level violation counters on an EXISTING pass:
+    ``df.observe`` attaches the ``count_if`` aggregates to whatever
+    action the caller runs next (a write, a count), so validation costs
+    ZERO extra scans — the right shape when the table is being
+    published anyway, and the same mechanism streams per-micro-batch
+    via ``QueryListener``. Returns ``(observed_df, observation)``;
+    read ``observation.get`` AFTER an action on the observed frame."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs, *[F.count_if(r.violated).cast("bigint").alias(r.name) for r in rules]
+    )
+    return observed, obs
+
+
 def check(
     df: DataFrame, rules: list[Rule], unique_keys: list[list[str]] | None = None
 ) -> DataFrame:

@@ -69,3 +69,17 @@ def test_row_level_rules_are_one_aggregate_pass(spark):
     plan = checked._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") == 1
     assert plan.count("LocalRelation") + plan.count("LogicalRDD") <= 1
+
+
+def test_observe_rules_rides_an_existing_action(spark):
+    """Violation counters come back from the caller's own action (one
+    noop write here) — observe attaches the aggregates to that job, so
+    validation adds zero extra scans by construction."""
+    df = _frame(spark)
+    observed, obs = E.observe_rules(
+        df, [E.not_null("status"), E.in_range("amount", 0, 100)]
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    metrics = obs.get
+    assert metrics["not_null(status)"] == 1
+    assert metrics["range(amount,0,100)"] == 2
