@@ -62,7 +62,9 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: (rows-only), and the queries added in r3: quality_filter_gopher,
 #: paragraph_exact_dedup, knn_ivf_pq, streaming_dedup_exact,
 #: jsonl_source_roundtrip, csv_source_roundtrip, dedup_apply_keep,
-#: streaming_interval_join.
+#: streaming_interval_join, model_inference_scores,
+#: data_quality_report, c4_line_cleaning, substring_dup_stats,
+#: orc_source_roundtrip, partitioned_parquet_pruning, bm25_top_docs.
 DRIVER_WINDOW_R3: tuple[str, ...] = (
     "json_props_extract",
     "grouping_sets_orders",

@@ -418,3 +418,65 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def duplicated_window_stats(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    ExactSubstr pass, with the suffix array replaced by the
+    shuffle-native equivalent): every SLIDING ``window_tokens``-token
+    window is fingerprinted, and a window is duplicated iff the same
+    token content occurs at any other (doc, position) in the corpus.
+    Output: one row per document with ≥1 window — total windows,
+    duplicated windows, and the duplicated fraction (the per-document
+    memorization-risk signal the paper's filter thresholds on).
+
+    Distributed shape, in one lineage: a map-side explode materializes
+    (doc, pos, md5-of-window) triples — never the text; a global
+    count keyed on the digest (shuffle 1, partial-agg combinable);
+    the count joins back on the SAME digest key, so AQE keeps the join
+    co-partitioned with the agg output; a final doc-keyed agg
+    (shuffle 2) folds the verdicts. Stride-1 windows mean the exploded
+    set is ~n_tokens rows per doc — at 100 TB you fingerprint at a
+    coarser stride first and re-run stride-1 only on flagged docs;
+    digests are 32 bytes so even a corpus-wide boilerplate window
+    lands ~GBs on one reducer, and AQE skew-split handles the rest."""
+    from .text import tokens
+
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n_win = F.size("__t") - (window_tokens - 1)
+    wins = toked.where(n_win >= 1).select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), n_win)).alias("pos"),
+        "__t",
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.md5(F.array_join(F.slice("__t", F.col("pos"), window_tokens), " ")).alias(
+            "wfp"
+        ),
+    )
+    counts = wins.groupBy("wfp").agg(F.count("*").alias("occ"))
+    return (
+        wins.join(counts, "wfp")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias(
+                "dup_frac"
+            ),
+        )
+    )

@@ -347,6 +347,64 @@ def gopher_quality_flags(
     )
 
 
+# C4 line-cleaning blocklist (Raffel et al., JMLR 2020 §2.2): lines
+# containing these substrings are dropped outright. Frozen so the
+# oracle SQL embeds the identical list.
+C4_BLOCKLIST = ["javascript", "lorem ipsum", "{"]
+C4_TERMINAL_RE = "[.!?\"']$"
+
+
+def c4_line_keep(line: Column, min_words: int = 5) -> Column:
+    """C4's per-line keep predicate (Raffel et al., JMLR 2020 §2.2):
+    the line ends in terminal punctuation, has at least ``min_words``
+    words, and contains no blocklisted substring (curly brace /
+    boilerplate markers). Pure column expression — usable inside a
+    higher-order ``filter`` lambda, so the whole rule set stays in
+    whole-stage codegen."""
+    keep = (
+        line.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(line), f"[{WS_CLASS}]+")) >= min_words)
+    )
+    for bad in C4_BLOCKLIST:
+        keep = keep & ~F.contains(F.lower(line), F.lit(bad))
+    return keep
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al., JMLR 2020 §2.2): split
+    each document on newlines, keep only lines that pass
+    :func:`c4_line_keep`, reassemble the cleaned text, and flag
+    documents retaining at least ``min_kept_lines`` lines (C4 drops
+    pages with <3 sentences; the line is our sentence unit).
+
+    Output: ``(id, n_lines, n_kept, cleaned, keep)`` — one row per
+    input document, cleaned text NULL-safe (a NULL document yields
+    0/0/NULL/false rather than propagating NULL into the verdict).
+
+    Scale shape: one map-side projection, zero shuffles. The split and
+    the higher-order ``filter`` run per-row inside codegen; each lambda
+    touches only its own line variable, so cost is O(total chars) — no
+    re-evaluation of the source array per element (the CollapseProject
+    trap documented at :func:`ngrams_from_tokens` does not bite here
+    because the lambda never references the outer array)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.coalesce(F.split(c, "\n"), F.array().cast("array<string>"))
+    kept = F.filter(lines, lambda l: c4_line_keep(l, min_words))
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("cleaned"),
+        (F.size(kept) >= min_kept_lines).alias("keep"),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document integer quality metrics (exact, oracle-checkable)."""
     return docs.select(

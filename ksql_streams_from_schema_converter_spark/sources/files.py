@@ -1,4 +1,5 @@
-"""File-format sources/sinks beyond parquet: JSONL and CSV.
+"""File-format sources/sinks beyond parquet: JSONL, CSV, ORC, and
+hive-partitioned parquet.
 
 JSONL (one JSON object per line) is the de-facto interchange format for
 LLM training corpora; CSV covers tabular exports. Both readers take an
@@ -43,3 +44,39 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
         .option("mode", "FAILFAST")
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write as ORC (the columnar interchange format for Hive/Presto
+    estates). Like parquet, ORC carries types, column statistics, and
+    predicate-pushdown indexes, so a downstream read prunes columns and
+    row groups the same way."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-explicit ORC read. ORC files embed their schema; passing
+    ours pins the column order and types so a file written by another
+    engine cannot silently reorder or widen the contract."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-partitioned parquet layout (``col=value`` directories): the
+    storage arrangement that turns a partition-key filter into directory
+    pruning — at 100 TB a ``lang='en'`` read touches only the ``en``
+    subtree, no footer of any other partition is opened. Keep partition
+    cardinality bounded (lang/source/date, never a high-cardinality id:
+    one directory per value)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned_parquet(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Schema-explicit partitioned-parquet read; partition columns come
+    back typed from the directory names via the supplied schema (no
+    inference pass over the directory tree)."""
+    return spark.read.schema(schema).parquet(path)

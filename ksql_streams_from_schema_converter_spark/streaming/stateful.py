@@ -133,3 +133,68 @@ def streaming_running_totals(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def streaming_tws_running_totals(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key running count + sum via ``transformWithStateInPandas`` —
+    the Spark 4 stateful-processor API (SPARK-49564), the successor to
+    :func:`streaming_running_totals`'s ``applyInPandasWithState``.
+
+    Why keep both: applyInPandasWithState is the widely-deployed 3.x
+    surface; transformWithState is where new state features land
+    (typed value/list/map state handles, state TTL, timers, initial
+    state). Semantics here are identical to the 3.x twin — one
+    (count, sum) ValueState per key, one emission per key per
+    micro-batch — so the two are gated against the same batch oracle.
+
+    State is partitioned by the grouping key and sized O(distinct
+    keys) × two numbers; the RocksDB state-store provider (the default
+    recommendation for transformWithState) keeps it off-heap, which is
+    the 100 TB configuration.
+
+    Runtime prerequisites (per PySpark's own dependency matrix): the
+    ``protobuf`` Python package (the state-server protocol is protobuf
+    over a local socket) and
+    ``spark.sql.streaming.stateStore.providerClass`` set to the
+    RocksDB provider. The test for this operator skips when protobuf
+    is absent (as in this sandbox); the 3.x twin
+    :func:`streaming_running_totals` carries the driver-gated
+    correctness signal for the same semantics."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -4329,3 +4329,297 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique_keys=[["o_orderkey"], ["o_custkey"]],
     )
+
+
+# ===========================================================================
+# Round-3 continuation: C4 line cleaning, exact-substring dup profiling,
+# ORC / partitioned-parquet storage, BM25 retrieval scoring
+# ===========================================================================
+
+# Line-structured corpus, identically synthesized on both engines: the
+# flat synthetic documents get an 8-token line structure plus
+# md5-deterministic decorations that exercise every C4 rule (terminal
+# punctuation present/absent, brace lines, blocklist markers).
+_LINE_CORPUS_SQL = rf"""
+norm AS (
+  SELECT doc_id, trim(lower(regexp_replace(text, '[{_WS}]+', ' ', 'g'))) AS t
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         string_split(regexp_replace(t, '((?:[^ ]+ ){{7}}[^ ]+) ', '\1' || chr(10), 'g'), chr(10)) AS ls
+  FROM norm
+),
+line_corpus AS (
+  SELECT doc_id,
+         array_to_string(list_transform(ls, (x, i) ->
+           CASE substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1)
+             WHEN 'a' THEN x || '!'
+             WHEN 'b' THEN x || '?'
+             WHEN 'c' THEN x
+             WHEN 'd' THEN x || ' {{.'
+             WHEN 'e' THEN 'javascript ' || x || '.'
+             WHEN 'f' THEN 'lorem ipsum ' || x || '.'
+             ELSE x || '.'
+           END), chr(10)) AS text
+  FROM lined
+)
+"""
+
+
+def line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_LINE_CORPUS_SQL``: newline-structured documents
+    with planted rule-triggering lines (DuckDB lambda index is 1-based;
+    Spark's ``transform`` index is 0-based, hence the ``i + 1``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.lower(F.regexp_replace("text", f"[{_WS}]+", " ")))
+    lines = F.split(F.regexp_replace(norm, r"((?:[^ ]+ ){7}[^ ]+) ", "$1\n"), "\n")
+
+    def decorate(x, i):
+        nib = F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("-"), (i + 1).cast("string")
+                )
+            ),
+            1,
+            1,
+        )
+        return (
+            F.when(nib == "a", F.concat(x, F.lit("!")))
+            .when(nib == "b", F.concat(x, F.lit("?")))
+            .when(nib == "c", x)
+            .when(nib == "d", F.concat(x, F.lit(" {.")))
+            .when(nib == "e", F.concat(F.lit("javascript "), x, F.lit(".")))
+            .when(nib == "f", F.concat(F.lit("lorem ipsum "), x, F.lit(".")))
+            .otherwise(F.concat(x, F.lit(".")))
+        )
+
+    return docs.select(
+        "doc_id", F.array_join(F.transform(lines, decorate), "\n").alias("text")
+    )
+
+
+@query(
+    "c4_line_cleaning",
+    f"""
+    WITH {_LINE_CORPUS_SQL.strip()}
+    SELECT doc_id,
+           len(dls) AS n_lines,
+           len(kept) AS n_kept,
+           coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+           len(kept) >= 3 AS keep
+    FROM (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS dls,
+             list_filter(string_split(text, chr(10)), l ->
+               regexp_matches(l, '[.!?"'']$')
+               AND len(string_split_regex(trim(l), '[{_WS}]+')) >= 5
+               AND NOT contains(lower(l), 'javascript')
+               AND NOT contains(lower(l), 'lorem ipsum')
+               AND NOT contains(lower(l), '{{')) AS kept
+      FROM line_corpus
+    )
+    """,
+)
+def c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al., JMLR 2020 §2.2) over the
+    planted line corpus: drop lines without terminal punctuation, with
+    fewer than 5 words, or containing blocklisted substrings; keep
+    documents that retain ≥3 lines. One map-side projection — the
+    split/filter/rebuild never leaves whole-stage codegen, and at
+    100 TB the stage is a pure scan with the kept-column projection
+    pushed into the parquet read."""
+    from .operators.text import c4_clean
+
+    return c4_clean(line_corpus(spark, sf_dir))
+
+
+@query(
+    "substring_dup_stats",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+    wins AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS pos, t
+      FROM toks WHERE len(t) >= 8
+    ),
+    fps AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(t, pos, pos + 7), ' ')) AS wfp
+      FROM wins
+    ),
+    occ AS (SELECT wfp, count(*) AS occ FROM fps GROUP BY wfp)
+    SELECT doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+    FROM fps JOIN occ USING (wfp)
+    GROUP BY doc_id
+    """,
+)
+def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al., ACL 2022) over
+    the planted corpus: per-document fraction of sliding 8-token
+    windows whose content recurs anywhere in the corpus. The planted
+    exact dups profile at dup_frac 1.0 and the first-token-dropped
+    near-dups just below — the non-vacuous oracle."""
+    return D.duplicated_window_stats(dedup_corpus(spark, sf_dir), window_tokens=8)
+
+
+@query(
+    "orc_source_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink→source roundtrip over the orders table (timestamps and
+    doubles exercise ORC's type fidelity). The driver's hash gate
+    proves value fidelity through the format, as for JSONL/CSV."""
+    import os
+    import tempfile
+
+    from .sources.files import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(), f"orc_rt_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    write_orc(orders, path)
+    return read_orc(spark, path, orders.schema)
+
+
+@query(
+    "partitioned_parquet_pruning",
+    """
+    SELECT doc_id, text, source, n_chars, lang FROM documents WHERE lang = 'en'
+    """,
+)
+def partitioned_parquet_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write + partition-pruned read: the
+    documents table is laid out as ``lang=<v>/`` directories and read
+    back with a partition-key filter. The filter prunes at directory
+    level — ``tests/test_plans_and_sinks.py`` asserts the scan's
+    ``inputFiles`` all live under ``lang=en/`` (no other partition's
+    footer is even opened), which is the access pattern that makes a
+    1%-partition query cost 1% at 100 TB. The hash gate proves values
+    and partition-column typing survive the layout."""
+    import os
+    import tempfile
+
+    from .sources.files import read_partitioned_parquet, write_partitioned_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars", "lang"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"part_rt_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    write_partitioned_parquet(docs, path, ["lang"])
+    return read_partitioned_parquet(spark, path, docs.schema).where(
+        F.col("lang") == "en"
+    )
+
+
+_BM25_TERMS = ("data", "join", "spark")  # fixed query, alphabetical
+
+
+def _bm25_oracle() -> str:
+    tf = {t: f"len(list_filter({_TOKS}, x -> x = '{t}'))" for t in _BM25_TERMS}
+    per_term = []
+    for t in _BM25_TERMS:
+        per_term.append(
+            f"((CAST(n_docs - df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
+            f" * ((CAST(tf_{t} AS DOUBLE) * 2.2)"
+            f" / (CAST(tf_{t} AS DOUBLE) + 1.2 * ((0.25) + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))"
+        )
+    score = " + ".join(per_term)
+    tf_cols = ", ".join(f"{sql} AS tf_{t}" for t, sql in tf.items())
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, len({_TOKS}) AS dl, {tf_cols} FROM documents
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {df_cols}
+      FROM feats
+    )
+    SELECT doc_id, {score} AS score
+    FROM feats, g
+    WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("bm25_top_docs", _bm25_oracle())
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson & Zaragoza, 2009; k1=1.2,
+    b=0.75) for a fixed 3-term query, top-20 documents. The classic
+    ``log((N-df+0.5)/(df+0.5))`` idf is replaced by its rational
+    argument — a monotone transform (same ranking) built ONLY from
+    IEEE-deterministic ops (one divide per factor, fixed-order adds),
+    so the score is bit-identical across engines with no rounding
+    fudge (same policy as ``tfidf_top_terms``).
+
+    Distributed shape: per-doc tf/dl are map-side higher-order-filter
+    counts (no explode — the query terms are fixed, so tf per term is
+    one array scan); N/avgdl/df fold into ONE global 1-row aggregate
+    that broadcast-joins back; top-k is a TakeOrdered over docs that
+    match ≥1 term. At 100 TB: one corpus scan + one scalar broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+
+    def tf_of(term: str):
+        # NB: the inner lambda must stay 1-arg — F.filter passes the
+        # array index to 2-arg lambdas, so a `t=t` default capture
+        # would silently compare tokens against indices.
+        return F.size(F.filter(toks, lambda x: x == term))
+
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    g = feats.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    joined = feats.crossJoin(F.broadcast(g))
+
+    def term_score(t: str):
+        idf = (
+            (F.col("n_docs") - F.col(f"df_{t}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{t}").cast("double") + F.lit(0.5))
+        tfd = F.col(f"tf_{t}").cast("double")
+        denom = tfd + F.lit(1.2) * (
+            F.lit(0.25) + (F.lit(0.75) * F.col("dl").cast("double")) / F.col("avgdl")
+        )
+        return idf * ((tfd * F.lit(2.2)) / denom)
+
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    any_match = F.col(f"tf_{_BM25_TERMS[0]}")
+    for t in _BM25_TERMS[1:]:
+        any_match = any_match + F.col(f"tf_{t}")
+    return (
+        joined.where(any_match > 0)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -373,3 +373,61 @@ def test_connected_components_respects_iteration_cap(spark):
     # After exactly one round node 3 has only adopted its neighbor's id
     # (2), not yet the transitive min (1) — the cap is honored.
     assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_c4_line_keep_rules(spark):
+    """Each C4 rule (terminal punctuation, ≥5 words, blocklist) drops
+    exactly the lines it should, and cleaned text preserves kept-line
+    order."""
+    from ksql_streams_from_schema_converter_spark.operators.text import c4_clean
+
+    doc = "\n".join(
+        [
+            "this line has enough words and punctuation.",  # keep
+            "too short.",  # < 5 words
+            "this line has no terminal punctuation at all",  # no terminal
+            "this line mentions javascript so it dies.",  # blocklist
+            "curly brace { means template residue here.",  # blocklist
+            "Lorem Ipsum dolor sit amet consectetur.",  # blocklist (case-insensitive)
+            "another fine sentence that should survive!",  # keep
+            "is this a question with enough words?",  # keep
+        ]
+    )
+    out = c4_clean(
+        spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    ).head()
+    assert out.n_lines == 8
+    assert out.n_kept == 3
+    assert out.keep  # >= 3 kept lines
+    assert out.cleaned.split("\n") == [
+        "this line has enough words and punctuation.",
+        "another fine sentence that should survive!",
+        "is this a question with enough words?",
+    ]
+    # NULL text → empty result, not NULL propagation
+    nul = c4_clean(
+        spark.createDataFrame([(2, None)], "doc_id bigint, text string")
+    ).head()
+    assert (nul.n_lines, nul.n_kept, nul.keep) == (0, 0, False)
+
+
+def test_substring_dup_stats_planted(corpus):
+    """Planted exact copies must profile at dup_frac 1.0; their
+    originals too (every window recurs in the copy). Documents outside
+    the planted set can still share windows, but at least one fully
+    unique-window doc should exist with dup_frac 0."""
+    stats = D.duplicated_window_stats(corpus, window_tokens=8)
+    copies = stats.where(F.col("doc_id") >= 20000)
+    assert copies.count() == 25
+    assert copies.where(F.col("dup_frac") < 1.0).count() == 0
+    originals = stats.where(F.col("doc_id") < 25)
+    assert originals.where(F.col("dup_frac") < 1.0).count() == 0
+    # near-dups (first token dropped) share all windows not touching
+    # the first token: high but it's the same value as original windows
+    assert stats.where(F.col("dup_frac") == 0.0).count() > 0
+    # window accounting: n_windows == n_tokens - 7 for a known doc
+    row = stats.where(F.col("doc_id") == 0).head()
+    n_tok = corpus.where(F.col("doc_id") == 0).select(
+        F.size(F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+"))
+    ).head()[0]
+    assert row.n_windows == n_tok - 7

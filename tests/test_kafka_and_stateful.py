@@ -116,3 +116,60 @@ def test_streaming_running_totals_across_restart(spark):
         if r["key"] not in latest or r["n"] > latest[r["key"]][0]:
             latest[r["key"]] = (r["n"], r["total"])
     assert latest == {"a": (3, 13.0), "b": (1, 5.0), "c": (1, 7.0)}
+
+
+def test_transform_with_state_running_totals(spark):
+    """The Spark-4 transformWithStateInPandas twin of the running-totals
+    operator must agree with the batch aggregate. Skipped where the
+    protobuf package (the TWS state-protocol dependency) is absent —
+    this sandbox — in which case the 3.x applyInPandasWithState twin
+    carries the gate."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from ksql_streams_from_schema_converter_spark.sources.parquet import stream_table
+    from ksql_streams_from_schema_converter_spark.streaming.stateful import (
+        streaming_tws_running_totals,
+    )
+
+    saved = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = stream_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_type", F.col("value").cast("double").alias("v")
+        )
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_tws_running_totals(src, "event_type", "v")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.key: r.n
+            for r in spark.table(name)
+            .groupBy("key")
+            .agg(F.max("n").alias("n"))
+            .collect()
+        }
+        want = {
+            r.event_type: r.n
+            for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)

@@ -454,3 +454,50 @@ def test_model_inference_ships_features_not_text(spark):
     pandas_line = next(l for l in plan.splitlines() if "MapInPandas" in l)
     assert "f_tokens" in pandas_line and "f_stopwords" in pandas_line
     assert "text" not in pandas_line
+
+
+def test_partitioned_read_prunes_directories(spark):
+    """The lang=en filter over the hive-partitioned layout must touch
+    ONLY lang=en/ files — directory-level pruning, no other
+    partition's footer opened (the property that makes a 1%-partition
+    query cost 1% at 100 TB)."""
+    fn, _ = WORKLOAD["partitioned_parquet_pruning"]
+    df = fn(spark, SF_DIR)
+    # inputFiles() lists the relation pre-pruning; input_file_name() at
+    # runtime names only the files the pruned scan actually opened
+    files = [
+        r[0] for r in df.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files, "expected at least one scanned file"
+    assert all("lang=en" in f for f in files), files
+    plan = physical_plan(df)
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_bm25_single_scan_broadcast_globals(spark):
+    """BM25's corpus statistics (N, avgdl, per-term df) must come back
+    as a broadcast 1-row join, never a shuffle join, and term
+    frequencies must be higher-order-filter counts (no explode → no
+    Generate node)."""
+    fn, _ = WORKLOAD["bm25_top_docs"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Generate" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_orc_roundtrip_preserves_types(spark):
+    """ORC write→read must hand back the exact schema including
+    timestamp semantics (the NTZ/LTZ distinction that broke round 1's
+    range join)."""
+    from ksql_streams_from_schema_converter_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = os.path.join(tempfile.gettempdir(), f"orc_types_{uuid.uuid4().hex[:8]}")
+    write_orc(orders, path)
+    back = read_orc(spark, path, orders.schema)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
