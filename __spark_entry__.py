@@ -64,7 +64,8 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: jsonl_source_roundtrip, csv_source_roundtrip, dedup_apply_keep,
 #: streaming_interval_join, model_inference_scores,
 #: data_quality_report, c4_line_cleaning, substring_dup_stats,
-#: orc_source_roundtrip, partitioned_parquet_pruning, bm25_top_docs.
+#: orc_source_roundtrip, partitioned_parquet_pruning, bm25_top_docs,
+#: vocab_coverage_top100.
 DRIVER_WINDOW_R3: tuple[str, ...] = (
     "json_props_extract",
     "grouping_sets_orders",

@@ -14,7 +14,7 @@ Scale concerns encoded here rather than left to callers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -94,6 +94,86 @@ def write_range_sorted_parquet(
         if num_files
         else df.repartitionByRange(F.col(sort_col))
     ).sortWithinPartitions(sort_col)
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
+def zorder_key(cols: list[Column | str], bits: int = 12) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    (already bucketed, non-negative integer) column — the multi-column
+    generalization of range-sorting for data skipping (the technique
+    behind Delta/Iceberg ``ZORDER BY``; Morton 1966). Two dimensions at
+    ``bits=12`` fill 24 bits of a long.
+
+    Built purely from shift/mask/or column expressions, so the key is
+    computed in whole-stage codegen during the write's exchange — no
+    UDF in the layout path."""
+    zcols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(zcols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(zcols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + (n - 1 - j)))
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 12,
+    num_files: int | None = None,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: min/max-scale each clustering
+    column into ``[0, 2^bits)``, range-partition + sort on the
+    interleaved Morton key, write. Every parquet row group then covers
+    a small axis-aligned rectangle of the multi-column space, so
+    min/max footer stats prune row groups for predicates on ANY of the
+    clustered columns — where a linear sort skips only on its leading
+    column. ``test_zorder_write_skips_on_both_dims`` proves the span
+    contraction from the written footers.
+
+    The 1-row min/max frame is a broadcast join (same scalar-broadcast
+    policy as the workload's global aggregates). Linear scaling keeps
+    the layout deterministic; heavily skewed columns would deserve
+    quantile bucketing instead (one extra sampled pass), the standard
+    refinement in the published implementations.
+
+    Cost at 100 TB: identical to any range-sorted write — one sampled
+    range exchange — bought once, multi-dimension data skipping on
+    every read after."""
+    aggs = []
+    for c in zorder_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    scaled_cols = []
+    top = (1 << bits) - 1
+    for c in zorder_cols:
+        lo = F.col(f"__min_{c}").cast("double")
+        hi = F.col(f"__max_{c}").cast("double")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        scaled_cols.append(
+            F.floor(((F.col(c).cast("double") - lo) / span) * top).cast("long")
+            .alias(f"__z_{c}")
+        )
+    keyed = (
+        df.crossJoin(F.broadcast(df.agg(*aggs)))
+        .select("*", *scaled_cols)
+        .withColumn("__z", zorder_key([f"__z_{c}" for c in zorder_cols], bits))
+        .drop(*[f"__min_{c}" for c in zorder_cols])
+        .drop(*[f"__max_{c}" for c in zorder_cols])
+        .drop(*[f"__z_{c}" for c in zorder_cols])
+    )
+    out = (
+        keyed.repartitionByRange(num_files, F.col("__z"))
+        if num_files
+        else keyed.repartitionByRange(F.col("__z"))
+    ).sortWithinPartitions("__z").drop("__z")
     (
         out.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)

@@ -4623,3 +4623,57 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "vocab_coverage_top100",
+    f"""
+    WITH tf AS (
+      SELECT tok AS term, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    topk AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 100),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tf)
+    SELECT term, n,
+           CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+           CAST(CAST(sum(n) OVER (ORDER BY n DESC, term
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / total AS cum_frac
+    FROM topk, tot
+    """,
+)
+def vocab_coverage_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: the 100 most frequent
+    corpus tokens with their rank and cumulative corpus-coverage
+    fraction — the statistic that sizes a vocabulary (how many types
+    cover 95% of tokens). Scale shape: term counts are one partial-agg
+    shuffle; the top-k is a distributed TakeOrdered (never a global
+    sort of the vocabulary); the rank/cumsum window runs AFTER the
+    limit, over 100 rows — windowing the full vocabulary on one
+    partition is the layout that would not survive a 100 TB corpus's
+    vocab. The corpus-total token count is a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tf.agg(F.sum("n").cast("bigint").alias("total"))
+    topk = tf.orderBy(F.desc("n"), F.asc("term")).limit(100)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    cum = Window.orderBy(F.desc("n"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        topk.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "n",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            (F.sum("n").over(cum).cast("bigint").cast("double") / F.col("total")).alias(
+                "cum_frac"
+            ),
+        )
+    )

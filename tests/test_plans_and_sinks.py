@@ -501,3 +501,61 @@ def test_orc_roundtrip_preserves_types(spark):
     back = read_orc(spark, path, orders.schema)
     assert back.schema == orders.schema
     assert back.count() == orders.count()
+
+
+def test_zorder_write_skips_on_both_dims(spark, tmp_path):
+    """write_zordered_parquet must shrink row-group min/max spans on
+    BOTH clustered columns (each row group covers a small axis-aligned
+    rectangle), where a linear sort on dim A leaves dim B's spans ~the
+    whole domain. Proven from the written parquet footers, plus the
+    consequence: a 10%-of-domain predicate on the NON-leading dim
+    prunes most z-ordered row groups and almost no linearly-sorted
+    ones."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ksql_streams_from_schema_converter_spark.plans.sink import (
+        write_range_sorted_parquet,
+        write_zordered_parquet,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    lo_e, hi_e, lo_u, hi_u = ev.agg(
+        F.min("event_id"), F.max("event_id"), F.min("user_id"), F.max("user_id")
+    ).head()
+    dom_e, dom_u = hi_e - lo_e, hi_u - lo_u
+
+    z_dir = str(tmp_path / "zordered")
+    write_zordered_parquet(
+        ev, z_dir, ["event_id", "user_id"], num_files=4, max_records_per_file=100
+    )
+    lin_dir = str(tmp_path / "linear")
+    write_range_sorted_parquet(
+        ev, lin_dir, "event_id", num_files=4, max_records_per_file=100
+    )
+
+    def rg_spans(d, col):
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(idx).statistics
+                spans.append((st.min, st.max))
+        return spans
+
+    z_u = rg_spans(z_dir, "user_id")
+    lin_u = rg_spans(lin_dir, "user_id")
+    assert len(z_u) > 4 and len(lin_u) > 4
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    # z-order: the median row group covers a minority of BOTH domains;
+    # linear sort: user_id spans stay ~the full domain
+    assert med([b - a for a, b in z_u]) < dom_u * 0.6
+    assert med([b - a for a, b in rg_spans(z_dir, "event_id")]) < dom_e * 0.6
+    assert med([b - a for a, b in lin_u]) > dom_u * 0.8
+    # consequence: a 10% user_id slice prunes most z-ordered row groups
+    cut_lo, cut_hi = lo_u, lo_u + dom_u // 10
+    hit = lambda spans: sum(1 for a, b in spans if not (b < cut_lo or a > cut_hi))
+    assert hit(z_u) <= len(z_u) // 2
+    assert hit(lin_u) >= int(0.8 * len(lin_u))
