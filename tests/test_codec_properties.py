@@ -144,3 +144,119 @@ def test_gopher_flags_match_python_reference(spark, texts):
         ok_alpha = alpha * 100 >= 80 * n
         keep = ok_n and ok_len and ok_sym and ok_stop and ok_alpha
         assert got[i] == (n, ok_n, ok_len, ok_sym, ok_stop, ok_alpha, keep), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# round-3 continuation: C4 line cleaning, substring-dup profile, Morton key
+# ---------------------------------------------------------------------------
+
+line_text = st.text(
+    alphabet=string.ascii_lowercase + " .!?{j", min_size=0, max_size=60
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(line_text, min_size=0, max_size=8), min_size=1, max_size=8))
+def test_c4_clean_matches_python_reference(spark, docs):
+    """c4_clean's per-document (n_lines, n_kept, cleaned, keep) must
+    equal a direct Python evaluation of the C4 rules over the same
+    newline-joined text (alphabet includes '{', 'j' runs that can spell
+    'javascript', and terminal punctuation)."""
+    import re
+
+    from ksql_streams_from_schema_converter_spark.operators.text import (
+        C4_BLOCKLIST,
+        c4_clean,
+    )
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.cleaned, r.keep)
+        for r in c4_clean(df).collect()
+    }
+    for i, text in rows:
+        lines = text.split("\n")
+
+        def keep_line(l: str) -> bool:
+            if not re.search(r"[.!?\"']$", l):
+                return False
+            if len(re.split(r"[ \t\n\f\r]+", l.strip())) < 5:
+                return False
+            return not any(bad in l.lower() for bad in C4_BLOCKLIST)
+
+        kept = [l for l in lines if keep_line(l)]
+        assert got[i] == (len(lines), len(kept), "\n".join(kept), len(kept) >= 3), (
+            i,
+            text,
+        )
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(doc_text, min_size=1, max_size=10), st.sampled_from([2, 3, 8]))
+def test_duplicated_window_stats_matches_python_reference(spark, texts, w):
+    """duplicated_window_stats must equal the Python twin: sliding
+    w-token windows, md5 content keys, a window is dup iff its content
+    occurs >1 time across all (doc, pos)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        duplicated_window_stats,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_frac)
+        for r in duplicated_window_stats(df, window_tokens=w).collect()
+    }
+
+    wins: dict[int, list[str]] = {}
+    occ: Counter = Counter()
+    for i, t in rows:
+        toks = re.split(r"[ \t\n\f\r]+", t.strip().lower())
+        fps = [
+            hashlib.md5(" ".join(toks[p : p + w]).encode()).hexdigest()
+            for p in range(len(toks) - w + 1)
+        ]
+        wins[i] = fps
+        occ.update(fps)
+    expected = {}
+    for i, fps in wins.items():
+        if not fps:
+            continue
+        nd = sum(1 for fp in fps if occ[fp] > 1)
+        expected[i] = (len(fps), nd, nd / len(fps))
+    assert got == expected
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zorder_key_matches_python_reference(spark, pairs):
+    """zorder_key must equal the classic bit-interleave: bit i of col j
+    lands at position i*n + (n-1-j) — column 0 in the higher slot."""
+    from ksql_streams_from_schema_converter_spark.plans.sink import zorder_key
+
+    def morton(a: int, b: int, bits: int = 12) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    rows = [(a, b, morton(a, b)) for a, b in pairs]
+    df = spark.createDataFrame(rows, "a long, b long, expected long")
+    assert (
+        df.where(zorder_key(["a", "b"], bits=12) != F.col("expected")).count() == 0
+    )
