@@ -179,3 +179,43 @@ def write_zordered_parquet(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(input_bytes / target_file_bytes)`` similarly-sized files.
+    Returns the output file count.
+
+    Why it exists: streaming sinks and fine-grained partitioned writes
+    accrete thousands of KB-scale files; at 100 TB that inflates
+    metadata listings and gives every scan task sub-second work units
+    (scheduler overhead dominates IO). Periodic compaction to
+    ~128 MB files is the standard maintenance pass (Delta/Iceberg call
+    it OPTIMIZE / rewrite_data_files; plain parquet gets the same
+    effect with a rewrite).
+
+    Sizing reads the directory's byte size from the FileSystem (one
+    metadata call — no data scan), assuming output compression ≈ input
+    compression. The rewrite is a round-robin ``repartition(n)`` —
+    a full shuffle, deliberately: ``coalesce(n)`` would be
+    shuffle-free but collapses upstream parallelism into n tasks and
+    inherits whatever size skew the inputs had, so the shuffle is the
+    price of even files. Write to a NEW directory and swap atomically
+    at the catalog/manifest layer — compact-in-place over the live
+    path is a read-under-write hazard on object stores."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    df.repartition(n).write.mode(mode).parquet(out_path)
+    return n

@@ -559,3 +559,49 @@ def test_zorder_write_skips_on_both_dims(spark, tmp_path):
     hit = lambda spans: sum(1 for a, b in spans if not (b < cut_lo or a > cut_hi))
     assert hit(z_u) <= len(z_u) // 2
     assert hit(lin_u) >= int(0.8 * len(lin_u))
+
+
+def test_c4_cleaning_is_scan_only(spark):
+    """C4 line cleaning is a pure scan→project stage: zero exchanges,
+    no Python workers (split/filter/rebuild all in codegen)."""
+    fn, _ = WORKLOAD["c4_line_cleaning"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_vocab_coverage_windows_after_topk(spark):
+    """The rank/cumsum window must run AFTER the distributed top-k
+    (TakeOrderedAndProject), never over the full vocabulary on one
+    partition."""
+    fn, _ = WORKLOAD["vocab_coverage_top100"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # exactly one window, above the TakeOrdered in the tree (appears
+    # earlier in the printed plan = closer to the root)
+    assert plan.count("Window") >= 1
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_compact_parquet_hits_target_file_count(spark, tmp_path):
+    """compact_parquet must fold a many-tiny-files directory into the
+    byte-sized target count with all rows intact."""
+    from ksql_streams_from_schema_converter_spark.plans.sink import compact_parquet
+
+    ev = load_table(spark, SF_DIR, "events")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(frag)
+    import glob
+
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+    total = sum(os.path.getsize(f) for f in glob.glob(f"{frag}/*.parquet"))
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_bytes=total // 4 + 1)
+    files = glob.glob(f"{out}/*.parquet")
+    assert n == 4 and len(files) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # compaction actually equalizes: no output file smaller than half
+    # the mean (round-robin repartition, not coalesce)
+    sizes = [os.path.getsize(f) for f in files]
+    assert min(sizes) > (sum(sizes) / len(sizes)) / 2
