@@ -121,6 +121,55 @@ def zorder_key(cols: list[Column | str], bits: int = 12) -> Column:
     return z
 
 
+def _bucketize(
+    df: DataFrame, cols: list[str], bits: int, bucketing: str
+) -> DataFrame:
+    """Map each clustering column into integer buckets ``[0, 2^bits)``
+    as ``__z_<col>`` columns — linear min/max scaling (1-row broadcast)
+    or approxQuantile equi-depth boundaries (driver-side KB list,
+    folded per row with ``F.aggregate``)."""
+    top = (1 << bits) - 1
+    if bucketing == "linear":
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        scaled = []
+        for c in cols:
+            lo = F.col(f"__min_{c}").cast("double")
+            hi = F.col(f"__max_{c}").cast("double")
+            span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+            scaled.append(
+                F.floor(((F.col(c).cast("double") - lo) / span) * top)
+                .cast("long")
+                .alias(f"__z_{c}")
+            )
+        return (
+            df.crossJoin(F.broadcast(df.agg(*aggs)))
+            .select("*", *scaled)
+            .drop(*[f"__min_{c}" for c in cols])
+            .drop(*[f"__max_{c}" for c in cols])
+        )
+    if bucketing != "quantile":
+        raise ValueError(f"unknown bucketing: {bucketing!r}")
+    probs = [i / (top + 1) for i in range(1, top + 1)]
+    out = df
+    for c in cols:
+        # interior boundaries; duplicates (massive ties) are fine — the
+        # fold counts boundaries strictly below the value
+        bounds = df.approxQuantile(c, probs, 0.001)
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        out = out.withColumn(
+            f"__z_{c}",
+            F.aggregate(
+                barr,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") > b, 1).otherwise(0).cast("long"),
+            ),
+        )
+    return out
+
+
 def write_zordered_parquet(
     df: DataFrame,
     path: str,
@@ -129,6 +178,7 @@ def write_zordered_parquet(
     num_files: int | None = None,
     max_records_per_file: int = 5_000_000,
     mode: str = "overwrite",
+    bucketing: str = "linear",
 ) -> None:
     """Z-order-clustered parquet write: min/max-scale each clustering
     column into ``[0, 2^bits)``, range-partition + sort on the
@@ -139,36 +189,24 @@ def write_zordered_parquet(
     column. ``test_zorder_write_skips_on_both_dims`` proves the span
     contraction from the written footers.
 
-    The 1-row min/max frame is a broadcast join (same scalar-broadcast
-    policy as the workload's global aggregates). Linear scaling keeps
-    the layout deterministic; heavily skewed columns would deserve
-    quantile bucketing instead (one extra sampled pass), the standard
-    refinement in the published implementations.
+    Bucketing (``bucketing=``): ``"linear"`` min/max-scales each column
+    via a 1-row broadcast aggregate (same scalar-broadcast policy as
+    the workload's global aggregates) — deterministic and cheapest, but
+    a heavily skewed column collapses into a handful of buckets and
+    stops contributing skip bits. ``"quantile"`` buckets by
+    ``approxQuantile`` boundaries instead (Greenwald–Khanna sketch; one
+    extra sampled pass, boundaries are KBs on the driver) so every
+    bucket holds ~equal rows whatever the distribution — the standard
+    refinement in the published Z-order implementations. Quantile mode
+    evaluates a ``2^bits``-element fold per row, so pair it with a
+    modest ``bits`` (8 → 256 buckets/dim is plenty of skipping).
 
     Cost at 100 TB: identical to any range-sorted write — one sampled
     range exchange — bought once, multi-dimension data skipping on
     every read after."""
-    aggs = []
-    for c in zorder_cols:
-        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
-    scaled_cols = []
-    top = (1 << bits) - 1
-    for c in zorder_cols:
-        lo = F.col(f"__min_{c}").cast("double")
-        hi = F.col(f"__max_{c}").cast("double")
-        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
-        scaled_cols.append(
-            F.floor(((F.col(c).cast("double") - lo) / span) * top).cast("long")
-            .alias(f"__z_{c}")
-        )
-    keyed = (
-        df.crossJoin(F.broadcast(df.agg(*aggs)))
-        .select("*", *scaled_cols)
-        .withColumn("__z", zorder_key([f"__z_{c}" for c in zorder_cols], bits))
-        .drop(*[f"__min_{c}" for c in zorder_cols])
-        .drop(*[f"__max_{c}" for c in zorder_cols])
-        .drop(*[f"__z_{c}" for c in zorder_cols])
-    )
+    keyed = _bucketize(df, zorder_cols, bits, bucketing).withColumn(
+        "__z", zorder_key([f"__z_{c}" for c in zorder_cols], bits)
+    ).drop(*[f"__z_{c}" for c in zorder_cols])
     out = (
         keyed.repartitionByRange(num_files, F.col("__z"))
         if num_files

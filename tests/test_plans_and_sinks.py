@@ -605,3 +605,66 @@ def test_compact_parquet_hits_target_file_count(spark, tmp_path):
     # the mean (round-robin repartition, not coalesce)
     sizes = [os.path.getsize(f) for f in files]
     assert min(sizes) > (sum(sizes) / len(sizes)) / 2
+
+
+def test_quantile_bucketing_spreads_skewed_column(spark, tmp_path):
+    """On a heavily skewed column, linear min/max bucketing collapses
+    ~all rows into one bucket (the dim stops contributing skip bits);
+    quantile bucketing spreads the same rows across ~equal-depth
+    buckets. Verified via the bucketizer itself, then end-to-end: the
+    quantile z-ordered layout prunes row groups for a dense-range
+    predicate the linear layout cannot."""
+    from ksql_streams_from_schema_converter_spark.plans.sink import (
+        _bucketize,
+        write_zordered_parquet,
+    )
+
+    # 95% of values in [0, 10), a long tail to 10^6
+    rows = [(i, i % 10 if i % 20 != 0 else (i * 997) % 1_000_000, i % 100)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, skewed long, uniform long")
+
+    lin = _bucketize(df, ["skewed"], bits=8, bucketing="linear")
+    qnt = _bucketize(df, ["skewed"], bits=8, bucketing="quantile")
+    # linear: the dense 95% of rows collapse into ONE bucket (values
+    # 0..9 over a 10^6 domain all floor to bucket 0) — that dim then
+    # contributes no skip bits for most of the data
+    lin_top = lin.groupBy("__z_skewed").count().agg(F.max("count")).head()[0]
+    assert lin_top >= 2000 * 0.9, f"expected dense collapse, top={lin_top}"
+    # quantile: equal-depth — no bucket holds even half the rows
+    qnt_top = qnt.groupBy("__z_skewed").count().agg(F.max("count")).head()[0]
+    assert qnt_top < 2000 * 0.5, f"quantile bucket too heavy: {qnt_top}"
+
+    # end-to-end: quantile bucketing subdivides the DENSE region, so a
+    # predicate inside it (skewed <= 2) prunes dense row groups; under
+    # linear bucketing every dense row maps to bucket 0 and each dense
+    # row group spans the whole 0..9 mass — nothing inside it prunes
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def dense_spans(d):
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("skewed")
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(idx).statistics
+                if st.max < 10:  # dense-only row group
+                    spans.append((st.min, st.max))
+        return spans
+
+    qdir, ldir = str(tmp_path / "qz"), str(tmp_path / "lz")
+    for d, mode_ in ((qdir, "quantile"), (ldir, "linear")):
+        write_zordered_parquet(
+            df, d, ["skewed", "uniform"], bits=8, num_files=4,
+            max_records_per_file=200, bucketing=mode_,
+        )
+    q_spans, l_spans = dense_spans(qdir), dense_spans(ldir)
+    assert len(q_spans) >= 4 and len(l_spans) >= 4
+    # linear: dense row groups span ~the full dense mass
+    assert sorted(b - a for a, b in l_spans)[len(l_spans) // 2] >= 8
+    # quantile: dense row groups are subdivided — narrower spans, and
+    # some groups sit entirely above the skewed<=2 predicate (prunable)
+    assert sorted(b - a for a, b in q_spans)[len(q_spans) // 2] < 8
+    assert any(a > 2 for a, _ in q_spans)
