@@ -464,3 +464,54 @@ def dequantize_int8(q_col: str = "q", scale_col: str = "scale") -> Column:
     Returns a Column expression over the ``q``/``scale`` columns that
     :func:`quantize_int8` emits — select it on that frame."""
     return F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col))
+
+
+def projection_coefficients(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic integer projection matrix: entry (i, j) is the
+    first md5 nibble of ``"{i}:{j}"`` minus 8 — small integers in
+    [-8, 7], reproducible on any engine/run with no RNG state. Integer
+    entries follow Achlioptas (JCSS 2003): database-friendly random
+    projections don't need Gaussian entries, sparse integer matrices
+    preserve distances within the same Johnson–Lindenstrauss bounds."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16) - 8
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    vector through the deterministic integer matrix of
+    :func:`projection_coefficients` (64 → 16 dims = 4× smaller ANN
+    index / shuffle payload, distances preserved to JL distortion).
+
+    Each output component is a fixed-order fold ``Σ_j v_j * c_ij``
+    (``zip_with`` + ``aggregate`` — array order IS the summation
+    order), so the doubles are bit-identical across engines and the
+    driver hash-gates the result exactly: no rounding fudge. The
+    coefficients are plan-time constants (KBs) shipped in the task
+    closure — a map-side-only stage, zero shuffles, no Python."""
+    coeffs = projection_coefficients(out_dim, in_dim)
+    v = F.col(vec_col).cast("array<double>")
+    outs = []
+    for i, row in enumerate(coeffs):
+        carr = F.array(*[F.lit(c) for c in row])
+        outs.append(
+            F.aggregate(
+                F.zip_with(v, carr, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"proj_{i:02d}")
+        )
+    return emb.select(F.col(id_col), *outs)

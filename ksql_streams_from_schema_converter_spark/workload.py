@@ -4677,3 +4677,81 @@ def vocab_coverage_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _random_projection_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
+    from .operators.similarity import projection_coefficients
+
+    coeffs = projection_coefficients(out_dim, in_dim)
+    cols = []
+    for i, row in enumerate(coeffs):
+        carr = "[" + ", ".join(str(c) for c in row) + "]"
+        cols.append(
+            f"list_reduce(list_transform(generate_series(1, {in_dim}), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * ({carr})[j]), "
+            f"(acc, x) -> acc + x) AS proj_{i:02d}"
+        )
+    sep = ",\n           "
+    return f"""
+    SELECT vec_id,
+           {sep.join(cols)}
+    FROM embeddings
+    """
+
+
+@query("embedding_random_projection", _random_projection_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 16 dims over the
+    embeddings table (Achlioptas-style integer coefficients, fixed-order
+    folds — see operators/similarity.random_projection). Hash-gated
+    exactly: every double is the same fixed-order IEEE sum on both
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.random_projection(emb, out_dim=16, in_dim=64)
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` evicts each key's state once the
+    watermark passes it — the knob plain streaming ``dropDuplicates``
+    lacks (its state grows with every distinct key forever; this one
+    is O(keys within the lag horizon), the 100 TB configuration for
+    dedup over an unbounded redelivering source). The source is the
+    event stream unioned with itself — every record delivered twice —
+    and the drained result must equal the batch-distinct event set
+    exactly (redeliveries land inside the horizon by construction)."""
+    import uuid
+
+    from .sources.parquet import stream_table
+
+    def one():
+        return stream_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.col("ts").cast("timestamp").alias("wm_ts"),
+        )
+
+    doubled = one().union(one())
+    deduped = (
+        doubled.withWatermark("wm_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
