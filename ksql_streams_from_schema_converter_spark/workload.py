@@ -4755,3 +4755,42 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+@query(
+    "lateral_top_orders_per_nation",
+    """
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n
+    JOIN LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 2
+    ) t ON true
+    """,
+)
+def lateral_top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    supported by Spark SQL since 3.2) through the raw-SQL surface: the
+    top-2 orders by price for every nation. Catalyst decorrelates the
+    lateral into a window-rank plan — same execution as the idiomatic
+    DataFrame top-k, so this gate proves the modern-SQL entry point
+    yields the scalable plan, not a per-row re-execution."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("__lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM __lat_nation n
+        JOIN LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM __lat_orders o JOIN __lat_customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t ON true
+        """
+    )

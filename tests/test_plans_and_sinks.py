@@ -668,3 +668,13 @@ def test_quantile_bucketing_spreads_skewed_column(spark, tmp_path):
     # some groups sit entirely above the skewed<=2 predicate (prunable)
     assert sorted(b - a for a, b in q_spans)[len(q_spans) // 2] < 8
     assert any(a > 2 for a, _ in q_spans)
+
+
+def test_lateral_join_decorrelates_to_window(spark):
+    """The correlated LATERAL top-k must decorrelate into a window-rank
+    + hash-join plan — never a per-outer-row nested-loop re-execution."""
+    fn, _ = WORKLOAD["lateral_top_orders_per_nation"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
