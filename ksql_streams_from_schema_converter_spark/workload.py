@@ -4794,3 +4794,42 @@ def lateral_top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         ) t ON true
         """
     )
+
+
+def _synth_cdc_oracle(rows: int = 2000, lo: int = 500) -> str:
+    nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    amount = " + ".join(f"{nib.format(p=p)} * {16 ** (5 - p)}" for p in range(2, 6))
+    return f"""
+    WITH g AS (
+      SELECT i AS seq, md5(CAST(i AS VARCHAR)) AS h
+      FROM generate_series({lo}, {rows - 1}) t(i)
+    )
+    SELECT seq,
+           'R' || substr(h, 1, 8) AS recid,
+           CASE WHEN substr(h, 1, 1) IN ('0','1','2','3','4','5','6','7') THEN 'UPDATE'
+                WHEN substr(h, 1, 1) IN ('8','9','a','b') THEN 'INSERT'
+                ELSE 'DELETE' END AS op,
+           CAST({amount} AS BIGINT) AS amount
+    FROM g
+    """
+
+
+@query("python_datasource_cdc", _synth_cdc_oracle())
+def python_datasource_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 DataSource V2 Python API,
+    `sources/pydatasource.py`): a broker-free synthetic CDC connector
+    with real connector mechanics — schema declaration, partition
+    planning (8 parallel ranges), predicate pushdown absorbed AT the
+    source (the ``seq >= 500`` filter shrinks what gets generated, not
+    what gets discarded), and Arrow-batched record production. The
+    md5-deterministic records let DuckDB reproduce the stream exactly,
+    so this connector is hash-gated like any table."""
+    from .sources.pydatasource import register
+
+    register(spark)
+    return (
+        spark.read.format("t24_synth_cdc")
+        .option("rows", "2000")
+        .load()
+        .where(F.col("seq") >= 500)
+    )
