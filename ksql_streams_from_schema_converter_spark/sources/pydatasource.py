@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 _SCHEMA = "seq BIGINT, recid STRING, op STRING, amount BIGINT"
@@ -123,6 +124,9 @@ class SyntheticCdcDataSource(DataSource):
     def reader(self, schema) -> SyntheticCdcReader:
         return SyntheticCdcReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticCdcStreamReader":
+        return SyntheticCdcStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the data source on a session, enabling
@@ -134,3 +138,32 @@ def register(spark) -> None:
         spark.dataSource.register(SyntheticCdcDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+class SyntheticCdcStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed streaming side of the same connector: the offset
+    is ``{"seq": N}`` (next unread sequence number), each micro-batch
+    emits up to ``batchrows`` records, and ``readBetweenOffsets``
+    regenerates any committed range deterministically — which is what
+    makes restart recovery exact (same property a Kafka offset range
+    has). The Simple reader variant generates on the driver and is the
+    right fit for a low-throughput CDC trickle; a partition-planned
+    ``DataSourceStreamReader`` is the high-throughput escalation."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", "1000"))
+        self.batch_rows = int(options.get("batchrows", "250"))
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        lo = int(start["seq"])
+        hi = min(lo + self.batch_rows, self.rows)
+        return iter([cdc_row(i) for i in range(lo, hi)]), {"seq": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([cdc_row(i) for i in range(int(start["seq"]), int(end["seq"]))])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up — generation is stateless

@@ -4833,3 +4833,37 @@ def python_datasource_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .where(F.col("seq") >= 500)
     )
+
+
+@query("python_datasource_cdc_stream", _synth_cdc_oracle(rows=2000, lo=0))
+def python_datasource_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME custom connector read as a STREAM: the Simple
+    stream-reader variant (`sources/pydatasource.py`
+    `SyntheticCdcStreamReader`) manages `{"seq": N}` offsets and
+    regenerates committed ranges deterministically on restart
+    (`readBetweenOffsets` — the Kafka-offset-range property). Drained
+    here in one availableNow batch and hash-gated against the same
+    md5-derivation oracle as the batch connector; incremental
+    multi-batch offset progression across checkpointed restarts is
+    proven in `test_pydatasource.py`."""
+    import uuid
+
+    from .sources.pydatasource import register
+
+    register(spark)
+    src = (
+        spark.readStream.format("t24_synth_cdc")
+        .option("rows", "2000")
+        .option("batchrows", "2000")
+        .load()
+    )
+    name = f"pycdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -87,3 +87,38 @@ def test_filter_prunes_at_source_not_after(spark):
     # the source consumed it during pushFilters
     assert "1500" not in plan
     assert "op#" in plan.split("Filter", 1)[1].split("BatchScan", 1)[0]
+
+
+def test_stream_reader_advances_offsets_across_restarts(spark, tmp_path):
+    """Successive availableNow runs against ONE checkpoint must resume
+    from the committed offset: each run drains exactly the next
+    batchrows-sized range, no row is duplicated or skipped, and the
+    union after three runs is the full prefix — the Kafka-style
+    exactly-once offset contract, held by a Python connector."""
+    register(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    for expected_total in (40, 80, 100):  # rows=100, batchrows=40
+        src = (
+            spark.readStream.format("t24_synth_cdc")
+            .option("rows", "100")
+            .option("batchrows", "40")
+            .load()
+        )
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == expected_total
+    seqs = sorted(r.seq for r in spark.read.parquet(out).select("seq").collect())
+    assert seqs == list(range(100))
+    rows = {r.seq: (r.seq, r.recid, r.op, r.amount)
+            for r in spark.read.parquet(out).collect()}
+    for i in (0, 39, 40, 99):
+        assert rows[i] == cdc_row(i)
