@@ -67,7 +67,8 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: orc_source_roundtrip, partitioned_parquet_pruning, bm25_top_docs,
 #: vocab_coverage_top100, embedding_random_projection,
 #: streaming_dedup_within_watermark, lateral_top_orders_per_nation,
-#: python_datasource_cdc, python_datasource_cdc_stream.
+#: python_datasource_cdc, python_datasource_cdc_stream,
+#: variant_shred_extract.
 DRIVER_WINDOW_R3: tuple[str, ...] = (
     "json_props_extract",
     "grouping_sets_orders",

@@ -4867,3 +4867,56 @@ def python_datasource_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+@query(
+    "variant_shred_extract",
+    """
+    WITH built AS (
+      SELECT event_id,
+             CASE WHEN event_id % 41 = 0 THEN '{broken'
+                  ELSE '{"meta":{"type":"' || event_type || '","uid":' ||
+                       CAST(user_id AS VARCHAR) || '},"k":' ||
+                       json_extract_string(props, '$.k') || '}'
+             END AS js
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN json_valid(js) THEN json_extract_string(js, '$.meta.type') END AS vtype,
+           CASE WHEN json_valid(js) THEN CAST(json_extract(js, '$.meta.uid') AS BIGINT) END AS vuid,
+           CASE WHEN json_valid(js) THEN CAST(json_extract(js, '$.k') AS BIGINT) END AS vk,
+           NOT json_valid(js) AS invalid
+    FROM built
+    """,
+)
+def variant_shred_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing via the VARIANT type (Spark 4 / the
+    open variant binary encoding): a nested JSON document — built
+    deterministically from the event columns, with a corrupt document
+    planted every 41st event — is parsed ONCE with ``try_parse_json``
+    (NULL on corrupt input, never a crash: the ingest contract) and
+    fields come out through typed ``variant_get`` paths. Versus
+    per-path ``get_json_object`` (`json_props_extract`), the document
+    is parsed once into the binary variant encoding and each
+    extraction is a path walk, not a re-parse — the semi-structured
+    scan layout for 100 TB event lakes."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.when(F.col("event_id") % 41 == 0, F.lit("{broken")).otherwise(
+        F.concat(
+            F.lit('{"meta":{"type":"'),
+            F.col("event_type"),
+            F.lit('","uid":'),
+            F.col("user_id").cast("string"),
+            F.lit('},"k":'),
+            F.get_json_object("props", "$.k"),
+            F.lit("}"),
+        )
+    )
+    v = F.try_parse_json(js)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+        F.variant_get(v, "$.meta.uid", "bigint").alias("vuid"),
+        F.variant_get(v, "$.k", "bigint").alias("vk"),
+        v.isNull().alias("invalid"),
+    )

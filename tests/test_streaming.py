@@ -74,3 +74,43 @@ def test_restart_from_checkpoint_never_reprocesses(spark):
     after = spark.read.parquet(out_dir)
     # batch-1 rows appear exactly once; only c-3 was processed on restart.
     assert sorted(r.RECID for r in after.collect()) == ["C-1", "C-1", "C-2", "C-3"]
+
+
+def test_statestore_reader_exposes_aggregation_state(spark, tmp_path):
+    """The state-store data source (Spark 4 `statestore` format) must
+    read a checkpointed streaming aggregation's live state: per-key
+    counts in the store equal the batch groupBy — the observability
+    surface for debugging stateful streams without replaying them."""
+    from pyspark.sql import functions as F
+
+    from ksql_streams_from_schema_converter_spark.sources.parquet import (
+        load_table,
+        stream_table,
+    )
+
+    ck = str(tmp_path / "ckpt")
+    q = (
+        stream_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("ss_agg_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.read.format("statestore").load(ck)
+    got = {
+        r["key"]["event_type"]: r["value"]["count"]
+        for r in state.collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
