@@ -35,6 +35,9 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 _SCHEMA = "seq BIGINT, recid STRING, op STRING, amount BIGINT"
@@ -129,15 +132,16 @@ class SyntheticCdcDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the data source on a session, enabling
+    """Idempotently register both data sources on a session, enabling
     Python-source filter pushdown (runtime conf; off by default in
     Spark 4 — without it a reader implementing ``pushFilters`` is
     rejected outright)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        spark.dataSource.register(SyntheticCdcDataSource)
-    except Exception:
-        pass  # already registered on this session
+    for ds in (SyntheticCdcDataSource, ManifestJsonlDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass  # already registered on this session
 
 
 class SyntheticCdcStreamReader(SimpleDataSourceStreamReader):
@@ -167,3 +171,123 @@ class SyntheticCdcStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing external to clean up — generation is stateless
+
+
+# ---------------------------------------------------------------------------
+# Write side: a manifest-committed JSONL sink (format "manifest_jsonl")
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class _ManifestWriterBase:
+    """Shared task-side write: each task streams its rows to a uniquely
+    named JSONL part file and reports it in a commit message. Files are
+    INVISIBLE until the driver-side commit lists them in the manifest —
+    readers resolve the manifest first, so a task retried after a
+    partial write leaves only an unreferenced orphan, never duplicate
+    visible rows. This is the published-manifest pattern object-store
+    tables (Iceberg/Delta commit logs) are built on, reduced to its
+    core."""
+
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+        part = os.path.join(self.path, "data", f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.fields, row))) + "\n")
+                n += 1
+        return _FileCommit(path=part, rows=n)
+
+
+class ManifestJsonlWriter(_ManifestWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(
+                ({"path": m.path, "rows": m.rows} for m in messages if m),
+                key=lambda d: d["path"],
+            )
+        }
+        tmp = os.path.join(self.path, ".manifest.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))  # atomic publish
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class ManifestJsonlStreamWriter(_ManifestWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {
+            "batch": batchId,
+            "files": sorted(
+                ({"path": m.path, "rows": m.rows} for m in messages if m),
+                key=lambda d: d["path"],
+            ),
+        }
+        tmp = os.path.join(self.path, f".manifest-{batchId}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        # keyed by batchId: a replayed batch REPLACES its own manifest —
+        # the idempotence that turns at-least-once retries exactly-once
+        os.replace(tmp, os.path.join(self.path, f"manifest-{batchId}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class ManifestJsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> ManifestJsonlWriter:
+        return ManifestJsonlWriter(self.options, schema)
+
+    def streamWriter(self, schema, overwrite: bool) -> ManifestJsonlStreamWriter:
+        return ManifestJsonlStreamWriter(self.options, schema)
+
+
+def manifested_files(path: str) -> list[str]:
+    """Resolve the visible file set: batch manifest plus every
+    committed streaming batch manifest. Orphan part files (from aborted
+    or retried tasks) are ignored by construction."""
+    import glob
+    import json
+    import os
+
+    files: list[str] = []
+    for mf in sorted(
+        glob.glob(os.path.join(path, "manifest*.json"))
+    ):
+        with open(mf) as fh:
+            files.extend(f["path"] for f in json.load(fh)["files"])
+    return files

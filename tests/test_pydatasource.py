@@ -122,3 +122,84 @@ def test_stream_reader_advances_offsets_across_restarts(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     for i in (0, 39, 40, 99):
         assert rows[i] == cdc_row(i)
+
+
+def test_manifest_sink_batch_write_publishes_atomically(spark, tmp_path):
+    """The batch manifest sink: committed part files are listed in
+    manifest.json; an orphan file planted next to them stays invisible
+    to a manifest-resolved read (task-retry debris can't duplicate
+    rows)."""
+    import json
+    import os
+
+    from ksql_streams_from_schema_converter_spark.sources.files import read_jsonl
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+    from ksql_streams_from_schema_converter_spark.sources.pydatasource import (
+        manifested_files,
+    )
+
+    out = str(tmp_path / "msink")
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name"
+    )
+    register(spark)
+    nation.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    files = manifested_files(out)
+    assert files and all(os.path.exists(f) for f in files)
+    # plant retry debris: a part file NOT in any manifest
+    orphan = os.path.join(out, "data", "part-orphan.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write(json.dumps({"n_nationkey": 999, "n_name": "GHOST"}) + "\n")
+    back = read_jsonl(spark, manifested_files(out), nation.schema)
+    assert back.count() == nation.count()
+    assert back.where(F.col("n_nationkey") == 999).count() == 0
+    rows = {r.n_nationkey: r.n_name for r in back.collect()}
+    want = {r.n_nationkey: r.n_name for r in nation.collect()}
+    assert rows == want
+
+
+def test_manifest_sink_stream_commits_per_batch(spark, tmp_path):
+    """The streaming manifest sink: each micro-batch publishes its own
+    manifest-<batchId>.json; draining the synthetic CDC stream in two
+    checkpointed availableNow runs yields two batch manifests whose
+    union is exactly the generated prefix — no duplicates on restart."""
+    import glob
+
+    from ksql_streams_from_schema_converter_spark.sources.files import read_jsonl
+    from ksql_streams_from_schema_converter_spark.sources.pydatasource import (
+        cdc_row,
+        manifested_files,
+    )
+    from pyspark.sql import types as T
+
+    register(spark)
+    out = str(tmp_path / "stream_msink")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # rows=80, batchrows=40 → one batch per run
+        src = (
+            spark.readStream.format("t24_synth_cdc")
+            .option("rows", "80")
+            .option("batchrows", "40")
+            .load()
+        )
+        q = (
+            src.writeStream.format("manifest_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    assert len(glob.glob(f"{out}/manifest-*.json")) == 2
+    schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("recid", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("amount", T.LongType()),
+        ]
+    )
+    back = read_jsonl(spark, manifested_files(out), schema)
+    got = sorted((r.seq, r.recid, r.op, r.amount) for r in back.collect())
+    assert got == [cdc_row(i) for i in range(80)]
