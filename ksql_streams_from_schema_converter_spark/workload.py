@@ -4920,3 +4920,112 @@ def variant_shred_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("vk"),
         v.isNull().alias("invalid"),
     )
+
+
+@query(
+    "anomaly_zscore_events",
+    """
+    WITH v AS (
+      SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS v2 FROM events
+    ),
+    g AS (SELECT count(*) AS n, sum(v2) AS s, sum(v2 * v2) AS q FROM v)
+    SELECT event_id, v2,
+           ((n * v2 - s) * (n * v2 - s)) > 9 * (n * q - s * s) AS is_anomaly
+    FROM v, g
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier flags, EXACTLY: |z| > 3 on the event value,
+    with the z-test algebraically cleared of division and square root —
+    ``(n·x − s)² > 9(n·q − s²)`` over integer cents — so the verdict is
+    integer-exact on both engines (float mean/stddev would make the
+    boundary rows engine-dependent; Spark carries the big products in
+    DECIMAL(38,0), the oracle in int128 — same integers either way).
+    One scan + a 1-row moment aggregate broadcast back; the layout any
+    100 TB outlier sweep wants."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", F.floor(F.col("value") * 100).cast("bigint").alias("v2")
+    )
+    d38 = "decimal(38,0)"
+    g = v.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("v2").cast(d38).alias("s"),
+        F.sum((F.col("v2") * F.col("v2")).cast(d38)).alias("q"),
+    )
+    x = F.col("v2").cast(d38)
+    dev = F.col("n") * x - F.col("s")
+    return (
+        v.crossJoin(F.broadcast(g))
+        .select(
+            "event_id",
+            "v2",
+            (
+                dev * dev
+                > F.lit(9).cast(d38)
+                * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+_PROFILE_COLS = [
+    # (column, spark dtype label, duckdb min/max renderer)
+    ("o_orderkey", "bigint", "CAST({m}(o_orderkey) AS VARCHAR)"),
+    ("o_custkey", "bigint", "CAST({m}(o_custkey) AS VARCHAR)"),
+    ("o_orderstatus", "string", "{m}(o_orderstatus)"),
+    ("o_totalprice", "double", "CAST(CAST({m}(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderdate", "timestamp_ntz", "CAST(CAST({m}(o_orderdate) AS DATE) AS VARCHAR)"),
+    ("o_orderpriority", "string", "{m}(o_orderpriority)"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, dtype, render in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{c}' AS column_name, '{dtype}' AS dtype, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"{render.format(m='min')} AS min_val, "
+            f"{render.format(m='max')} AS max_val FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("dataset_profile_orders", _profile_oracle())
+def dataset_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass dataset profiler (the pre-ingest audit every
+    pipeline runs): per-column null counts and rendered min/max for the
+    whole orders table in ONE aggregate over ONE scan — 3 aggregates
+    per column fused into a single partial-agg shuffle, then `stack`
+    pivots the 1-row result into the per-column report. Never N scans
+    or N shuffles for N columns; at 100 TB the profile costs exactly
+    one pass. Renderings are type-aware and engine-exact (decimals for
+    doubles, DATE for the midnight timestamps)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def render(c: str, dtype: str, m):
+        v = m(c)
+        if dtype == "double":
+            return v.cast("decimal(18,2)").cast("string")
+        if dtype == "timestamp_ntz":
+            return v.cast("date").cast("string")
+        return v.cast("string")
+
+    aggs = []
+    for c, dtype, _ in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__n_{c}"),
+            render(c, dtype, F.min).alias(f"__min_{c}"),
+            render(c, dtype, F.max).alias(f"__max_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = []
+    for c, dtype, _ in _PROFILE_COLS:
+        stack_args += [f"'{c}'", f"'{dtype}'", f"__n_{c}", f"__min_{c}", f"__max_{c}"]
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) "
+        "AS (column_name, dtype, n_nulls, min_val, max_val)"
+    )

@@ -678,3 +678,27 @@ def test_lateral_join_decorrelates_to_window(spark):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anomaly_zscore_flags_tail_not_bulk(spark):
+    """The exact z-test must flag the distribution's tail (values far
+    above the mean) and nothing near it — non-vacuous on the
+    exponential-ish synthetic values."""
+    fn, _ = WORKLOAD["anomaly_zscore_events"]
+    out = fn(spark, SF_DIR)
+    flagged = out.where("is_anomaly")
+    assert flagged.count() > 0
+    # every flagged value sits above every unflagged value's |dev|:
+    # with a right-skewed positive distribution the flags are the max tail
+    min_flagged = flagged.agg(F.min("v2")).head()[0]
+    max_unflagged = out.where(~F.col("is_anomaly")).agg(F.max("v2")).head()[0]
+    assert min_flagged > max_unflagged
+
+
+def test_profile_is_one_scan_one_shuffle(spark):
+    """The profiler must fold all per-column stats into a single
+    aggregate: one scan, one exchange — never a pass per column."""
+    fn, _ = WORKLOAD["dataset_profile_orders"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan") == 1
