@@ -75,28 +75,20 @@ def chunk_exact_dedup(
     single-pass layout that survives 100 TB.) A skewed key — one
     boilerplate chunk repeated across the corpus — lands its triples on
     one reducer; triples are 28 bytes, so even a 10⁸-dup chunk is
-    ~3 GB, inside executor memory, and AQE splits further if needed."""
+    ~3 GB, inside executor memory, and AQE splits further if needed.
+
+    The chunk layout itself (tokenize → guarded sequence → explode →
+    slice, non-overlapping) is :func:`..text.chunk_documents` with
+    ``overlap=0`` — ONE copy of the layout spec, so a guard or stride
+    fix there cannot drift from the dedup path."""
     from pyspark.sql import Window
 
-    from .text import tokens
+    from .text import chunk_documents
 
-    toked = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
-    n_chunks = F.ceil(F.size("__t") / F.lit(float(chunk_tokens))).cast("int")
-    chunks = toked.select(
-        id_col,
-        "__t",
-        F.explode(
-            F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1))
-        ).alias("chunk_idx"),
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=0, text_col=text_col, id_col=id_col
     ).select(
-        F.col(id_col),
-        "chunk_idx",
-        F.md5(
-            F.array_join(
-                F.slice("__t", F.col("chunk_idx") * chunk_tokens + 1, chunk_tokens),
-                " ",
-            )
-        ).alias("chunk_fp"),
+        F.col(id_col), "chunk_idx", F.md5(F.col("chunk_text")).alias("chunk_fp")
     )
     w = Window.partitionBy("chunk_fp").orderBy(id_col, "chunk_idx")
     return chunks.select(

@@ -97,6 +97,12 @@ def check(
             .select(F.lit(label).alias("rule"), "n_violations")
         )
         parts.append(dup_rows)
+    if not parts:
+        # no rules and no keys (e.g. empty per-table config): a valid,
+        # empty report — not a crash
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_violations bigint"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

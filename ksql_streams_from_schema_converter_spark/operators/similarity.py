@@ -105,6 +105,30 @@ def assign_cells(df: DataFrame, centroids: list[list[float]], nprobe: int = 1,
     return df.mapInPandas(score, schema=out_schema)
 
 
+def training_sample(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 512,
+    at_least: int = 1,
+):
+    """Collect the deterministic quantizer-training sample ONCE (the
+    ``train_sample`` lowest-id vectors) as a numpy matrix, shared by
+    IVF and PQ training — at corpus scale the id-ordered head is the
+    dominant trainer setup cost, so it must not run per trainer."""
+    import numpy as np
+
+    rows = (
+        emb.select(
+            F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy("i")
+        .limit(max(train_sample, at_least))
+        .collect()
+    )
+    return np.stack([np.asarray(r.v, dtype="float64") for r in rows])
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_cells: int = 16,
@@ -112,6 +136,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_sample: int = 512,
+    sample=None,
 ) -> list[list[float]]:
     """Train an IVF coarse quantizer on a deterministic sample: collect
     the ``train_sample`` lowest-id vectors (ONE small job — a quantizer
@@ -121,16 +146,15 @@ def train_ivf_centroids(
     the whole procedure is exactly reproducible across partitionings.
     At 100 TB swap the id-ordered head for ``emb.sample(fraction,
     seed)`` — still one tiny collect; everything downstream is
-    unchanged."""
+    unchanged. Pass ``sample`` (from :func:`training_sample`) to share
+    one collected sample across trainers."""
     import numpy as np
 
-    rows = (
-        emb.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy("i")
-        .limit(max(train_sample, n_cells))
-        .collect()
+    x = (
+        sample
+        if sample is not None
+        else training_sample(emb, vec_col, id_col, train_sample, at_least=n_cells)
     )
-    x = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
     xnorm = np.linalg.norm(x, axis=1, keepdims=True)
     xn = x / np.where(xnorm == 0, 1.0, xnorm)
     centroids = x[:n_cells].copy()
@@ -293,6 +317,7 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_sample: int = 512,
+    sample=None,
 ):
     """Train product-quantization codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011 §II): split
@@ -300,16 +325,16 @@ def train_pq_codebooks(
     ``ksub`` centroids on a deterministic sample (ONE tiny collect —
     same training policy as :func:`train_ivf_centroids`; FAISS trains
     PQ on a sample too). Returns an ``m × ksub × dsub`` nested list,
-    rounded to 9 decimals for cross-partitioning reproducibility."""
+    rounded to 9 decimals for cross-partitioning reproducibility.
+    Pass ``sample`` (from :func:`training_sample`) to share one
+    collected sample across trainers."""
     import numpy as np
 
-    rows = (
-        emb.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy("i")
-        .limit(max(train_sample, ksub))
-        .collect()
+    x = (
+        sample
+        if sample is not None
+        else training_sample(emb, vec_col, id_col, train_sample, at_least=ksub)
     )
-    x = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -396,8 +421,13 @@ def knn_ivf_pq(
     Same output shape as :func:`knn_bruteforce`; recall < 1 by design
     (rows-only correctness check; recall gated in pytest against the
     planted-cluster ground truth)."""
-    centroids = train_ivf_centroids(emb, n_cells, 1, vec_col, id_col)
-    codebooks = train_pq_codebooks(emb, m, ksub, 2, vec_col, id_col)
+    # ONE collected sample feeds both trainers (identical deterministic
+    # head either way; the global-sort job is the setup cost at scale)
+    sample = training_sample(
+        emb, vec_col, id_col, at_least=max(n_cells, ksub)
+    )
+    centroids = train_ivf_centroids(emb, n_cells, 1, vec_col, id_col, sample=sample)
+    codebooks = train_pq_codebooks(emb, m, ksub, 2, vec_col, id_col, sample=sample)
     base = pq_encode(
         assign_cells(
             emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")),

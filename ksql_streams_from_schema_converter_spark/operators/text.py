@@ -311,24 +311,35 @@ def gopher_quality_flags(
     100 TB this is a pure scan→filter stage that pushes the kept-doc
     projection straight into the parquet scan."""
     toks = tokens(text_col)
-    n_tok = F.size(toks)
+    # NULL-guard the verdict (same contract as c4_clean/ngrams): a NULL
+    # document must land in the REJECTED partition (all flags false,
+    # n_tokens 0), not vanish from both keep and reject via NULL flags.
+    # NB size(NULL) is -1 under the ANSI-off legacy default, so the
+    # guard must test the array, not coalesce the size.
+    n_tok = F.when(toks.isNull(), F.lit(0)).otherwise(F.size(toks))
     # total non-whitespace chars == sum of token lengths (exact)
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     n_word_chars = F.length(F.regexp_replace(F.trim(c), f"[{WS_CLASS}]+", ""))
     n_alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+
+    def guarded(flag):
+        return F.coalesce(flag, F.lit(False))
+
     return docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        ((n_tok >= min_tokens) & (n_tok <= max_tokens)).alias("ok_word_count"),
-        (
+        guarded((n_tok >= min_tokens) & (n_tok <= max_tokens)).alias("ok_word_count"),
+        guarded(
             (n_word_chars >= min_mean_word_len * n_tok)
             & (n_word_chars <= max_mean_word_len * n_tok)
         ).alias("ok_mean_word_len"),
-        (punct_count(text_col) * 100 <= max_symbol_ratio_pct * n_tok).alias(
-            "ok_symbol_ratio"
+        guarded(
+            punct_count(text_col) * 100 <= max_symbol_ratio_pct * n_tok
+        ).alias("ok_symbol_ratio"),
+        guarded(stopword_count(text_col) >= min_stopwords).alias("ok_stopwords"),
+        guarded(n_alpha_toks * 100 >= min_alpha_token_pct * n_tok).alias(
+            "ok_alpha_tokens"
         ),
-        (stopword_count(text_col) >= min_stopwords).alias("ok_stopwords"),
-        (n_alpha_toks * 100 >= min_alpha_token_pct * n_tok).alias("ok_alpha_tokens"),
     ).select(
         id_col,
         "n_tokens",
@@ -351,7 +362,11 @@ def gopher_quality_flags(
 # containing these substrings are dropped outright. Frozen so the
 # oracle SQL embeds the identical list.
 C4_BLOCKLIST = ["javascript", "lorem ipsum", "{"]
-C4_TERMINAL_RE = "[.!?\"']$"
+# \z (absolute end), NOT $: Java's non-MULTILINE $ matches before a
+# final line terminator, so a CRLF document's "line.\r" would pass in
+# Spark but fail in the RE2/Python twins ($ there is end-of-text) —
+# exactly the cross-engine divergence class WS_CLASS exists to prevent
+C4_TERMINAL_RE = "[.!?\"']\\z"
 
 
 def c4_line_keep(line: Column, min_words: int = 5) -> Column:

@@ -113,6 +113,13 @@ def zorder_key(cols: list[Column | str], bits: int = 12) -> Column:
     UDF in the layout path."""
     zcols = [F.col(c) if isinstance(c, str) else c for c in cols]
     n = len(zcols)
+    if bits * n > 63:
+        # JVM shiftleft takes the distance mod 64: positions past 63
+        # would silently wrap onto low bits and corrupt the key
+        raise ValueError(
+            f"bits({bits}) * columns({n}) = {bits * n} exceeds the 63 "
+            "usable bits of a long; lower bits or cluster fewer columns"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(zcols):
@@ -152,11 +159,13 @@ def _bucketize(
     if bucketing != "quantile":
         raise ValueError(f"unknown bucketing: {bucketing!r}")
     probs = [i / (top + 1) for i in range(1, top + 1)]
+    # ONE sketch pass computes every column's boundaries (approxQuantile
+    # takes a column list) — the docstring's "one extra sampled pass"
+    all_bounds = df.approxQuantile(list(cols), probs, 0.001)
     out = df
-    for c in cols:
+    for c, bounds in zip(cols, all_bounds):
         # interior boundaries; duplicates (massive ties) are fine — the
         # fold counts boundaries strictly below the value
-        bounds = df.approxQuantile(c, probs, 0.001)
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         out = out.withColumn(
             f"__z_{c}",

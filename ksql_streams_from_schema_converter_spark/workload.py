@@ -780,19 +780,25 @@ corpus AS (
 """
 
 
-def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    near = (
-        docs.where(F.col("doc_id") < 25)
-        .select(
-            (F.col("doc_id") + 10000).alias("doc_id"),
-            F.regexp_replace("text", r"^[^ \t\n\f\r]+[ \t\n\f\r]*", "").alias("text"),
-        )
+def _plant_dups(docs: DataFrame) -> DataFrame:
+    """Plant the corpus duplicates (+10000 near-dups with the first
+    token dropped, +20000 exact copies, both over doc_id < 25) — the
+    ONE copy of the planting spec `_CORPUS_CTE` mirrors, applied to a
+    batch or streaming (doc_id, text) frame alike."""
+    near = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ \t\n\f\r]+[ \t\n\f\r]*", "").alias("text"),
     )
     exact = docs.where(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 20000).alias("doc_id"), "text"
     )
     return docs.union(near).union(exact)
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _plant_dups(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
 
 @query(
@@ -4057,15 +4063,8 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.parquet import stream_table
 
     src = stream_table(spark, sf_dir, "documents").select("doc_id", "text")
-    near = src.where(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
-        F.regexp_replace("text", r"^[^ \t\n\f\r]+[ \t\n\f\r]*", "").alias("text"),
-    )
-    exact = src.where(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 20000).alias("doc_id"), "text"
-    )
     deduped = (
-        src.union(near).union(exact)
+        _plant_dups(src)
         .select(fingerprint("text").alias("fp"))
         .dropDuplicates(["fp"])
     )

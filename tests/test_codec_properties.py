@@ -151,7 +151,7 @@ def test_gopher_flags_match_python_reference(spark, texts):
 # ---------------------------------------------------------------------------
 
 line_text = st.text(
-    alphabet=string.ascii_lowercase + " .!?{j", min_size=0, max_size=60
+    alphabet=string.ascii_lowercase + " .!?{j\r", min_size=0, max_size=60
 )
 
 

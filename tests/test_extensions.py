@@ -431,3 +431,19 @@ def test_substring_dup_stats_planted(corpus):
         F.size(F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+"))
     ).head()[0]
     assert row.n_windows == n_tok - 7
+
+
+def test_gopher_null_text_lands_in_reject_partition(spark):
+    """A NULL document must come out with all flags false (rejected),
+    not vanish from both keep and reject via NULL verdicts — the same
+    dirty-row contract as c4_clean."""
+    from ksql_streams_from_schema_converter_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    flags = gopher_quality_flags(
+        spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    )
+    row = flags.head()
+    assert row.n_tokens == 0 and row.keep is False
+    assert flags.where("keep").count() + flags.where("NOT keep").count() == 1

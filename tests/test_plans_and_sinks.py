@@ -702,3 +702,16 @@ def test_profile_is_one_scan_one_shuffle(spark):
     plan = physical_plan(fn(spark, SF_DIR))
     assert plan.count("Exchange") == 1
     assert plan.count("FileScan") == 1
+
+
+def test_zorder_rejects_bit_overflow(spark):
+    """bits × columns beyond a long's 63 usable bits must raise, not
+    silently wrap (JVM shiftleft is mod-64) into a corrupt key."""
+    import pytest
+
+    from ksql_streams_from_schema_converter_spark.plans.sink import zorder_key
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(["a", "b", "c", "d", "e", "f"], bits=12)
+    # within budget is fine
+    zorder_key(["a", "b", "c"], bits=21)
