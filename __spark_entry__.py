@@ -68,7 +68,8 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: vocab_coverage_top100, embedding_random_projection,
 #: streaming_dedup_within_watermark, lateral_top_orders_per_nation,
 #: python_datasource_cdc, python_datasource_cdc_stream,
-#: variant_shred_extract, anomaly_zscore_events, dataset_profile_orders.
+#: variant_shred_extract, anomaly_zscore_events, dataset_profile_orders,
+#: map_functions_showcase.
 DRIVER_WINDOW_R3: tuple[str, ...] = (
     "json_props_extract",
     "grouping_sets_orders",

@@ -5028,3 +5028,43 @@ def dataset_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) "
         "AS (column_name, dtype, n_nulls, min_val, max_val)"
     )
+
+
+@query(
+    "map_functions_showcase",
+    """
+    SELECT event_id,
+           event_type AS type_val,
+           2 AS n_keys,
+           array_to_string(list_sort([upper(event_type), CAST(user_id AS VARCHAR)]), ',') AS upper_vals,
+           1 AS n_type_entries,
+           'type=' || event_type AS first_entry
+    FROM events
+    """,
+)
+def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type + higher-order map function coverage (map_from_arrays,
+    element_at, map_values/transform, map_filter, map_entries — the
+    §2.5 gap family's map corner): a per-event map is built, probed,
+    value-transformed, key-filtered and entry-exploded, and every
+    result is checked against its relational derivation in the oracle.
+    All map ops run inside codegen on the map struct — no shuffle, no
+    Python."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("uid")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    entries = F.array_sort(F.map_entries(m))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(
+            F.array_sort(F.transform(F.map_values(m), F.upper)), ","
+        ).alias("upper_vals"),
+        F.size(F.map_filter(m, lambda k, v: k == "type")).alias("n_type_entries"),
+        F.concat(
+            entries[0]["key"], F.lit("="), entries[0]["value"]
+        ).alias("first_entry"),
+    )
