@@ -19,6 +19,15 @@ the column's scale ("904045.72", "-0.50") — unlike a double round-trip,
 which would re-introduce float formatting as a failure mode. Dates print
 ISO "yyyy-MM-dd" in both engines. The driver's column-name-sorted value
 hash then sees byte-identical strings.
+
+ARRAY (round 3's red class: the driver's pandas value-hash raises
+``TypeError: unhashable type: 'list'`` before comparing anything) →
+compact JSON text via ``to_json`` on BOTH engines. Verified
+byte-identical for the boundary cases: ``[1,2,3]``, ``["x","y"]``,
+``[1,null,3]``, ``[]``, and NULL arrays (both engines emit SQL NULL).
+Element types at the driver boundary are integer/string only (asserted
+by tests/test_canon.py) — float formatting inside JSON is NOT relied
+on.
 """
 
 from __future__ import annotations
@@ -34,7 +43,8 @@ _TYPING_SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.001")
 
 
 def canonicalize_spark_output(df: DataFrame) -> DataFrame:
-    """Re-type DECIMAL/DATE columns of a final result to strings.
+    """Re-type DECIMAL/DATE columns of a final result to strings and
+    ARRAY columns to compact-JSON strings.
 
     Top-level columns only: no workload query emits nested decimals or
     dates at the driver boundary (asserted by tests/test_canon.py).
@@ -46,6 +56,9 @@ def canonicalize_spark_output(df: DataFrame) -> DataFrame:
     for f in df.schema.fields:
         if isinstance(f.dataType, (T.DecimalType, T.DateType)):
             cols.append(F.col(f.name).cast("string").alias(f.name))
+            changed = True
+        elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
             changed = True
         else:
             cols.append(F.col(f.name))
@@ -87,6 +100,11 @@ def canonicalize_oracle_sql(sql: str) -> str:
     BIGINT is the canonical form — it matches Spark's LongType sum
     exactly, and a value outside int64 fails loudly in DuckDB just as
     the Spark sum could not have produced it.
+
+    LIST/STRUCT/MAP (round-3 red class): ``to_json`` → VARCHAR, the
+    mirror of the Spark-side ``F.to_json`` — both engines emit the same
+    compact JSON text (no spaces, ``null`` for null elements, SQL NULL
+    for a null container).
     """
     typed = _duckdb_output_types(sql)
     if typed is None:
@@ -99,6 +117,11 @@ def canonicalize_oracle_sql(sql: str) -> str:
             changed = True
         elif typ in ("HUGEINT", "UHUGEINT"):
             select_list.append(f'CAST("{name}" AS BIGINT) AS "{name}"')
+            changed = True
+        elif typ.endswith("[]") or typ.startswith(("STRUCT(", "MAP(")):
+            select_list.append(
+                f'CAST(to_json("{name}") AS VARCHAR) AS "{name}"'
+            )
             changed = True
         else:
             select_list.append(f'"{name}"')

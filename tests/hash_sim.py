@@ -28,6 +28,10 @@ def _cell(v):
         raise AssertionError(f"Decimal cell survived canonicalization: {v!r}")
     if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
         raise AssertionError(f"date cell survived canonicalization: {v!r}")
+    if isinstance(v, (list, dict, tuple)):
+        # the round-3 red class: the driver's pandas value-hash dies on
+        # unhashable container cells before comparing anything
+        raise AssertionError(f"container cell survived canonicalization: {v!r}")
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, float):
