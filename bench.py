@@ -101,6 +101,31 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
         json.dump({**result, "runs": both_runs}, fh, indent=1, sort_keys=True)
     print(json.dumps(result))
+    # The driver records only the LAST 2000 stdout chars and parses what
+    # it finds there (BENCH_r03: the 130-query line overflowed the tail
+    # → parsed:null).  Emit a compact, fully-self-contained summary as
+    # the FINAL line, sized well under the tail window: headline metric
+    # plus the slowest per-query timings that fit.
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries_full": "BENCH_FULL.json",
+        "queries": {},
+    }
+    floats = sorted(
+        ((n, t) for n, t in timings.items() if isinstance(t, float)),
+        key=lambda kv: -kv[1],
+    )
+    for n, t in floats:
+        compact["queries"][n] = t
+        if len(json.dumps(compact, separators=(",", ":"))) > 1400:
+            del compact["queries"][n]
+            break
+    print(json.dumps(compact, separators=(",", ":")))
     if errors:
         print(f"bench: {len(errors)} queries errored: {sorted(errors)}", file=sys.stderr)
 

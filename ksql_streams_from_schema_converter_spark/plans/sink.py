@@ -134,7 +134,14 @@ def _bucketize(
     """Map each clustering column into integer buckets ``[0, 2^bits)``
     as ``__z_<col>`` columns — linear min/max scaling (1-row broadcast)
     or approxQuantile equi-depth boundaries (driver-side KB list,
-    folded per row with ``F.aggregate``)."""
+    folded per row with ``F.aggregate``).
+
+    NULL clustering values map to bucket 0 in BOTH modes (ADVICE r3:
+    linear's NULL arithmetic used to yield a NULL bucket → NULL Morton
+    key → one unsorted range, while quantile's fold already landed
+    NULLs at 0 with the smallest values; now they agree, and NULL rows
+    cluster with the low range where min/max footer stats still skip
+    them)."""
     top = (1 << bits) - 1
     if bucketing == "linear":
         aggs = []
@@ -146,7 +153,10 @@ def _bucketize(
             hi = F.col(f"__max_{c}").cast("double")
             span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
             scaled.append(
-                F.floor(((F.col(c).cast("double") - lo) / span) * top)
+                F.coalesce(
+                    F.floor(((F.col(c).cast("double") - lo) / span) * top),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias(f"__z_{c}")
             )

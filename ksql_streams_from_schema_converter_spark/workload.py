@@ -2668,17 +2668,59 @@ def percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_stats", None)  # sketch-based: engine-specific, rows-only
+@query(
+    "approx_stats",
+    """
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_ok,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok,
+           TRUE AS p99_ok
+    FROM lineitem
+    """,
+)
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct count, quantile sketch) —
-    the constant-memory path for 100 TB cardinality/quantile questions;
-    sketches are engine-specific so there is no cross-engine oracle."""
+    the constant-memory path for 100 TB cardinality/quantile questions.
+
+    Sketch values are engine-specific, so the cross-engine gate is on
+    ERROR BOUNDS, not values: the query computes sketch AND exact in
+    one aggregate pass and emits boolean verdicts — HLL++ relative
+    error within 3*rsd (rsd=0.05), and each approx percentile landing
+    between the exact discrete percentiles at p±0.01 (rank tolerance
+    1%, vs accuracy=10000 → guaranteed rank error ≤ 0.01%).  The
+    oracle asserts the verdicts as TRUE literals plus the exact
+    distinct count — an out-of-bounds sketch hash-mismatches, which
+    makes this a hard gate rather than rows-only."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+    price = F.col("l_extendedprice").cast("double")
+
+    def _disc(p: float):
+        return F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY cast(l_extendedprice as double))"
+        )
+
+    agg = li.agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("__hll"),
+        F.percentile_approx(price, F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000).alias("__aq"),
+        *[
+            _disc(p).alias(f"__d{tag}")
+            for p, tag in [
+                (0.49, "49"), (0.51, "51"),
+                (0.94, "94"), (0.96, "96"),
+                (0.98, "98"), (0.999, "999"),
+            ]
+        ],
+    )
+    hll_err = F.abs(F.col("__hll") - F.col("exact_parts")) / F.col("exact_parts")
+    aq = F.col("__aq")
+    return agg.select(
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        (hll_err <= F.lit(0.15)).alias("hll_ok"),
+        aq[0].between(F.col("__d49"), F.col("__d51")).alias("p50_ok"),
+        aq[1].between(F.col("__d94"), F.col("__d96")).alias("p95_ok"),
+        aq[2].between(F.col("__d98"), F.col("__d999")).alias("p99_ok"),
     )
 
 
@@ -4836,15 +4878,19 @@ def python_datasource_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("python_datasource_cdc_stream", _synth_cdc_oracle(rows=2000, lo=0))
 def python_datasource_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME custom connector read as a STREAM: the Simple
-    stream-reader variant (`sources/pydatasource.py`
-    `SyntheticCdcStreamReader`) manages `{"seq": N}` offsets and
-    regenerates committed ranges deterministically on restart
-    (`readBetweenOffsets` — the Kafka-offset-range property). Drained
-    here in one availableNow batch and hash-gated against the same
-    md5-derivation oracle as the batch connector; incremental
-    multi-batch offset progression across checkpointed restarts is
-    proven in `test_pydatasource.py`."""
+    """The SAME custom connector read as a STREAM via the
+    partition-planned `DataSourceStreamReader`
+    (`sources/pydatasource.py` `SyntheticCdcPartitionedStreamReader`):
+    the driver only does offset arithmetic (`latestOffset` →
+    `partitions`), and record production runs in EXECUTOR-side Python
+    workers as one Arrow batch per partition — per-batch throughput
+    scales with the cluster, not the driver. Offsets are `{"seq": N}`
+    and committed ranges regenerate deterministically on restart (the
+    Kafka-offset-range property). Drained here in one availableNow
+    batch and hash-gated against the same md5-derivation oracle as the
+    batch connector; executor-side reads, multi-batch progression and
+    the driver-side Simple fallback (`option("streamreader","simple")`)
+    are proven in `test_pydatasource.py`."""
     import uuid
 
     from .sources.pydatasource import register

@@ -670,6 +670,23 @@ def test_quantile_bucketing_spreads_skewed_column(spark, tmp_path):
     assert any(a > 2 for a, _ in q_spans)
 
 
+def test_bucketize_maps_nulls_to_bucket_zero_in_both_modes(spark):
+    """ADVICE r3: NULL clustering values must land in a DEFINED bucket
+    consistently — linear used to emit a NULL bucket (→ NULL Morton
+    key, one unsorted range) while quantile folded NULLs to 0. Both
+    modes now agree on bucket 0."""
+    from ksql_streams_from_schema_converter_spark.plans.sink import _bucketize
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 500), (3, None), (4, 900)], "id long, v long"
+    )
+    for mode_ in ("linear", "quantile"):
+        out = _bucketize(df, ["v"], bits=4, bucketing=mode_)
+        got = {r.id: r["__z_v"] for r in out.collect()}
+        assert got[3] == 0, f"{mode_}: NULL bucket = {got[3]!r}"
+        assert all(v is not None for v in got.values()), mode_
+
+
 def test_lateral_join_decorrelates_to_window(spark):
     """The correlated LATERAL top-k must decorrelate into a window-rank
     + hash-join plan — never a per-outer-row nested-loop re-execution."""

@@ -1,6 +1,8 @@
 """The custom Python Data Source connector: pushdown bounds, partition
 planning, Arrow batch content, and end-to-end reads."""
 
+import re
+
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     EqualTo,
@@ -82,11 +84,15 @@ def test_filter_prunes_at_source_not_after(spark):
     expected = [t for t in expected if t[2] == "DELETE"]
     assert sorted((r.seq for r in df.collect())) == [t[0] for t in expected]
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # proof of absorption: the seq >= 1500 comparison is GONE from the
-    # Spark-side Filter (only the op equality and null checks remain) —
-    # the source consumed it during pushFilters
-    assert "1500" not in plan
-    assert "op#" in plan.split("Filter", 1)[1].split("BatchScan", 1)[0]
+    # proof of absorption: the post-scan Filter keeps the op equality
+    # but contains NO seq comparison — the source consumed the bound
+    # during pushFilters.  (Asserting on the Filter node's condition,
+    # not the whole plan text: a bare "1500" can collide with plan ids.)
+    filter_cond = plan.split("Filter", 1)[1].split("BatchScan", 1)[0]
+    assert "op#" in filter_cond
+    # isnotnull(seq#..) may legitimately remain; a seq COMPARISON means
+    # the bound was not absorbed
+    assert not re.search(r"seq#\d+L?\s*(>=|<=|>|<|=)", filter_cond), filter_cond
 
 
 def test_stream_reader_advances_offsets_across_restarts(spark, tmp_path):
@@ -94,13 +100,18 @@ def test_stream_reader_advances_offsets_across_restarts(spark, tmp_path):
     from the committed offset: each run drains exactly the next
     batchrows-sized range, no row is duplicated or skipped, and the
     union after three runs is the full prefix — the Kafka-style
-    exactly-once offset contract, held by a Python connector."""
+    exactly-once offset contract, held by a Python connector.
+
+    Pinned to the SIMPLE stream reader: per-trigger throttling
+    (batchrows) is its contract; the partitioned reader drains to
+    log-end each batch (see the restart test below)."""
     register(spark)
     out = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
     for expected_total in (40, 80, 100):  # rows=100, batchrows=40
         src = (
             spark.readStream.format("t24_synth_cdc")
+            .option("streamreader", "simple")
             .option("rows", "100")
             .option("batchrows", "40")
             .load()
@@ -122,6 +133,83 @@ def test_stream_reader_advances_offsets_across_restarts(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     for i in (0, 39, 40, 99):
         assert rows[i] == cdc_row(i)
+
+
+def test_partitioned_stream_reader_runs_on_executors(spark, tmp_path):
+    """The partition-planned stream reader (the default): record
+    production must happen in executor-side Python workers, NOT on the
+    driver — each output row carries its producing PID, and none may
+    equal the driver's.  Also proves the batch is split across
+    partitions (multiple distinct worker PIDs for 4 planned chunks is
+    not guaranteed on a small pool, but partition count is)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    register(spark)
+    src = (
+        spark.readStream.format("t24_synth_cdc")
+        .option("rows", "400")
+        .option("numpartitions", "4")
+        .load()
+    )
+
+    def tag_pid(batch_iter):
+        import os as _os
+
+        for pdf in batch_iter:
+            pdf["pid"] = _os.getpid()
+            yield pdf
+
+    schema = T.StructType(
+        src.schema.fields + [T.StructField("pid", T.LongType())]
+    )
+    tagged = src.mapInPandas(tag_pid, schema=schema)
+    name = "pds_pid_probe"
+    q = (
+        tagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert len(rows) == 400
+    pids = {r.pid for r in rows}
+    assert os.getpid() not in pids, "stream records were produced on the driver"
+    assert sorted(r.seq for r in rows) == list(range(400))
+
+
+def test_partitioned_stream_resumes_from_checkpoint_when_log_grows(
+    spark, tmp_path
+):
+    """Partitioned-reader restart contract: run 1 drains the log end
+    (rows=60); after the 'log grows' to 100, a restart against the
+    same checkpoint drains EXACTLY seq 60..99 — resume comes from the
+    checkpointed offset alone (the reader is stateless), and
+    deterministic generation makes the union gap- and dup-free."""
+    register(spark)
+    out = str(tmp_path / "psink")
+    ckpt = str(tmp_path / "pckpt")
+    for log_end, expected_total in ((60, 60), (100, 100)):
+        src = (
+            spark.readStream.format("t24_synth_cdc")
+            .option("rows", str(log_end))
+            .load()
+        )
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(out).count() == expected_total
+    seqs = sorted(r.seq for r in spark.read.parquet(out).select("seq").collect())
+    assert seqs == list(range(100))
 
 
 def test_manifest_sink_batch_write_publishes_atomically(spark, tmp_path):
@@ -158,6 +246,46 @@ def test_manifest_sink_batch_write_publishes_atomically(spark, tmp_path):
     assert rows == want
 
 
+def test_manifest_sink_honors_append_and_overwrite_modes(spark, tmp_path):
+    """ADVICE r3: append must UNION prior committed rows (merge the
+    previous manifest's file list), and overwrite must replace them
+    AND delete the now-unreferenced old part files (no orphans)."""
+    import os
+
+    from ksql_streams_from_schema_converter_spark.sources.files import read_jsonl
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+    from ksql_streams_from_schema_converter_spark.sources.pydatasource import (
+        manifested_files,
+    )
+
+    out = str(tmp_path / "modes")
+    register(spark)
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name"
+    )
+    first = nation.where(F.col("n_nationkey") < 10)
+    second = nation.where(F.col("n_nationkey") >= 10)
+    first.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    first_files = set(manifested_files(out))
+    second.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    # append: union of both writes is visible
+    back = read_jsonl(spark, manifested_files(out), nation.schema)
+    assert back.count() == nation.count()
+    assert first_files < set(manifested_files(out))
+    # overwrite: only the new rows visible, prior parts deleted
+    first.write.format("manifest_jsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    visible = manifested_files(out)
+    back = read_jsonl(spark, visible, nation.schema)
+    assert back.count() == first.count()
+    data_dir = os.path.join(out, "data")
+    on_disk = {
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+    }
+    assert on_disk == set(visible), "overwrite left orphan part files"
+
+
 def test_manifest_sink_stream_commits_per_batch(spark, tmp_path):
     """The streaming manifest sink: each micro-batch publishes its own
     manifest-<batchId>.json; draining the synthetic CDC stream in two
@@ -178,6 +306,7 @@ def test_manifest_sink_stream_commits_per_batch(spark, tmp_path):
     for _ in range(2):  # rows=80, batchrows=40 → one batch per run
         src = (
             spark.readStream.format("t24_synth_cdc")
+            .option("streamreader", "simple")  # throttled: one 40-row batch/run
             .option("rows", "80")
             .option("batchrows", "40")
             .load()
