@@ -54,10 +54,11 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: the three red cells that needed the canon.py ARRAY fix
 #: (embedding_quantize_int8 and inverted_index_postings, red r03;
 #: cube_returnflag_linestatus, hash-red r01 pre-DECIMAL-canon and never
-#: re-checked).  With those 33 green, union coverage r01∪…∪r04 is
-#: 130/130 ever-checked.  The remaining 17 slots re-check one
-#: representative per family (flagship T24 pipeline, TPC-H, dedup, ANN,
-#: multimodal, streaming, text, window/pivot/asof shapes).
+#: re-checked), plus round 4's new semantic_dedup_keep and
+#: xml_source_roundtrip.  With those 35 green, union coverage
+#: r01∪…∪r04 is 132/132 ever-checked.  The remaining 15 slots re-check
+#: one representative per family (flagship T24 pipeline, TPC-H, dedup,
+#: ANN, multimodal, streaming, text, window/asof shapes).
 #: Guarded by tests/test_driver_window.py.
 DRIVER_WINDOW_R4: tuple[str, ...] = (
     # -- never driver-checked after r03 (30) --
@@ -95,7 +96,7 @@ DRIVER_WINDOW_R4: tuple[str, ...] = (
     "embedding_quantize_int8",
     "inverted_index_postings",
     "cube_returnflag_linestatus",
-    # -- per-family re-checks (17) --
+    # -- per-family re-checks (15) --
     "t24_multivalue_explode",
     "t24_xml_parse",
     "q1_pricing_summary",
@@ -109,10 +110,11 @@ DRIVER_WINDOW_R4: tuple[str, ...] = (
     "multimodal_features",
     "streaming_events_hourly",
     "asof_join_latest_event",
-    "pivot_priority_by_status",
     "window_top3_orders_per_customer",
-    "events_sessionization",
     "text_quality_score",
+    # -- added in round 4 (need their first driver rows) --
+    "semantic_dedup_keep",
+    "xml_source_roundtrip",
 )
 
 

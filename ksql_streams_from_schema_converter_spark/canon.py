@@ -32,6 +32,7 @@ on.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame
@@ -89,6 +90,7 @@ def _duckdb_output_types(sql: str) -> list[tuple[str, str]] | None:
         con.close()
 
 
+@functools.lru_cache(maxsize=None)
 def canonicalize_oracle_sql(sql: str) -> str:
     """Wrap oracle SQL so DECIMAL/DATE output columns become VARCHAR and
     HUGEINT columns become BIGINT, mirroring

@@ -351,6 +351,39 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_keep(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023): within each embedding-space bucket, keep one
+    representative per near-duplicate group and return the KEPT id
+    set.
+
+    Rule (deterministic, greedy keep-first): a vector is DROPPED iff it
+    has ANY near-duplicate (cosine ≥ ``threshold``, same hyperplane
+    bucket) with a smaller id — the smallest id of every near-dup
+    neighborhood survives.  Note this drops a vector even when its
+    smaller near-dups were themselves dropped (the paper's per-cluster
+    greedy pass has the same property); the rule is a pure EXISTS over
+    the pair set, so the oracle can replicate it exactly.
+
+    Scale: the pair discovery is :func:`embedding_near_dup_pairs` —
+    bucketed by the deterministic hyperplane sketch, never all-pairs —
+    and the drop set is ∝ duplicates, not corpus, so the final
+    ``left_anti`` join broadcasts in the common (mostly-unique) case.
+    """
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=threshold, vec_col=vec_col, id_col=id_col, n_planes=n_planes
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.select(id_col).join(drops, id_col, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

@@ -61,6 +61,32 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).orc(path)
 
 
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """Write as XML (Spark 4's built-in xml source — the spark-xml
+    package folded into core).  One ``<row>`` element per record;
+    values are XML-escaped, so text containing ``&``/``<`` round-trips.
+    The format the reference's T24 CDC payloads arrive in
+    (src/services/index.js XML column handling), here as a first-class
+    file source/sink."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: T.StructType, row_tag: str = "row"
+) -> DataFrame:
+    """Schema-explicit XML read (FAILFAST, as for JSONL/CSV: corrupt
+    elements fail loudly rather than nulling a corpus silently)."""
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "FAILFAST")
+        .format("xml")
+        .load(path)
+    )
+
+
 def write_partitioned_parquet(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

@@ -407,3 +407,25 @@ def manifested_files(path: str) -> list[str]:
         with open(mf) as fh:
             files.extend(f["path"] for f in json.load(fh)["files"])
     return files
+
+
+def vacuum_manifest(path: str) -> list[str]:
+    """Delete part files NOT referenced by any committed manifest —
+    debris from aborted writers or task retries that the manifest
+    protocol already made invisible.  Returns the deleted paths.
+
+    The object-store-table analogue of ``VACUUM``: safe to run any
+    time, because visibility is defined solely by the manifests (a
+    concurrent uncommitted writer's files are protected only once its
+    manifest lands — run vacuum when no write is in flight, the same
+    contract Delta/Iceberg VACUUM documents)."""
+    import glob
+    import os
+
+    visible = set(manifested_files(path))
+    removed = []
+    for part in glob.glob(os.path.join(path, "data", "part-*")):
+        if part not in visible:
+            os.remove(part)
+            removed.append(part)
+    return sorted(removed)

@@ -1103,6 +1103,42 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup_keep",
+    """
+    WITH planted AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> x * 2) AS embedding
+      FROM embeddings WHERE vec_id % 25 = 0),
+    un AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT * FROM planted)
+    SELECT a.vec_id
+    FROM un a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM un b
+      WHERE b.vec_id < a.vec_id
+        AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    )
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication end-to-end
+    (operators/dedup.semantic_dedup_keep): the corpus plus planted ×2
+    scaled copies of every 25th vector goes through hyperplane-bucketed
+    near-dup pair discovery, and any vector with a smaller-id near-dup
+    (cosine ≥ 0.9) is dropped.  The kept set is provably the original
+    corpus (each planted copy has its source as a smaller-id exact
+    near-dup; natural pairwise cosine tops out ≈ 0.51), which the
+    exact NOT-EXISTS DuckDB oracle reproduces.  Scale: bucketed pair
+    join — never all-pairs — and a drop set ∝ duplicates."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return D.semantic_dedup_keep(emb.unionByName(planted), threshold=0.9)
+
+
+@query(
     "multimodal_features",
     """
     SELECT doc_id,
@@ -4531,6 +4567,33 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_orc(orders, path)
     return read_orc(spark, path, orders.schema)
+
+
+@query(
+    "xml_source_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink→source roundtrip over the customer table via Spark 4's
+    built-in xml format (sources/files.write_xml/read_xml) — the wire
+    format of the reference's T24 CDC feed, proven here as a
+    first-class FILE format too (escaping, numeric typing, nulls).
+    The driver's hash gate proves value fidelity through the format,
+    as for JSONL/CSV/ORC."""
+    import os
+    import tempfile
+
+    from .sources.files import read_xml, write_xml
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = os.path.join(
+        tempfile.gettempdir(), f"xml_rt_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    write_xml(cust, path)
+    return read_xml(spark, path, cust.schema)
 
 
 @query(

@@ -349,6 +349,26 @@ def test_multimodal_frame_sample_reassembles(spark):
             assert r.frame_checksum == hashlib.md5(chunk).hexdigest()
 
 
+def test_semantic_dedup_keeps_smallest_id_per_neighborhood(spark):
+    """SemDeDup greedy rule on a controlled geometry: ids 1 and 2 are
+    the same direction (near-dups → 2 dropped), id 3 is orthogonal
+    (kept), id 4 duplicates 3 (dropped). Scaled copies share hyperplane
+    signs, so bucketed recall is exact for them."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),   # ×2 copy of 1 → dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 3.0, 0.0, 0.0]),   # ×3 copy of 3 → dropped
+        (5, [0.0, 0.0, 1.0, 0.0]),   # unique → kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r.vec_id
+        for r in D.semantic_dedup_keep(emb, threshold=0.95).collect()
+    )
+    assert kept == [1, 3, 5]
+
+
 def test_connected_components_chain_and_cliques(spark):
     # A 5-node chain (diameter 4: forces multiple propagation rounds),
     # a separate triangle, and an isolated edge.

@@ -687,6 +687,18 @@ def test_bucketize_maps_nulls_to_bucket_zero_in_both_modes(spark):
         assert all(v is not None for v in got.values()), mode_
 
 
+def test_semantic_dedup_pair_join_is_bucketed_not_all_pairs(spark):
+    """semantic_dedup_keep's pair discovery must join on the hyperplane
+    bucket (equi-join → hash/sort-merge), never a cartesian or
+    nested-loop all-pairs plan, and the final keep filter must be a
+    left-anti join."""
+    fn, _ = WORKLOAD["semantic_dedup_keep"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
 def test_lateral_join_decorrelates_to_window(spark):
     """The correlated LATERAL top-k must decorrelate into a window-rank
     + hash-join plan — never a per-outer-row nested-loop re-execution."""

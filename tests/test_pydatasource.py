@@ -246,6 +246,37 @@ def test_manifest_sink_batch_write_publishes_atomically(spark, tmp_path):
     assert rows == want
 
 
+def test_vacuum_removes_only_unreferenced_parts(spark, tmp_path):
+    """vacuum_manifest deletes orphan debris and nothing else; a
+    manifest-resolved read is identical before and after."""
+    import json
+    import os
+
+    from ksql_streams_from_schema_converter_spark.sources.files import read_jsonl
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+    from ksql_streams_from_schema_converter_spark.sources.pydatasource import (
+        manifested_files,
+        vacuum_manifest,
+    )
+
+    out = str(tmp_path / "vac")
+    register(spark)
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name"
+    )
+    nation.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    orphan = os.path.join(out, "data", "part-orphan.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write(json.dumps({"n_nationkey": 999, "n_name": "GHOST"}) + "\n")
+    removed = vacuum_manifest(out)
+    assert removed == [orphan]
+    assert not os.path.exists(orphan)
+    visible = manifested_files(out)
+    assert all(os.path.exists(f) for f in visible)
+    assert read_jsonl(spark, visible, nation.schema).count() == nation.count()
+    assert vacuum_manifest(out) == []  # idempotent
+
+
 def test_manifest_sink_honors_append_and_overwrite_modes(spark, tmp_path):
     """ADVICE r3: append must UNION prior committed rows (merge the
     previous manifest's file list), and overwrite must replace them
