@@ -2720,43 +2720,54 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the constant-memory path for 100 TB cardinality/quantile questions.
 
     Sketch values are engine-specific, so the cross-engine gate is on
-    ERROR BOUNDS, not values: the query computes sketch AND exact in
-    one aggregate pass and emits boolean verdicts — HLL++ relative
-    error within 3*rsd (rsd=0.05), and each approx percentile landing
-    between the exact discrete percentiles at p±0.01 (rank tolerance
-    1%, vs accuracy=10000 → guaranteed rank error ≤ 0.01%).  The
-    oracle asserts the verdicts as TRUE literals plus the exact
+    ERROR BOUNDS, not values: the query computes sketch AND exact
+    verification and emits boolean verdicts — HLL++ relative error
+    within 3*rsd (rsd=0.05), and each approx percentile's EXACT rank
+    within p±0.01 (vs the guaranteed rank error ≤ 1/accuracy = 1e-4).
+    Rank verification is done by conditional counting, not by exact
+    percentiles: percentile_approx returns actual order statistics, so
+    counting ``price < v`` / ``price <= v`` in a second hash-aggregate
+    pass pins v's exact rank interval — no buffer-all-values sort
+    aggregate anywhere (the percentile_disc first cut cost 10.8 s at
+    sf0.1; exact-percentile bounds still 1.9 s; this shape is three
+    map-side-combining passes, the only design that survives 100 TB).
+    The oracle asserts the verdicts as TRUE literals plus the exact
     distinct count — an out-of-bounds sketch hash-mismatches, which
     makes this a hard gate rather than rows-only."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
+    sketches = li.agg(
+        F.approx_count_distinct("l_partkey").alias("__hll"),
+        F.percentile_approx(
+            price, F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+        ).alias("__aq"),
+    )
+    ranked = li.crossJoin(F.broadcast(sketches))
+    rank_aggs = [F.count("*").alias("__n")]
+    for i in range(3):
+        v = F.col("__aq")[i]
+        rank_aggs += [
+            F.sum((price < v).cast("long")).alias(f"__lt{i}"),
+            F.sum((price <= v).cast("long")).alias(f"__le{i}"),
+        ]
+    checks = ranked.groupBy("__hll", "__aq").agg(*rank_aggs)
+    distinct = li.agg(F.count_distinct("l_partkey").alias("exact_parts"))
+    agg = distinct.crossJoin(F.broadcast(checks))
+    hll_err = F.abs(F.col("__hll") - F.col("exact_parts")) / F.col("exact_parts")
+    n = F.col("__n").cast("double")
 
-    def _disc(p: float):
-        return F.expr(
-            f"percentile_disc({p}) WITHIN GROUP (ORDER BY cast(l_extendedprice as double))"
+    def rank_ok(i: int, p: float):
+        # v's exact rank interval [lt/n, le/n] must intersect p±0.01
+        return (F.col(f"__lt{i}") / n <= F.lit(p + 0.01)) & (
+            F.col(f"__le{i}") / n >= F.lit(p - 0.01)
         )
 
-    agg = li.agg(
-        F.count_distinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey").alias("__hll"),
-        F.percentile_approx(price, F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000).alias("__aq"),
-        *[
-            _disc(p).alias(f"__d{tag}")
-            for p, tag in [
-                (0.49, "49"), (0.51, "51"),
-                (0.94, "94"), (0.96, "96"),
-                (0.98, "98"), (0.999, "999"),
-            ]
-        ],
-    )
-    hll_err = F.abs(F.col("__hll") - F.col("exact_parts")) / F.col("exact_parts")
-    aq = F.col("__aq")
     return agg.select(
         F.col("exact_parts").cast("bigint").alias("exact_parts"),
         (hll_err <= F.lit(0.15)).alias("hll_ok"),
-        aq[0].between(F.col("__d49"), F.col("__d51")).alias("p50_ok"),
-        aq[1].between(F.col("__d94"), F.col("__d96")).alias("p95_ok"),
-        aq[2].between(F.col("__d98"), F.col("__d999")).alias("p99_ok"),
+        rank_ok(0, 0.5).alias("p50_ok"),
+        rank_ok(1, 0.95).alias("p95_ok"),
+        rank_ok(2, 0.99).alias("p99_ok"),
     )
 
 

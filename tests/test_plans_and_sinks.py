@@ -670,6 +670,53 @@ def test_quantile_bucketing_spreads_skewed_column(spark, tmp_path):
     assert any(a > 2 for a, _ in q_spans)
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB skew story's runtime half: beyond explicit salting
+    (salted_agg), the session enables AQE skew-join so a hot join key
+    is SPLIT at runtime.  Proven behaviorally: a 75%-one-key join,
+    with thresholds scaled to test size, must execute as
+    SortMergeJoin(skew=true) reading from an 'AQEShuffleRead ...
+    skewed' — the same mechanism that splits a hot partition on a
+    1000-executor shuffle."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_000
+        # same QueryExecution that ran -> the AQE FINAL plan
+        plan = physical_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketize_maps_nulls_to_bucket_zero_in_both_modes(spark):
     """ADVICE r3: NULL clustering values must land in a DEFINED bucket
     consistently — linear used to emit a NULL bucket (→ NULL Morton
