@@ -54,12 +54,14 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: the three red cells that needed the canon.py ARRAY fix
 #: (embedding_quantize_int8 and inverted_index_postings, red r03;
 #: cube_returnflag_linestatus, hash-red r01 pre-DECIMAL-canon and never
-#: re-checked), plus round 4's new semantic_dedup_keep and
-#: xml_source_roundtrip.  With those 35 green, union coverage
-#: r01∪…∪r04 is 132/132 ever-checked.  The remaining 15 slots re-check
-#: one representative per family (flagship T24 pipeline, TPC-H, dedup,
-#: ANN, multimodal, streaming, text, window/asof shapes).
-#: Guarded by tests/test_driver_window.py.
+#: re-checked), plus round 4's eight new queries (semantic_dedup_keep,
+#: xml_source_roundtrip, weighted_sample_docs, histogram_price_bins,
+#: window_range_frame_trailing_revenue, fuzzy_match_levenshtein,
+#: rank_functions_showcase, streaming_foreachbatch_upsert).
+#: With those 41 green, union coverage r01∪…∪r04 is 138/138
+#: ever-checked.  The remaining 9 slots re-check one representative
+#: per family (flagship T24 pipeline, TPC-H, dedup, ANN, streaming,
+#: text, asof shapes).  Guarded by tests/test_driver_window.py.
 DRIVER_WINDOW_R4: tuple[str, ...] = (
     # -- never driver-checked after r03 (30) --
     "math_functions_showcase",
@@ -96,25 +98,25 @@ DRIVER_WINDOW_R4: tuple[str, ...] = (
     "embedding_quantize_int8",
     "inverted_index_postings",
     "cube_returnflag_linestatus",
-    # -- per-family re-checks (15) --
+    # -- per-family re-checks (9) --
     "t24_multivalue_explode",
-    "t24_xml_parse",
     "q1_pricing_summary",
-    "q6_forecast_revenue",
     "json_props_extract",
-    "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
     "knn_bruteforce_cosine",
-    "embedding_near_dup",
-    "multimodal_features",
     "streaming_events_hourly",
     "asof_join_latest_event",
-    "window_top3_orders_per_customer",
     "text_quality_score",
     # -- added in round 4 (need their first driver rows) --
     "semantic_dedup_keep",
     "xml_source_roundtrip",
+    "weighted_sample_docs",
+    "histogram_price_bins",
+    "window_range_frame_trailing_revenue",
+    "fuzzy_match_levenshtein",
+    "rank_functions_showcase",
+    "streaming_foreachbatch_upsert",
 )
 
 

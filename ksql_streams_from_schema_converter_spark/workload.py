@@ -1139,6 +1139,51 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_match_levenshtein",
+    """
+    WITH names AS (
+      SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name
+    ),
+    typos AS (
+      SELECT id + 1000000 AS id, substr(name, 1, length(name) - 1) AS name
+      FROM names
+    ),
+    un AS (SELECT * FROM names UNION ALL SELECT * FROM typos)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM un a JOIN un b
+      ON substr(a.name, 1, 4) = substr(b.name, 1, 4)
+     AND a.id < b.id
+     AND abs(length(a.name) - length(b.name)) <= 2
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (operators/fuzzy.levenshtein_pairs):
+    distinct part names plus planted last-char-dropped typos, paired
+    within (4-char-prefix, length±2) blocks at Levenshtein ≤ 2 — the
+    record-linkage primitive for dirty keys, with q-gram-style
+    blocking instead of an all-pairs cross join.  Every planted typo
+    pairs with its source at distance 1 (the edit is outside the
+    blocked prefix), and the oracle replicates the blocking clause for
+    clause, so the result set is exact on both engines."""
+    from .operators.fuzzy import levenshtein_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("id")
+    )
+    typos = names.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+    )
+    un = names.select("id", "name").unionByName(typos)
+    return levenshtein_pairs(
+        un, name_col="name", id_col="id", max_dist=2, prefix_len=4
+    ).select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+@query(
     "multimodal_features",
     """
     SELECT doc_id,
@@ -1415,6 +1460,43 @@ def dense_rank_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rank_functions_showcase",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ntile(10) OVER w                      AS decile,
+           percent_rank() OVER w                 AS pct_rank,
+           cume_dist() OVER w                    AS cume,
+           rank() OVER w                         AS rnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
+    """,
+)
+def rank_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (ntile / percent_rank /
+    cume_dist / rank) — the quantile-bucketing and feature-binning
+    primitives.  The order key includes o_orderkey so ordering is
+    UNIQUE: ntile's bucket assignment and the (rank-1)/(n-1),
+    row/n rational doubles are then engine-independent.  All four
+    specs share one (partition, order) pair → one shuffle + one
+    sort serves them all."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast("double"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+@query(
     "window_frames_running_totals",
     """
     SELECT o_custkey, o_orderkey,
@@ -1450,6 +1532,48 @@ def window_frames_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(total).over(w.rowsBetween(-2, 0))
         .cast("decimal(38,2)").alias("moving3_total"),
         F.lag(total).over(w).alias("prev_total"),
+    )
+
+
+@query(
+    "window_range_frame_trailing_revenue",
+    """
+    SELECT o_custkey, o_orderkey, day,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY day
+                        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS trailing30_total
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+          FROM orders)
+    """,
+)
+def window_range_frame_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame (RANGE BETWEEN, the companion to the
+    ROWS frames in ``window_frames_running_totals``): per-customer
+    trailing-30-DAY revenue, framed on the day NUMBER — days with no
+    orders silently shrink the frame, which a ROWS frame cannot
+    express.  RANGE frames include all peers of the current value, so
+    the result is well-defined under any intra-day row order — the
+    property that keeps it deterministic across engines.  Exact
+    decimal sums; one shuffle keyed by customer."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    total = F.col("o_totalprice").cast("decimal(18,2)")
+    w = (
+        Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-29, 0)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", day.alias("day"), total.alias("__t")
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("day").cast("bigint").alias("day"),
+        F.sum("__t").over(w).cast("decimal(38,2)").alias("trailing30_total"),
     )
 
 
@@ -2470,6 +2594,84 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("lang", "doc_id")
     )
+
+
+@query(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, n_chars
+    FROM (SELECT doc_id, n_chars,
+                 ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS UBIGINT) + 1) / 4294967296.0)
+                   / greatest(n_chars, 1) AS k
+          FROM documents)
+    ORDER BY k DESC, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006: draw u ~
+    U(0,1] per item, keep the top-k by u^(1/w) — equivalently by
+    ln(u)/w): the size-biased document pick of a pretraining mix
+    (longer docs proportionally likelier), made reproducible by
+    deriving u from md5(doc_id) instead of an RNG.  Scale: the key is
+    map-side arithmetic and top-k executes as TakeOrdered (per-
+    partition heads merged), never a global sort.  ln/÷ are IEEE
+    doubles on both engines and only ORDER, never output values — a
+    rank flip would need two keys within ~1 ulp at the k boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        docs.select("doc_id", "n_chars", key.alias("__k"))
+        .orderBy(F.desc("__k"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
+@query(
+    "histogram_price_bins",
+    """
+    WITH s AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                      max(CAST(l_extendedprice AS DOUBLE)) AS hi
+               FROM lineitem)
+    SELECT CAST(CASE WHEN hi > lo
+                     THEN least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                                      / (hi - lo) * 20), 19)
+                     ELSE 0 END AS INT) AS bin,
+           count(*) AS n
+    FROM lineitem, s
+    GROUP BY bin
+    """,
+)
+def histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins over the observed [min, max]) —
+    the distribution-profiling primitive.  One 1-row min/max aggregate
+    broadcast into a map-side bin computation, then a 20-group count:
+    two passes, no sort, constant output — the shape that profiles a
+    100 TB column.  Bin edges are IEEE-double identical on both
+    engines (same subtraction/division/floor on the same inputs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    stats = li.agg(F.min(price).alias("lo"), F.max(price).alias("hi"))
+    binned = li.crossJoin(F.broadcast(stats)).select(
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor((price - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
+                F.lit(19).cast("long"),
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("n"))
 
 
 @query(
@@ -4986,6 +5188,96 @@ def python_datasource_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def _fb_upsert_oracle() -> str:
+    return f"""
+    WITH gen AS ({_synth_cdc_oracle(rows=1500, lo=0)}),
+    latest AS (SELECT recid, max(seq) AS seq FROM gen GROUP BY recid)
+    SELECT g.recid, g.seq AS last_seq, g.amount
+    FROM gen g JOIN latest l ON g.recid = l.recid AND g.seq = l.seq
+    WHERE g.op <> 'DELETE'
+    """
+
+
+@query("streaming_foreachbatch_upsert", _fb_upsert_oracle())
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional streaming upsert via ``foreachBatch`` — the
+    reference's RDBMS sink contract (Oracle table keyed by RECID,
+    src/controllers/index.js:45-50) as a query-shaped gate for
+    ``streaming/runner.foreach_batch_upsert``.
+
+    The throttled CDC stream (3 micro-batches of 500) merges into a
+    VERSIONED state table: each batch unions the previous version with
+    the new rows and keeps the per-recid latest record by ``max_by``
+    on seq (partial-agg latest-wins, no window sort); a replayed batch
+    overwrites its own version directory and re-reads the version
+    BELOW its batch id, which is what turns at-least-once retries into
+    exactly-once — the same idempotence contract a JDBC MERGE keyed by
+    RECID gives.  DELETEs ride along as tombstones in state so a later
+    DELETE removes an earlier upsert; the final read filters them.
+    The md5-deterministic records let DuckDB reproduce the fixpoint
+    exactly: latest non-DELETE row per recid over seq 0..1499."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    from .sources.pydatasource import register
+    from .streaming.runner import foreach_batch_upsert
+
+    register(spark)
+    run = uuid.uuid4().hex[:8]
+    state_dir = os.path.join(tempfile.gettempdir(), f"fb_upsert_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"fb_upsert_ckpt_{run}")
+    def _src() -> DataFrame:
+        return (
+            spark.readStream.format("t24_synth_cdc")
+            .option("streamreader", "simple")  # throttled: 500 rows/batch
+            .option("rows", "1500")
+            .option("batchrows", "500")
+            .load()
+        )
+
+    schema = _src().schema
+
+    def _versions() -> list[tuple[int, str]]:
+        return sorted(
+            (int(os.path.basename(d).split("-")[1]), d)
+            for d in glob.glob(os.path.join(state_dir, "v-*"))
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        prior = [d for v, d in _versions() if v < batch_id]
+        cur = batch_df
+        if prior:
+            cur = sp.read.schema(schema).parquet(prior[-1]).unionByName(batch_df)
+        latest = (
+            cur.groupBy("recid")
+            .agg(F.max_by(F.struct("seq", "op", "amount"), "seq").alias("s"))
+            .select("recid", "s.seq", "s.op", "s.amount")
+        )
+        latest.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v-{batch_id}")
+        )
+
+    # Python stream sources fall back to single-batch execution under
+    # availableNow, so each checkpointed run merges ONE 500-row batch;
+    # three runs against the same checkpoint replay the full CDC log
+    # through batch ids 0,1,2 — which doubles as a live restart-resume
+    # proof for the merge sink.
+    for _ in range(3):
+        q = (
+            foreach_batch_upsert(_src(), merge, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    final = spark.read.schema(schema).parquet(_versions()[-1][1])
+    return final.where(F.col("op") != "DELETE").select(
+        "recid", F.col("seq").alias("last_seq"), "amount"
+    )
 
 
 @query(

@@ -369,6 +369,30 @@ def test_semantic_dedup_keeps_smallest_id_per_neighborhood(spark):
     assert kept == [1, 3, 5]
 
 
+def test_levenshtein_pairs_blocking_contract(spark):
+    """The fuzzy matcher's documented contract: pairs within max_dist
+    are found iff they agree on the blocked prefix and length band —
+    an edit INSIDE the prefix is invisible to this pass (callers union
+    a second pass on another block key for that)."""
+    from ksql_streams_from_schema_converter_spark.operators.fuzzy import (
+        levenshtein_pairs,
+    )
+
+    rows = [
+        (1, "widget blue"),
+        (2, "widget blu"),     # last-char drop: dist 1, same prefix -> found
+        (3, "midget blue"),    # edit at char 1: dist 1 but prefix differs -> missed
+        (4, "widget bluesteel extra"),  # same prefix, length diff 11 -> band-pruned
+        (5, "gadget gold"),    # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in levenshtein_pairs(df, max_dist=2, prefix_len=4).collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
 def test_connected_components_chain_and_cliques(spark):
     # A 5-node chain (diameter 4: forces multiple propagation rounds),
     # a separate triangle, and an isolated edge.

@@ -670,45 +670,44 @@ def test_quantile_bucketing_spreads_skewed_column(spark, tmp_path):
     assert any(a > 2 for a, _ in q_spans)
 
 
-def test_aqe_splits_skewed_join_partition(spark):
-    """The 100 TB skew story's runtime half: beyond explicit salting
-    (salted_agg), the session enables AQE skew-join so a hot join key
-    is SPLIT at runtime.  Proven behaviorally: a 75%-one-key join,
-    with thresholds scaled to test size, must execute as
-    SortMergeJoin(skew=true) reading from an 'AQEShuffleRead ...
-    skewed' — the same mechanism that splits a hot partition on a
-    1000-executor shuffle."""
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Runtime join pruning, the third leg of the 100 TB join story
+    (beside broadcast and AQE skew-split, proven above): when a
+    selective filter sits on the build side of a shuffle join,
+    Catalyst injects a Bloom filter (``might_contain``) into the
+    probe-side scan so non-joining rows die at the scan instead of
+    crossing the shuffle.  Thresholds are scaled down to test size
+    (the 10 GB probe-side default exists precisely because this only
+    pays off at scale)."""
     saved = {
         k: spark.conf.get(k, None)
         for k in (
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
             "spark.sql.autoBroadcastJoinThreshold",
         )
     }
     try:
         spark.conf.set(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
         )
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        left = spark.range(200_000).select(
-            F.when(F.col("id") < 150_000, F.lit(0))
-            .otherwise(F.col("id") % 1000)
-            .alias("k"),
-            F.col("id").alias("v"),
-        )
-        right = spark.range(1000).select(
-            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
-        )
-        j = left.join(right, "k")
-        assert len(j.collect()) == 200_000
-        # same QueryExecution that ran -> the AQE FINAL plan
-        plan = physical_plan(j)
-        assert "isFinalPlan=true" in plan
-        assert "skew=true" in plan, plan[:2000]
+        big_dir, small_dir = str(tmp_path / "big"), str(tmp_path / "small")
+        spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        ).write.parquet(big_dir)
+        spark.range(1000).select(F.col("id").alias("k")).write.parquet(small_dir)
+        big = spark.read.parquet(big_dir)
+        small = spark.read.parquet(small_dir).where(F.col("k") % 7 == 0)
+        j = big.join(small, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:1500]
+        # and the filtered join still returns exactly the right rows
+        assert j.count() == 143  # multiples of 7 in [0, 1000)
     finally:
         for k, v in saved.items():
             if v is None:
