@@ -54,14 +54,14 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: the three red cells that needed the canon.py ARRAY fix
 #: (embedding_quantize_int8 and inverted_index_postings, red r03;
 #: cube_returnflag_linestatus, hash-red r01 pre-DECIMAL-canon and never
-#: re-checked), plus round 4's eight new queries (semantic_dedup_keep,
+#: re-checked), plus round 4's nine new queries (semantic_dedup_keep,
 #: xml_source_roundtrip, weighted_sample_docs, histogram_price_bins,
 #: window_range_frame_trailing_revenue, fuzzy_match_levenshtein,
-#: rank_functions_showcase, streaming_foreachbatch_upsert).
-#: With those 41 green, union coverage r01∪…∪r04 is 138/138
-#: ever-checked.  The remaining 9 slots re-check one representative
-#: per family (flagship T24 pipeline, TPC-H, dedup, ANN, streaming,
-#: text, asof shapes).  Guarded by tests/test_driver_window.py.
+#: rank_functions_showcase, streaming_foreachbatch_upsert,
+#: bucketed_join_order_lines).  With those 42 green, union coverage
+#: r01∪…∪r04 is 139/139 ever-checked.  The remaining 8 slots re-check
+#: one representative per family (flagship T24 pipeline, TPC-H, dedup,
+#: ANN, streaming, text shapes).  Guarded by tests/test_driver_window.py.
 DRIVER_WINDOW_R4: tuple[str, ...] = (
     # -- never driver-checked after r03 (30) --
     "math_functions_showcase",
@@ -98,7 +98,7 @@ DRIVER_WINDOW_R4: tuple[str, ...] = (
     "embedding_quantize_int8",
     "inverted_index_postings",
     "cube_returnflag_linestatus",
-    # -- per-family re-checks (9) --
+    # -- per-family re-checks (8) --
     "t24_multivalue_explode",
     "q1_pricing_summary",
     "json_props_extract",
@@ -106,7 +106,6 @@ DRIVER_WINDOW_R4: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "knn_bruteforce_cosine",
     "streaming_events_hourly",
-    "asof_join_latest_event",
     "text_quality_score",
     # -- added in round 4 (need their first driver rows) --
     "semantic_dedup_keep",
@@ -117,6 +116,7 @@ DRIVER_WINDOW_R4: tuple[str, ...] = (
     "fuzzy_match_levenshtein",
     "rank_functions_showcase",
     "streaming_foreachbatch_upsert",
+    "bucketed_join_order_lines",
 )
 
 

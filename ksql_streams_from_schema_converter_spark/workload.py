@@ -1460,6 +1460,67 @@ def dense_rank_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_join_order_lines",
+    """
+    SELECT o_orderstatus, count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join — the storage-level shuffle
+    elimination a 100 TB deployment uses for its hottest join pair:
+    both sides are written as tables bucketed by the join key
+    (``bucketBy(8)`` + in-bucket sort), so the orders ⋈ lineitem join
+    needs NO exchange on either side — at scale that is the entire
+    fact-fact shuffle gone on every subsequent query against the pair.
+    The layout build is part of the query (and its cost); the
+    zero-Exchange plan shape is asserted in tests/test_bucketing.py.
+    Hash-gated against the plain-join oracle, proving the bucketed
+    layout changes the plan, never the answer."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    ot, lt = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    # idempotent across SESSIONS: a prior session's table directory
+    # survives in the warehouse while the new in-memory catalog has no
+    # entry for it, and saveAsTable refuses an existing location —
+    # drop the catalog entry AND the leftover directory
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (ot, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(ot)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(lt)
+    )
+    o, li = spark.table(ot), spark.table(lt)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_qty"),
+        )
+    )
+
+
+@query(
     "rank_functions_showcase",
     """
     SELECT o_orderkey, o_orderpriority,
