@@ -5253,7 +5253,7 @@ def python_datasource_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fb_upsert_oracle() -> str:
     return f"""
-    WITH gen AS ({_synth_cdc_oracle(rows=1500, lo=0)}),
+    WITH gen AS ({_synth_cdc_oracle(rows=1000, lo=0)}),
     latest AS (SELECT recid, max(seq) AS seq FROM gen GROUP BY recid)
     SELECT g.recid, g.seq AS last_seq, g.amount
     FROM gen g JOIN latest l ON g.recid = l.recid AND g.seq = l.seq
@@ -5268,7 +5268,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     src/controllers/index.js:45-50) as a query-shaped gate for
     ``streaming/runner.foreach_batch_upsert``.
 
-    The throttled CDC stream (3 micro-batches of 500) merges into a
+    The throttled CDC stream (2 micro-batches of 500) merges into a
     VERSIONED state table: each batch unions the previous version with
     the new rows and keeps the per-recid latest record by ``max_by``
     on seq (partial-agg latest-wins, no window sort); a replayed batch
@@ -5278,7 +5278,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     RECID gives.  DELETEs ride along as tombstones in state so a later
     DELETE removes an earlier upsert; the final read filters them.
     The md5-deterministic records let DuckDB reproduce the fixpoint
-    exactly: latest non-DELETE row per recid over seq 0..1499."""
+    exactly: latest non-DELETE row per recid over seq 0..999."""
     import glob
     import os
     import tempfile
@@ -5295,7 +5295,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         return (
             spark.readStream.format("t24_synth_cdc")
             .option("streamreader", "simple")  # throttled: 500 rows/batch
-            .option("rows", "1500")
+            .option("rows", "1000")
             .option("batchrows", "500")
             .load()
         )
@@ -5325,10 +5325,10 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # Python stream sources fall back to single-batch execution under
     # availableNow, so each checkpointed run merges ONE 500-row batch;
-    # three runs against the same checkpoint replay the full CDC log
-    # through batch ids 0,1,2 — which doubles as a live restart-resume
+    # two runs against the same checkpoint replay the full CDC log
+    # through batch ids 0,1 — which doubles as a live restart-resume
     # proof for the merge sink.
-    for _ in range(3):
+    for _ in range(2):
         q = (
             foreach_batch_upsert(_src(), merge, ckpt)
             .trigger(availableNow=True)
