@@ -41,10 +41,55 @@ def levenshtein_pairs(
     key (suffix or rotated prefix — standard multi-pass blocking),
     which callers opt into by unioning passes.
     """
+    return _blocked_pairs(
+        df,
+        F.substring(F.col(name_col), 1, prefix_len),
+        name_col=name_col,
+        id_col=id_col,
+        max_dist=max_dist,
+    )
+
+
+def levenshtein_pairs_multipass(
+    df: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    max_dist: int = 2,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Two-pass blocked fuzzy match: the prefix pass plus a SUFFIX
+    pass, unioned and de-duplicated.  A single edit cannot touch both
+    the first and the last ``prefix_len`` characters of strings longer
+    than ``2*prefix_len``, so for ``max_dist=1`` the two passes
+    together give EXACT recall on such strings; for higher distances
+    they cover every pair whose edits avoid one of the two anchors —
+    the standard multi-pass blocking escalation the single-pass
+    docstring names.  Cost: two bucketed joins instead of one, still
+    never all-pairs."""
+    prefix = levenshtein_pairs(
+        df, name_col=name_col, id_col=id_col, max_dist=max_dist, prefix_len=prefix_len
+    )
+    suffix = _blocked_pairs(
+        df,
+        F.substring(F.col(name_col), -prefix_len, prefix_len),
+        name_col=name_col,
+        id_col=id_col,
+        max_dist=max_dist,
+    )
+    return prefix.unionByName(suffix).dropDuplicates(["id_a", "id_b"])
+
+
+def _blocked_pairs(
+    df: DataFrame,
+    block_expr,
+    name_col: str,
+    id_col: str,
+    max_dist: int,
+) -> DataFrame:
     keyed = df.select(
         F.col(id_col),
         F.col(name_col).alias("__name"),
-        F.substring(F.col(name_col), 1, prefix_len).alias("__blk"),
+        block_expr.alias("__blk"),
         F.length(name_col).alias("__len"),
     )
     l, r = keyed.alias("l"), keyed.alias("r")

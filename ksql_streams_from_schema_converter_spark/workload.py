@@ -1521,6 +1521,94 @@ def bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_interpolated",
+    """
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             CAST(value AS DECIMAL(18,2)) AS val
+      FROM events WHERE user_id % 100 = 7
+    ),
+    hourly AS (SELECT hr, max(val) AS v FROM ev GROUP BY hr),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS hr FROM b),
+    j AS (SELECT s.hr, h.v FROM spine s LEFT JOIN hourly h USING (hr)),
+    x AS (
+      SELECT hr, v,
+        last_value(v IGNORE NULLS) OVER (ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER (ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(v IGNORE NULLS) OVER (ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER (ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    )
+    SELECT hr, (v IS NOT NULL) AS observed,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN CAST(pv AS DOUBLE)
+                     + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                       * (CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+                ELSE NULL END AS v_interp
+    FROM x
+    """,
+)
+def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR INTERPOLATION (hypertable
+    `interpolate()` semantics): a sparse hourly series (one user
+    slice) is regridded onto the full hour spine, observed hours keep
+    their exact value, and gap hours get the straight line between the
+    bracketing observations.  Shape: groupBy-hour (exact decimal max),
+    1-row bounds broadcast → sequence-explode spine, two IGNORE-NULLS
+    window passes (previous/next observation), then pure-double
+    interpolation arithmetic written identically on both engines.
+    The global window spans ONE series here; a fleet of series
+    partitions the windows by series key, which is the 100 TB layout
+    (state per partition, never global)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 100 == 7)
+    hr = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+    ).cast("bigint")
+    hourly = ev.groupBy(hr.alias("hr")).agg(
+        F.max(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    j = spine.join(hourly, "hr", "left")
+    w_prev = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("hr").rowsBetween(0, Window.unboundedFollowing)
+    obs_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    x = j.select(
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_hr, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_hr, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    pv, nv = F.col("pv").cast("double"), F.col("nv").cast("double")
+    frac = (F.col("hr") - F.col("ph")).cast("double") / (
+        F.col("nh") - F.col("ph")
+    ).cast("double")
+    return x.select(
+        "hr",
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            pv + (nv - pv) * frac,
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("v_interp"),
+    )
+
+
+@query(
     "rank_functions_showcase",
     """
     SELECT o_orderkey, o_orderpriority,

@@ -393,6 +393,43 @@ def test_levenshtein_pairs_blocking_contract(spark):
     assert got == {(1, 2, 1)}
 
 
+def test_levenshtein_multipass_catches_prefix_edits(spark):
+    """The documented escalation: the suffix pass recovers pairs whose
+    edit falls INSIDE the blocked prefix (exact recall for one edit on
+    strings longer than 2*prefix_len), while staying blocked — no
+    all-pairs join in the plan."""
+    from ksql_streams_from_schema_converter_spark.operators.fuzzy import (
+        levenshtein_pairs,
+        levenshtein_pairs_multipass,
+    )
+
+    rows = [
+        (1, "widget blue"),
+        (2, "midget blue"),   # edit at char 1: invisible to prefix pass
+        (3, "widget bluu"),   # edit at the end: invisible to suffix pass
+        (4, "gadget gold"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    single = {
+        (r.id_a, r.id_b)
+        for r in levenshtein_pairs(df, max_dist=1, prefix_len=4).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in levenshtein_pairs_multipass(df, max_dist=1, prefix_len=4).collect()
+    }
+    assert single == {(1, 3)}
+    assert multi == {(1, 2), (1, 3)}
+    plan = (
+        levenshtein_pairs_multipass(df, max_dist=1, prefix_len=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_connected_components_chain_and_cliques(spark):
     # A 5-node chain (diameter 4: forces multiple propagation rounds),
     # a separate triangle, and an isolated edge.

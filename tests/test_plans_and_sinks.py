@@ -670,6 +670,49 @@ def test_quantile_bucketing_spreads_skewed_column(spark, tmp_path):
     assert any(a > 2 for a, _ in q_spans)
 
 
+def test_cbo_statistics_drive_join_reordering(spark):
+    """Cost-based optimization: with ANALYZE'd column statistics and
+    CBO on, Catalyst rewrites a badly-written join order (fact ⋈ dim
+    first, selective filter last) so the filtered nation dim joins
+    customer BEFORE the orders fact — the stats-driven reorder that
+    decides petabytes of intermediate size at 100 TB.  Causality is
+    proven by the control: same query, same stats, CBO off → written
+    order kept."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:6]
+    tables = [f"{t}_{sfx}" for t in ("customer", "orders", "nation")]
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    try:
+        for t, tn in zip(("customer", "orders", "nation"), tables):
+            load_table(spark, "/root/testdata/sf0.001", t).write.saveAsTable(tn)
+            spark.sql(f"ANALYZE TABLE {tn} COMPUTE STATISTICS FOR ALL COLUMNS")
+        sql = f"""
+        SELECT count(*) FROM orders_{sfx} o
+        JOIN customer_{sfx} c ON o.o_custkey = c.c_custkey
+        JOIN nation_{sfx} n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name = 'FRANCE'
+        """
+        orders_first = {}
+        for cbo in ("false", "true"):
+            spark.conf.set("spark.sql.cbo.enabled", cbo)
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo)
+            opt = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+            orders_first[cbo] = opt.index(f"orders_{sfx}") < opt.index(
+                f"nation_{sfx}"
+            )
+        assert orders_first["false"], "control: written order should be kept"
+        assert not orders_first["true"], "CBO should join the filtered dim first"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for tn in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {tn}")
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
     """Runtime join pruning, the third leg of the 100 TB join story
     (beside broadcast and AQE skew-split, proven above): when a
