@@ -54,15 +54,15 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: the three red cells that needed the canon.py ARRAY fix
 #: (embedding_quantize_int8 and inverted_index_postings, red r03;
 #: cube_returnflag_linestatus, hash-red r01 pre-DECIMAL-canon and never
-#: re-checked), plus round 4's ten new queries (semantic_dedup_keep,
+#: re-checked), plus round 4's eleven new queries (semantic_dedup_keep,
 #: xml_source_roundtrip, weighted_sample_docs, histogram_price_bins,
 #: window_range_frame_trailing_revenue, fuzzy_match_levenshtein,
 #: rank_functions_showcase, streaming_foreachbatch_upsert,
-#: bucketed_join_order_lines, events_hourly_interpolated).  With those
-#: 43 green, union coverage r01∪…∪r04 is 140/140 ever-checked.  The
-#: remaining 7 slots re-check one representative per family (flagship
-#: T24 pipeline, TPC-H, dedup, ANN, text shapes).
-#: Guarded by tests/test_driver_window.py.
+#: bucketed_join_order_lines, events_hourly_interpolated,
+#: snapshot_diff_orders).  With those 44 green, union coverage
+#: r01∪…∪r04 is 141/141 ever-checked.  The remaining 6 slots re-check
+#: one representative per family (flagship T24 pipeline, TPC-H, dedup,
+#: ANN, text shapes).  Guarded by tests/test_driver_window.py.
 DRIVER_WINDOW_R4: tuple[str, ...] = (
     # -- never driver-checked after r03 (30) --
     "math_functions_showcase",
@@ -99,11 +99,10 @@ DRIVER_WINDOW_R4: tuple[str, ...] = (
     "embedding_quantize_int8",
     "inverted_index_postings",
     "cube_returnflag_linestatus",
-    # -- per-family re-checks (7) --
+    # -- per-family re-checks (6) --
     "t24_multivalue_explode",
     "q1_pricing_summary",
     "json_props_extract",
-    "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
     "knn_bruteforce_cosine",
     "text_quality_score",
@@ -118,6 +117,7 @@ DRIVER_WINDOW_R4: tuple[str, ...] = (
     "streaming_foreachbatch_upsert",
     "bucketed_join_order_lines",
     "events_hourly_interpolated",
+    "snapshot_diff_orders",
 )
 
 

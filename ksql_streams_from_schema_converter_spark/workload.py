@@ -1521,6 +1521,80 @@ def bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      FROM orders WHERE o_orderkey % 53 <> 3
+      UNION ALL
+      SELECT o_orderkey + 10000000,
+             CAST(o_totalprice AS DECIMAL(18,2))
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.price AS old_price, n.price AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.price <> n.price
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — derive a change feed (added / removed /
+    changed) from two table snapshots when no CDC stream exists, the
+    inverse of ``cdc_latest_state``'s compaction.  One full-outer join
+    keyed by primary key + a value comparison; unchanged rows are
+    filtered out, so output ∝ churn, not table size — at 100 TB this
+    is the nightly-snapshot reconciliation shape (the join shuffles
+    once on the key both snapshots are typically already partitioned
+    by).  The 'new' snapshot is derived deterministically from the old
+    (planted deletes %53, price bumps %7, inserts %97), so the oracle
+    reproduces the exact change set."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    old = orders.select("o_orderkey", price.alias("price"))
+    new = (
+        orders.where(F.col("o_orderkey") % 53 != 3)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, price + 1)
+            .otherwise(price)
+            .alias("price"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                price.alias("price"),
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return j.where(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.price") != F.col("n.price"))
+    ).select(
+        F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("o.price").alias("old_price"),
+        F.col("n.price").alias("new_price"),
+    )
+
+
+@query(
     "events_hourly_interpolated",
     """
     WITH ev AS (
