@@ -63,6 +63,12 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: r01∪…∪r04 is 141/141 ever-checked.  The remaining 6 slots re-check
 #: one representative per family (flagship T24 pipeline, TPC-H, dedup,
 #: ANN, text shapes).  Guarded by tests/test_driver_window.py.
+#:
+#: Round-5 rotation guidance: with 141/141 ever-checked after r04, the
+#: next window should re-check the queries whose only driver row is
+#: oldest (r01/r02) — staleness-first rotation — plus any new
+#: additions and any r04 reds.  Compute the stale set from the
+#: CORRECTNESS_r0*.json record dates rather than hand-listing it.
 DRIVER_WINDOW_R4: tuple[str, ...] = (
     # -- never driver-checked after r03 (30) --
     "math_functions_showcase",
