@@ -32,7 +32,6 @@ on.
 
 from __future__ import annotations
 
-import functools
 import os
 
 from pyspark.sql import DataFrame
@@ -90,7 +89,13 @@ def _duckdb_output_types(sql: str) -> list[tuple[str, str]] | None:
         con.close()
 
 
-@functools.lru_cache(maxsize=None)
+#: successful-typings-only cache (ADVICE r4: lru_cache would also pin
+#: the identity fallback taken when DuckDB typing is unavailable —
+#: e.g. testdata not yet generated — silently disabling canonicalization
+#: for that query for the process lifetime)
+_CANON_CACHE: dict[str, str] = {}
+
+
 def canonicalize_oracle_sql(sql: str) -> str:
     """Wrap oracle SQL so DECIMAL/DATE output columns become VARCHAR and
     HUGEINT columns become BIGINT, mirroring
@@ -108,9 +113,11 @@ def canonicalize_oracle_sql(sql: str) -> str:
     compact JSON text (no spaces, ``null`` for null elements, SQL NULL
     for a null container).
     """
+    if sql in _CANON_CACHE:
+        return _CANON_CACHE[sql]
     typed = _duckdb_output_types(sql)
     if typed is None:
-        return sql
+        return sql  # NOT cached: retry once typing becomes possible
     select_list = []
     changed = False
     for name, typ in typed:
@@ -127,6 +134,10 @@ def canonicalize_oracle_sql(sql: str) -> str:
             changed = True
         else:
             select_list.append(f'"{name}"')
-    if not changed:
-        return sql
-    return f"SELECT {', '.join(select_list)} FROM (\n{sql}\n) __canon"
+    out = (
+        sql
+        if not changed
+        else f"SELECT {', '.join(select_list)} FROM (\n{sql}\n) __canon"
+    )
+    _CANON_CACHE[sql] = out
+    return out

@@ -168,16 +168,25 @@ def register(spark) -> None:
     ``pushFilters`` are unaffected).
 
     Registration failures are NOT swallowed: only the
-    duplicate-registration case is treated as success (re-registering
-    the same name raises on some Spark versions), detected by matching
-    the data-source name in the error, so a genuinely broken source
-    class still surfaces."""
+    duplicate-registration case is treated as success (this Spark build
+    silently replaces, but some versions raise), detected by the
+    SPECIFIC Spark error condition ``DATA_SOURCE_ALREADY_EXISTS`` —
+    never by message-substring matching (ADVICE r4: most registration
+    errors mention the source name, so substring matching would swallow
+    genuine failures)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     for ds in (SyntheticCdcDataSource, ManifestJsonlDataSource):
         try:
             spark.dataSource.register(ds)
         except Exception as e:
-            if ds.name() not in str(e):
+            condition = None
+            for attr in ("getCondition", "getErrorClass"):
+                try:
+                    condition = getattr(e, attr)()
+                    break
+                except Exception:
+                    continue
+            if condition != "DATA_SOURCE_ALREADY_EXISTS":
                 raise
 
 
@@ -303,16 +312,22 @@ class _ManifestWriterBase:
 
 class ManifestJsonlWriter(_ManifestWriterBase, DataSourceWriter):
     """Batch writer honoring the save mode (ADVICE r3): ``append``
-    merges the prior manifest's file list into the new one, so earlier
-    committed rows stay visible; ``overwrite`` publishes only this
-    write's files and deletes the previously referenced parts (no
-    invisible orphans)."""
+    merges ALL prior committed state — the batch manifest AND any
+    streaming batch manifests (ADVICE r4: a path can receive both) —
+    into the new manifest, so earlier committed rows stay visible
+    exactly once; ``overwrite`` publishes only this write's files and
+    deletes every previously referenced part AND the streaming
+    manifests themselves (no invisible orphans, no resurrected rows).
+    Either way the batch commit CONSOLIDATES: after it, ``manifest.json``
+    is the single source of truth and no ``manifest-<batch>.json``
+    remains to double-count files in :func:`manifested_files`."""
 
     def __init__(self, options, schema, overwrite: bool):
         super().__init__(options, schema)
         self.overwrite = overwrite
 
     def commit(self, messages) -> None:
+        import glob
         import json
         import os
 
@@ -321,10 +336,19 @@ class ManifestJsonlWriter(_ManifestWriterBase, DataSourceWriter):
             key=lambda d: d["path"],
         )
         manifest_path = os.path.join(self.path, "manifest.json")
+        # prior committed state = EVERY manifest on the path (batch +
+        # per-batch streaming manifests), deduplicated by part path
         prior: list[dict] = []
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                prior = json.load(fh)["files"]
+        prior_seen: set[str] = set()
+        stream_manifests = []
+        for mf in sorted(glob.glob(os.path.join(self.path, "manifest*.json"))):
+            if os.path.basename(mf) != "manifest.json":
+                stream_manifests.append(mf)
+            with open(mf) as fh:
+                for f in json.load(fh)["files"]:
+                    if f["path"] not in prior_seen:
+                        prior_seen.add(f["path"])
+                        prior.append(f)
         if self.overwrite:
             # old parts become unreferenced the moment the new manifest
             # lands; delete them eagerly so overwrite leaves no orphans
@@ -341,6 +365,11 @@ class ManifestJsonlWriter(_ManifestWriterBase, DataSourceWriter):
         with open(tmp, "w") as fh:
             json.dump({"files": files}, fh)
         os.replace(tmp, manifest_path)  # atomic publish
+        # streaming manifests are consolidated into manifest.json above
+        # (append keeps their files, overwrite supersedes them) — remove
+        # them so manifested_files never double-counts
+        for mf in stream_manifests:
+            os.remove(mf)
         for p in stale:
             if os.path.exists(p):
                 os.remove(p)

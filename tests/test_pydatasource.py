@@ -363,3 +363,64 @@ def test_manifest_sink_stream_commits_per_batch(spark, tmp_path):
     back = read_jsonl(spark, manifested_files(out), schema)
     got = sorted((r.seq, r.recid, r.op, r.amount) for r in back.collect())
     assert got == [cdc_row(i) for i in range(80)]
+
+
+def test_manifest_batch_commit_consolidates_streaming_manifests(spark, tmp_path):
+    """ADVICE r4: a path that received BOTH streaming and batch commits
+    must stay consistent. A batch append merges the streaming batches'
+    files into manifest.json (still visible, exactly once); a batch
+    overwrite supersedes them (rows gone, parts deleted). Either way no
+    manifest-<batch>.json survives to double-count files."""
+    import glob
+    import os
+
+    from ksql_streams_from_schema_converter_spark.sources.files import read_jsonl
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+    from ksql_streams_from_schema_converter_spark.sources.pydatasource import (
+        manifested_files,
+    )
+
+    register(spark)
+    out = str(tmp_path / "mixed")
+    ckpt = str(tmp_path / "mixed_ckpt")
+    # one streaming commit: 40 CDC rows into manifest-0.json
+    src = (
+        spark.readStream.format("t24_synth_cdc")
+        .option("streamreader", "simple")
+        .option("rows", "40")
+        .option("batchrows", "40")
+        .load()
+    )
+    q = (
+        src.writeStream.format("manifest_jsonl")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert glob.glob(f"{out}/manifest-*.json")
+    stream_schema = src.schema
+    batch_df = spark.createDataFrame(
+        [(10_000, "RBATCH01", "INSERT", 7)], schema=stream_schema
+    )
+    # batch APPEND: streaming rows remain visible exactly once
+    batch_df.write.format("manifest_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    assert glob.glob(f"{out}/manifest-*.json") == []  # consolidated
+    visible = manifested_files(out)
+    assert len(visible) == len(set(visible))
+    back = read_jsonl(spark, visible, stream_schema)
+    assert back.count() == 41
+    assert back.where(F.col("recid") == "RBATCH01").count() == 1
+    # batch OVERWRITE: only the new rows visible, every old part deleted
+    batch_df.write.format("manifest_jsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back = read_jsonl(spark, manifested_files(out), stream_schema)
+    assert back.count() == 1
+    data_dir = os.path.join(out, "data")
+    on_disk = {os.path.join(data_dir, f) for f in os.listdir(data_dir)}
+    assert on_disk == set(manifested_files(out))
