@@ -461,6 +461,113 @@ def knn_ivf_pq(
     )
 
 
+#: id offset separating planted near-duplicates from the base corpus;
+#: :func:`recall_verdicts` asserts the separation as a verdict column
+PLANTED_OFFSET = 100_000
+
+
+def planted_corpus(
+    emb: DataFrame,
+    query_ids: list[int],
+    copies: int = 5,
+    offset: int = PLANTED_OFFSET,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The corpus plus ``copies`` deterministic near-duplicates of each
+    query vector (±0.01 per element, sign alternating with element index
+    and copy number → cosine ≈ 0.997 to the source, far above any random
+    corpus pair). The exact top-``copies`` of every query is then the
+    planted set — real ground truth for recall gates, not a vacuous
+    overlap bound. Planted ids are ``qid + offset*(1..copies)``, so
+    membership is a pure arithmetic predicate both engines can state.
+
+    All-native expressions (one ``transform`` per copy over a broadcast-
+    small query slice) — at corpus scale this is ``copies × |queries|``
+    extra rows, a constant."""
+    q = emb.where(F.col(id_col).isin(query_ids))
+    corpus = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+
+    def perturb(j: int):
+        # closure factory: pyspark counts the lambda's parameters, so a
+        # bound default (lambda x, i, j=j) would read as a 3-arg HOF
+        return lambda x, i: x + F.when(
+            (i + j) % 2 == 0, F.lit(0.01)
+        ).otherwise(F.lit(-0.01))
+
+    for j in range(copies):
+        corpus = corpus.unionByName(
+            q.select(
+                (F.col(id_col) + F.lit(offset * (j + 1))).alias(id_col),
+                F.transform(
+                    F.col(vec_col).cast("array<double>"), perturb(j)
+                ).alias(vec_col),
+            )
+        )
+    return corpus
+
+
+def recall_verdicts(
+    result: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    copies: int = 5,
+    offset: int = PLANTED_OFFSET,
+    min_query_hits: int = 3,
+    overall_recall: float = 0.8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Turn an ANN result over a :func:`planted_corpus` into hash-
+    gateable boolean verdicts — the ``approx_stats`` pattern (VERDICT
+    r4 #1): approximate OUTPUTS are engine-specific, but their QUALITY
+    against planted ground truth is a deterministic boolean both
+    engines can assert, which upgrades the ANN family from rows-only
+    to a hard driver gate.
+
+    Per query: ``topk_full`` (the index returned a full top-k) and
+    ``query_recall_ok`` (≥ ``min_query_hits`` of the ``copies`` planted
+    near-duplicates found — the planted cluster is detected).  Globally
+    (repeated on every row so the shape stays one-row-per-query):
+    ``overall_recall_ok`` (total recall ≥ ``overall_recall``, the same
+    contract the pytest recall gates assert) and ``ids_disjoint`` (the
+    base id space stays below ``offset``, so planted-membership
+    arithmetic cannot collide with real ids — the gate's own
+    precondition, verified not assumed).
+
+    Cost: one groupBy on ``query_id`` (tiny — |queries| groups), a
+    1-row total, a 1-row max-id scan, both broadcast."""
+    is_planted = (
+        (F.col("neighbor_id") >= offset)
+        & (F.col("neighbor_id") % offset == F.col("query_id"))
+        & (F.col("neighbor_id") <= F.col("query_id") + offset * copies)
+    )
+    per_q = result.groupBy("query_id").agg(
+        F.count("*").alias("__ret"),
+        F.sum(is_planted.cast("long")).alias("__hits"),
+    )
+    totals = per_q.agg(F.sum("__hits").alias("__total_hits"))
+    disjoint = emb.agg(
+        (F.max(F.col(id_col)) < F.lit(offset)).alias("ids_disjoint")
+    )
+    import math
+
+    need_total = math.ceil(len(query_ids) * copies * overall_recall)
+    return (
+        per_q.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(disjoint))
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            (F.col("__ret") == F.lit(k)).alias("topk_full"),
+            (F.col("__hits") >= F.lit(min_query_hits)).alias("query_recall_ok"),
+            (F.col("__total_hits") >= F.lit(need_total)).alias("overall_recall_ok"),
+            F.col("ids_disjoint"),
+        )
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -84,31 +84,16 @@ def test_jaccard_df_cutoff_bounds_hot_shingle_blowup(spark):
 
 
 def _planted_knn_corpus(spark, qids, copies=5):
-    """Embeddings plus ``copies`` deterministic near-duplicates of each
-    query vector (±0.01 per element, sign alternating with element index
-    and copy number → cosine ≈ 0.997 to the source, far above any random
-    corpus pair). The exact top-``copies`` of every query is then the
-    planted set — real ground truth for recall gates, not a vacuous
-    overlap bound."""
+    """Shared planted-truth corpus (see ``S.planted_corpus``): the exact
+    top-``copies`` of every query is the planted set — real ground
+    truth for recall gates, not a vacuous overlap bound."""
     from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    q = emb.where(F.col("vec_id").isin(qids))
-    parts = [
-        q.select(
-            (F.col("vec_id") + F.lit(100000 * (j + 1))).alias("vec_id"),
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x, i: x
-                + F.when((i + j) % 2 == 0, F.lit(0.01)).otherwise(F.lit(-0.01)),
-            ).alias("embedding"),
-        )
-        for j in range(copies)
-    ]
-    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    for p in parts:
-        corpus = corpus.unionByName(p)
-    truth = {(qid, qid + 100000 * (j + 1)) for qid in qids for j in range(copies)}
+    corpus = S.planted_corpus(emb, qids, copies=copies)
+    truth = {
+        (qid, qid + S.PLANTED_OFFSET * (j + 1)) for qid in qids for j in range(copies)
+    }
     return corpus.cache(), truth
 
 
@@ -528,3 +513,39 @@ def test_gopher_null_text_lands_in_reject_partition(spark):
     row = flags.head()
     assert row.n_tokens == 0 and row.keep is False
     assert flags.where("keep").count() + flags.where("NOT keep").count() == 1
+
+
+def test_recall_verdicts_all_true_on_planted_corpus(spark):
+    """The verdict frame that hash-gates the ANN driver rows: every
+    boolean TRUE for every query id, one row per query (VERDICT r4 #1:
+    approximate output is engine-specific, recall quality is not)."""
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    qids = list(range(5))
+    corpus, _ = _planted_knn_corpus(spark, qids)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    result = S.knn_ivf(corpus, qids, k=5, n_cells=8, nprobe=3)
+    rows = S.recall_verdicts(result, emb, qids, k=5, min_query_hits=3).collect()
+    assert sorted(r.query_id for r in rows) == qids
+    for r in rows:
+        assert r.topk_full and r.query_recall_ok and r.overall_recall_ok
+        assert r.ids_disjoint
+
+
+def test_recall_verdicts_flag_bad_results(spark):
+    """A degenerate 'ANN' result (self-join garbage: every query paired
+    with non-planted low ids) must turn the recall verdicts FALSE — the
+    gate can actually fail, it is not tautological."""
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    qids = list(range(5))
+    emb = load_table(spark, SF_DIR, "embeddings")
+    fake = spark.createDataFrame(
+        [(q, 400 + n, n + 1) for q in qids for n in range(3)],  # 3 < k, no planted
+        "query_id long, neighbor_id long, rank int",
+    )
+    rows = S.recall_verdicts(fake, emb, qids, k=5, min_query_hits=1).collect()
+    assert rows and all(not r.topk_full for r in rows)
+    assert all(not r.query_recall_ok for r in rows)
+    assert all(not r.overall_recall_ok for r in rows)
+    assert all(r.ids_disjoint for r in rows)  # precondition itself still holds
