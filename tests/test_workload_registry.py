@@ -8,7 +8,9 @@ import re
 from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
 
 _README = os.path.join(os.path.dirname(__file__), "..", "README.md")
-_NO_ORACLE = {"knn_lsh_ann", "knn_ivf_ann", "knn_ivf_pq"}
+#: r5: empty — the ANN family moved from rows-only to in-query recall
+#: verdicts hash-gated against the planted-truth corpus (VERDICT r4 #1)
+_NO_ORACLE: set[str] = set()
 
 
 def test_registry_counts_match_readme_prose():
@@ -24,5 +26,5 @@ def test_registry_counts_match_readme_prose():
     )
 
 
-def test_only_the_ann_paths_lack_oracles():
+def test_every_query_has_an_oracle():
     assert {n for n, (_, sql) in WORKLOAD.items() if sql is None} == _NO_ORACLE
