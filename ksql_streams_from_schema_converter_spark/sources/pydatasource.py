@@ -44,6 +44,18 @@ from pyspark.sql.datasource import (
 
 _SCHEMA = "seq BIGINT, recid STRING, op STRING, amount BIGINT"
 
+#: ``option("payload", "kafka_xml")``: the source emits rows in the
+#: exact wire shape of Spark's ``format("kafka")`` source
+#: (sources/kafka.KAFKA_WIRE_SCHEMA), with the XML-CDC JSON contract in
+#: ``value`` — so the full RAW → MAPPED → MULTIVALUE → SINK topology
+#: runs off this connector unchanged from the broker path.
+_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, "
+    "offset BIGINT, timestamp TIMESTAMP, timestampType INT"
+)
+_WIRE_TOPIC = "t24-xml-cdc"
+_WIRE_T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
 
 def cdc_row(i: int) -> tuple[int, str, str, int]:
     """The deterministic record for sequence ``i`` — md5-derived so any
@@ -59,21 +71,67 @@ def cdc_row(i: int) -> tuple[int, str, str, int]:
     return i, "R" + h[:8], op, int(h[1:5], 16)
 
 
+def cdc_xml_value(i: int) -> bytes:
+    """The RAW Kafka value for sequence ``i``: the reference's XML-CDC
+    JSON contract (``{"RECID", "XMLRECORD": {field: value}}``,
+    sources/kafka.XML_VALUE_SCHEMA) with a T24-encoded multivalue field
+    (``1:v#2:v`` ordinals — FIXTURES.md §1). All md5-derived: PART has
+    ``1 + (h[8] % 3)`` elements, element j = int(h[9+3j:12+3j], 16) —
+    reproducible in DuckDB for the oracle."""
+    import json
+
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    _, recid, op, amount = cdc_row(i)
+    n_parts = 1 + int(h[8], 16) % 3
+    parts = "#".join(
+        f"{j + 1}:{int(h[9 + 3 * j:12 + 3 * j], 16)}" for j in range(n_parts)
+    )
+    rec = {
+        "RECID": recid,
+        "XMLRECORD": {"STATUS": op, "AMOUNT": str(amount), "PART_multivalue": parts},
+    }
+    return json.dumps(rec, separators=(",", ":")).encode()
+
+
 @dataclass
 class _SeqRange(InputPartition):
     start: int
     end: int  # exclusive
 
 
-def _arrow_batches(start: int, end: int):
+def _arrow_batches(start: int, end: int, payload: str = "cdc"):
     """One pyarrow RecordBatch for ``[start, end)`` — the shared
     executor-side production path of the batch and partitioned-stream
     readers (no per-row Python tuples on the wire)."""
     import pyarrow as pa
 
-    rows = [cdc_row(i) for i in range(start, end)]
-    if not rows:
+    if start >= end:
         return iter(())
+    if payload == "kafka_xml":
+        idx = list(range(start, end))
+        return iter(
+            [
+                pa.record_batch(
+                    [
+                        pa.array([cdc_row(i)[1].encode() for i in idx], pa.binary()),
+                        pa.array([cdc_xml_value(i) for i in idx], pa.binary()),
+                        pa.array([_WIRE_TOPIC] * len(idx), pa.string()),
+                        pa.array([0] * len(idx), pa.int32()),
+                        pa.array(idx, pa.int64()),
+                        pa.array(
+                            [_WIRE_T0_US + i * 1_000_000 for i in idx],
+                            pa.timestamp("us"),
+                        ),
+                        pa.array([0] * len(idx), pa.int32()),
+                    ],
+                    names=[
+                        "key", "value", "topic", "partition",
+                        "offset", "timestamp", "timestampType",
+                    ],
+                )
+            ]
+        )
+    rows = [cdc_row(i) for i in range(start, end)]
     seqs, recids, ops, amounts = zip(*rows)
     return iter(
         [
@@ -94,6 +152,7 @@ class SyntheticCdcReader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", "1000"))
         self.num_partitions = int(options.get("numpartitions", "8"))
+        self.payload = options.get("payload", "cdc")
         self.lo = 0
         self.hi = self.rows  # exclusive
 
@@ -125,7 +184,7 @@ class SyntheticCdcReader(DataSourceReader):
         ] or [_SeqRange(lo, lo)]
 
     def read(self, partition: _SeqRange):
-        return _arrow_batches(partition.start, partition.end)
+        return _arrow_batches(partition.start, partition.end, self.payload)
 
 
 class SyntheticCdcDataSource(DataSource):
@@ -134,6 +193,8 @@ class SyntheticCdcDataSource(DataSource):
         return "t24_synth_cdc"
 
     def schema(self) -> str:
+        if self.options.get("payload", "cdc") == "kafka_xml":
+            return _WIRE_SCHEMA
         return _SCHEMA
 
     def reader(self, schema) -> SyntheticCdcReader:
@@ -203,6 +264,11 @@ class SyntheticCdcStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", "1000"))
         self.batch_rows = int(options.get("batchrows", "250"))
+        if options.get("payload", "cdc") != "cdc":
+            raise ValueError(
+                "the simple (driver-side, throttled) reader serves the cdc "
+                "payload only; use the partitioned reader for kafka_xml"
+            )
 
     def initialOffset(self) -> dict:
         return {"seq": 0}
@@ -248,6 +314,7 @@ class SyntheticCdcPartitionedStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", "1000"))
         self.num_partitions = int(options.get("numpartitions", "4"))
+        self.payload = options.get("payload", "cdc")
 
     def initialOffset(self) -> dict:
         return {"seq": 0}
@@ -264,7 +331,7 @@ class SyntheticCdcPartitionedStreamReader(DataSourceStreamReader):
         ] or [_SeqRange(lo, lo)]
 
     def read(self, partition: _SeqRange):
-        return _arrow_batches(partition.start, partition.end)
+        return _arrow_batches(partition.start, partition.end, self.payload)
 
     def commit(self, end: dict) -> None:
         pass  # nothing external to clean up — generation is stateless

@@ -1,0 +1,124 @@
+"""Bucketed keyed-MERGE state table (operators/merge.py): correctness,
+partition-pruned writes, replay idempotence, tombstone semantics."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from ksql_streams_from_schema_converter_spark.operators.merge import (
+    bucket_expr,
+    merge_into,
+    read_state,
+    resolve_bucket_paths,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_upsert_then_read(spark, tmp_path):
+    tgt = str(tmp_path / "state")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    merge_into(base, tgt, key="k", version=0, num_buckets=16)
+    # update 3 keys, insert 2 new ones
+    src = spark.createDataFrame(
+        [(5, 999), (50, 999), (99, 999), (1000, 1), (1001, 2)], "k long, v long"
+    )
+    touched = merge_into(src, tgt, key="k", version=1, num_buckets=16)
+    assert touched == sorted(
+        r[0] for r in src.select(bucket_expr(["k"], 16)).distinct().collect()
+    )
+    got = {r.k: r.v for r in read_state(spark, tgt).collect()}
+    assert len(got) == 102
+    assert got[5] == got[50] == got[99] == 999
+    assert got[1000] == 1 and got[1001] == 2
+    assert got[7] == 70  # untouched key intact
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB property (VERDICT r4 #2): a batch touching one bucket
+    leaves every other bucket's files byte-untouched — carried by
+    reference, not rewritten."""
+    tgt = str(tmp_path / "state")
+    base = spark.range(1000).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
+    merge_into(base, tgt, key="k", version=0, num_buckets=16)
+    v0_files = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{tgt}/v-0/**/*.parquet", recursive=True)
+    }
+    assert len(resolve_bucket_paths(tgt)) == 16  # all buckets present in v0
+
+    one = spark.createDataFrame([(42, 7)], "k long, v long")
+    touched = merge_into(one, tgt, key="k", version=1, num_buckets=16)
+    assert len(touched) == 1
+    # v-1 contains exactly the touched bucket, nothing else
+    v1_buckets = glob.glob(f"{tgt}/v-1/__bucket=*")
+    assert len(v1_buckets) == 1
+    assert v1_buckets[0].endswith(f"__bucket={touched[0]}")
+    # v-0 bytes untouched
+    assert v0_files == {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{tgt}/v-0/**/*.parquet", recursive=True)
+    }
+    # reader resolves 15 buckets from v0 + 1 from v1
+    resolved = resolve_bucket_paths(tgt)
+    assert sum("/v-1/" in p for p in resolved.values()) == 1
+    got = {r.k: r.v for r in read_state(spark, tgt).collect()}
+    assert got[42] == 7 and got[41] == 0 and len(got) == 1000
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    """Re-running a merge version (foreachBatch at-least-once retry)
+    reads from versions BELOW it and overwrites its own directory —
+    state is identical after the replay."""
+    tgt = str(tmp_path / "state")
+    merge_into(
+        spark.range(50).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v")),
+        tgt, key="k", version=0,
+    )
+    src = spark.createDataFrame([(1, 11), (2, 22)], "k long, v long")
+    merge_into(src, tgt, key="k", version=1)
+    before = _rows(read_state(spark, tgt))
+    merge_into(src, tgt, key="k", version=1)  # replay
+    assert _rows(read_state(spark, tgt)) == before
+
+
+def test_merge_latest_wins_and_tombstones_block_resurrection(spark, tmp_path):
+    """Ordering by order_col with kept tombstones: a late out-of-order
+    event (lower seq) arriving AFTER a delete cannot resurrect the key,
+    because the tombstone row stays in state and still wins by seq."""
+    tgt = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(1, 0, "INSERT", 100), (2, 0, "INSERT", 200)],
+        "k long, seq long, op string, amount long",
+    )
+    merge_into(base, tgt, key="k", version=0, order_col="seq")
+    merge_into(
+        spark.createDataFrame([(1, 10, "DELETE", 0)], base.schema),
+        tgt, key="k", version=1, order_col="seq",
+    )
+    merge_into(  # late event: seq 5 < the tombstone's 10
+        spark.createDataFrame([(1, 5, "UPDATE", 150)], base.schema),
+        tgt, key="k", version=2, order_col="seq",
+    )
+    live = read_state(spark, tgt, drop_where=F.col("op") == "DELETE")
+    assert {r.k for r in live.collect()} == {2}
+    # the tombstone itself is still in raw state (not silently dropped)
+    raw = {r.k: r.op for r in read_state(spark, tgt).collect()}
+    assert raw[1] == "DELETE"
+
+
+def test_read_state_as_of_version(spark, tmp_path):
+    tgt = str(tmp_path / "state")
+    merge_into(
+        spark.createDataFrame([(1, 10)], "k long, v long"), tgt, "k", version=0
+    )
+    merge_into(
+        spark.createDataFrame([(1, 20)], "k long, v long"), tgt, "k", version=1
+    )
+    assert read_state(spark, tgt, max_version=0).head().v == 10
+    assert read_state(spark, tgt).head().v == 20

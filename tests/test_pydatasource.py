@@ -424,3 +424,68 @@ def test_manifest_batch_commit_consolidates_streaming_manifests(spark, tmp_path)
     data_dir = os.path.join(out, "data")
     on_disk = {os.path.join(data_dir, f) for f in os.listdir(data_dir)}
     assert on_disk == set(manifested_files(out))
+
+
+def test_kafka_xml_wire_payload_batch_and_stream(spark):
+    """payload=kafka_xml: the connector emits Spark's Kafka wire schema
+    with the XML-CDC JSON contract in value — batch and partitioned
+    stream agree, and parse_xml_cdc unpacks it like the broker path."""
+    import json
+
+    from ksql_streams_from_schema_converter_spark.sources.kafka import parse_xml_cdc
+    from ksql_streams_from_schema_converter_spark.sources.pydatasource import (
+        cdc_row,
+        cdc_xml_value,
+    )
+
+    register(spark)
+    batch = (
+        spark.read.format("t24_synth_cdc")
+        .option("rows", "50")
+        .option("payload", "kafka_xml")
+        .load()
+    )
+    assert [f.name for f in batch.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp", "timestampType",
+    ]
+    rows = {r.offset: bytes(r.value) for r in batch.collect()}
+    assert len(rows) == 50
+    assert rows[7] == cdc_xml_value(7)
+    rec = json.loads(rows[7])
+    assert rec["RECID"] == cdc_row(7)[1]
+    assert "PART_multivalue" in rec["XMLRECORD"]
+
+    parsed = batch.select(*parse_xml_cdc(F.col("value")))
+    got = {r.recid: r.xmlrecord for r in parsed.collect()}
+    assert got[cdc_row(7)[1]]["STATUS"] == cdc_row(7)[2]
+
+    import uuid
+
+    name = f"wire_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("t24_synth_cdc")
+        .option("rows", "50")
+        .option("payload", "kafka_xml")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    stream_rows = {r.offset: bytes(r.value) for r in spark.table(name).collect()}
+    assert stream_rows == rows  # stream == batch, byte for byte
+
+
+def test_simple_reader_rejects_wire_payload():
+    """The throttled driver-side reader serves only the cdc payload —
+    the guard fires at reader construction (stream start)."""
+    import pytest as _pytest
+
+    from ksql_streams_from_schema_converter_spark.sources.pydatasource import (
+        SyntheticCdcStreamReader,
+    )
+
+    with _pytest.raises(ValueError, match="simple"):
+        SyntheticCdcStreamReader({"payload": "kafka_xml"})
