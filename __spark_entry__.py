@@ -64,6 +64,9 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",
     "t24_streaming_xml_pipeline",
+    "heavy_hitters_misra_gries",
+    "hll_sketch_mergeability",
+    "udtf_sentence_split",
     "knn_lsh_ann",
     "knn_ivf_ann",
     "knn_ivf_pq",

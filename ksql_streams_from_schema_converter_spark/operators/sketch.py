@@ -1,0 +1,90 @@
+"""Mergeable frequency sketches: distributed Misra-Gries heavy hitters.
+
+The constant-memory path for "which items exceed φ·n frequency" at
+100 TB — exact groupBy counting shuffles every distinct item; a
+Misra-Gries summary keeps ``k`` counters per partition and merges in
+the driver-free tree Spark's aggregation would use.  Guarantees
+(Misra & Gries 1982; mergeability per Agarwal et al., "Mergeable
+summaries", PODS 2012):
+
+- ``est(x) ≤ freq(x)`` — never overestimates;
+- ``freq(x) - est(x) ≤ Σ_p t_p ≤ n/(k+1)`` where ``t_p`` is partition
+  p's total decrement — so every item with ``freq > n/(k+1)`` has a
+  positive merged estimate (no heavy hitter is lost).
+
+Implementation: one ``mapInPandas`` pass builds a batched MG summary
+per partition — add a batch's value counts, then restore the k-counter
+invariant by subtracting the (k+1)-th largest counter value and
+dropping non-positives (the closed-form MG trim; the subtracted amount
+accumulates into ``t_p``).  Each partition emits ≤ k (item, est) rows
+plus one (NULL, t_p) error row; merging is a plain groupBy sum.
+Memory is O(k + batch-distinct) per task regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_summaries(
+    df: DataFrame, item_col: str, k: int = 20
+) -> DataFrame:
+    """Per-partition MG summaries: rows ``(item, est)`` for up to ``k``
+    tracked items per partition, plus one ``(NULL, t_p)`` row carrying
+    the partition's total decrement (the merged error bound is
+    ``sum(est) where item IS NULL``)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("item", T.StringType(), True),
+            T.StructField("est", T.LongType(), False),
+        ]
+    )
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        t_p = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for item, cnt in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > k:
+                # closed-form MG trim: subtract the (k+1)-th largest
+                # value; ≤ k counters stay positive (ties can leave
+                # fewer — that only tightens the summary)
+                thresh = sorted(counters.values(), reverse=True)[k]
+                t_p += thresh
+                counters = {
+                    i: c - thresh for i, c in counters.items() if c > thresh
+                }
+        rows = [{"item": i, "est": c} for i, c in counters.items()]
+        rows.append({"item": None, "est": t_p})
+        yield pd.DataFrame(rows, columns=["item", "est"])
+
+    return df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        summarize, schema=out_schema
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, item_col: str, k: int = 20
+) -> DataFrame:
+    """Merged MG sketch: ``(item, est, err_bound)`` for every tracked
+    item (the same ``err_bound = Σ t_p`` on each row).  Any item with
+    ``freq > n/(k+1)`` is guaranteed present with
+    ``freq - err_bound ≤ est ≤ freq``."""
+    summaries = misra_gries_summaries(df, item_col, k)
+    merged = summaries.groupBy("item").agg(F.sum("est").alias("est"))
+    err = merged.where(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("est"), F.lit(0)).alias("err_bound")
+    )
+    return (
+        merged.where(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(err))
+        .select("item", "est", "err_bound")
+    )

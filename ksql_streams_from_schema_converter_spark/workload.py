@@ -5993,3 +5993,185 @@ def t24_streaming_xml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = EtlPipeline(spec).apply(raw).sink
     return spark.table(_drain_to_memory(sink, "t24_stream_xml"))
+
+
+@query(
+    "heavy_hitters_misra_gries",
+    """
+    WITH items AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+                  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS item
+      FROM events
+    ),
+    tot AS (SELECT count(*) AS n FROM items),
+    ex AS (SELECT item, count(*) AS cnt FROM items GROUP BY item)
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+           CAST((SELECT count(*) FROM ex, tot WHERE cnt > n / 21.0) AS BIGINT) AS n_heavy,
+           TRUE AS found_all_heavy,
+           TRUE AS no_overestimate,
+           TRUE AS err_within_bound
+    """,
+)
+def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters (operators/sketch.py) —
+    the constant-memory frequent-items path for 100 TB, hard-gated by
+    in-query verification of the MG guarantees (the approx_stats /
+    ANN-verdict pattern): over a deterministically skewed item column
+    (two hot items ≈ n/6 each, the rest singletons), the k=20 sketch
+    must (a) contain every item with exact freq > n/(k+1), (b) never
+    overestimate, (c) keep its merged error bound ≤ n/(k+1) with every
+    heavy item's estimate within it.  The exact side is one groupBy —
+    the verification pass, not the operator."""
+    from .operators.sketch import heavy_hitters
+
+    k = 20
+    items = load_table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("hot_"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
+        .alias("item")
+    )
+    sketch = heavy_hitters(items, "item", k)
+    exact = items.groupBy("item").agg(F.count("*").alias("cnt"))
+    tot = items.agg(F.count("*").alias("n"))
+    heavy = exact.crossJoin(F.broadcast(tot)).where(
+        F.col("cnt") > F.col("n") / (k + 1)
+    )
+    joined = heavy.join(sketch, "item", "left")
+    heavy_checks = joined.agg(
+        F.count("*").alias("n_heavy"),
+        (F.count("*") == F.sum(F.col("est").isNotNull().cast("long"))).alias(
+            "found_all_heavy"
+        ),
+        F.coalesce(
+            F.max(
+                (F.col("cnt") - F.col("est") > F.col("err_bound")).cast("long")
+            ) == 0,
+            F.lit(True),
+        ).alias("heavy_in_bound"),
+    )
+    over = sketch.join(exact, "item").agg(
+        F.coalesce(F.max((F.col("est") > F.col("cnt")).cast("long")) == 0, F.lit(True)).alias(
+            "no_overestimate"
+        ),
+        F.coalesce(F.max("err_bound"), F.lit(0)).alias("err_bound"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(heavy_checks))
+        .crossJoin(F.broadcast(over))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_heavy").cast("bigint").alias("n_heavy"),
+            "found_all_heavy",
+            "no_overestimate",
+            (
+                F.col("heavy_in_bound")
+                & (F.col("err_bound") <= F.col("n") / (k + 1))
+            ).alias("err_within_bound"),
+        )
+    )
+
+
+@query(
+    "hll_sketch_mergeability",
+    """
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS direct_err_ok,
+           TRUE AS merged_err_ok,
+           TRUE AS merge_close_to_direct
+    FROM lineitem
+    """,
+)
+def hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY — the property that makes sketch-based
+    distinct counts work at 100 TB (per-partition/per-group sketches
+    union losslessly into a global one; Datasketches HLL via
+    ``hll_sketch_agg`` / ``hll_union_agg``): per-returnflag sketches
+    are unioned and the merged estimate is verified in-query against
+    BOTH the directly-built sketch and the exact distinct count
+    (union promotes the sketch's target type, so merged ≠ direct
+    bit-for-bit — measured ≤1.6% apart at every sf; both within the
+     15% HLL error gate used by approx_stats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est_direct")
+    )
+    exact = li.agg(F.count_distinct("l_partkey").alias("exact_parts"))
+    rel = lambda a, b: F.abs(a - b) / b  # noqa: E731
+    return (
+        exact.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            F.col("exact_parts").cast("bigint").alias("exact_parts"),
+            (rel(F.col("est_direct"), F.col("exact_parts")) <= 0.15).alias(
+                "direct_err_ok"
+            ),
+            (rel(F.col("est_merged"), F.col("exact_parts")) <= 0.15).alias(
+                "merged_err_ok"
+            ),
+            (rel(F.col("est_merged"), F.col("est_direct")) <= 0.05).alias(
+                "merge_close_to_direct"
+            ),
+        )
+    )
+
+
+@query(
+    "udtf_sentence_split",
+    """
+    WITH split AS (
+      SELECT doc_id, string_split(text, '.') AS l FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, l, unnest(generate_series(1, len(l))) AS j FROM split
+    ),
+    parts AS (
+      SELECT doc_id, j, trim(l[j], ' ') AS sentence FROM idx
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j) AS INT) AS sent_idx,
+           sentence
+    FROM parts WHERE sentence <> ''
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function, Arrow-
+    optimized) — the remaining Python-extension surface after scalar
+    pandas UDFs, grouped-map, mapInPandas and the Data Source API:
+    sentence-split each document via LATERAL correlation, one output
+    row per non-empty '.'-delimited fragment with a per-document
+    ordinal.  The UDTF path is the slow lane by design (per-row Python
+    generator; Arrow batches the transfer) — it exists for logic that
+    genuinely cannot be a Column expression; this gate pins the
+    surface plus its exact-ordinal semantics against the relational
+    oracle."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            idx = 0
+            for raw in (text or "").split("."):
+                s = raw.strip(" ")
+                if s:
+                    idx += 1
+                    yield doc_id, idx, s
+
+    spark.udtf.register("sentence_split_udtf", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_for_udtf"
+    )
+    return spark.sql(
+        "SELECT s.* FROM __docs_for_udtf, "
+        "LATERAL sentence_split_udtf(doc_id, text) s"
+    )
