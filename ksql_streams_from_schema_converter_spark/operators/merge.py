@@ -133,12 +133,30 @@ def merge_into(
     schema = source_df.schema
     value_cols = [f.name for f in schema.fields]
 
-    src = source_df.withColumn(_BUCKET, bucket_expr(key_cols, num_buckets))
-    touched = sorted(
-        r[_BUCKET] for r in src.select(_BUCKET).distinct().collect()
-    )
-    if not touched:
-        return []
+    # the source feeds two actions (touched-bucket discovery + the
+    # merge write) — persist so a foreachBatch micro-batch or an
+    # expensive upstream plan is not computed twice
+    src = source_df.withColumn(
+        _BUCKET, bucket_expr(key_cols, num_buckets)
+    ).persist()
+    try:
+        touched = sorted(
+            r[_BUCKET] for r in src.select(_BUCKET).distinct().collect()
+        )
+        if not touched:
+            return []
+        return _merge_touched(
+            spark, src, schema, value_cols, key_cols, touched,
+            target_dir, version, order_col, num_buckets,
+        )
+    finally:
+        src.unpersist()
+
+
+def _merge_touched(
+    spark, src, schema, value_cols, key_cols, touched,
+    target_dir, version, order_col, num_buckets,
+) -> list[int]:
 
     # per-bucket prior snapshot from versions STRICTLY below this one
     prior_by_bucket = resolve_bucket_paths(target_dir, max_version=version - 1)

@@ -78,13 +78,21 @@ def heavy_hitters(
     item (the same ``err_bound = Σ t_p`` on each row).  Any item with
     ``freq > n/(k+1)`` is guaranteed present with
     ``freq - err_bound ≤ est ≤ freq``."""
+    from pyspark.sql import Window
+
     summaries = misra_gries_summaries(df, item_col, k)
     merged = summaries.groupBy("item").agg(F.sum("est").alias("est"))
-    err = merged.where(F.col("item").isNull()).agg(
-        F.coalesce(F.sum("est"), F.lit(0)).alias("err_bound")
+    # attach the global error bound (the NULL-item row's total) via ONE
+    # whole-frame window over the tiny merged summary — a self-join here
+    # would re-run the corpus-wide sketch pass for each reference
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    err = F.coalesce(
+        F.sum(F.when(F.col("item").isNull(), F.col("est"))).over(w), F.lit(0)
     )
     return (
-        merged.where(F.col("item").isNotNull())
-        .crossJoin(F.broadcast(err))
+        merged.withColumn("err_bound", err)
+        .where(F.col("item").isNotNull())
         .select("item", "est", "err_bound")
     )

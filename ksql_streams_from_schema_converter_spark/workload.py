@@ -6033,44 +6033,39 @@ def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
         .alias("item")
     )
+    # exactly THREE corpus passes (map-side count, the MG sketch pass,
+    # the exact groupBy verification pass); the tiny sketch broadcasts
+    # into the exact side and ONE 1-row aggregate computes every
+    # verdict — no recomputation of the sketch or exact subplans
     sketch = heavy_hitters(items, "item", k)
-    exact = items.groupBy("item").agg(F.count("*").alias("cnt"))
     tot = items.agg(F.count("*").alias("n"))
-    heavy = exact.crossJoin(F.broadcast(tot)).where(
-        F.col("cnt") > F.col("n") / (k + 1)
+    exact = items.groupBy("item").agg(F.count("*").alias("cnt"))
+    j = exact.crossJoin(F.broadcast(tot)).join(
+        F.broadcast(sketch), "item", "left"
     )
-    joined = heavy.join(sketch, "item", "left")
-    heavy_checks = joined.agg(
-        F.count("*").alias("n_heavy"),
-        (F.count("*") == F.sum(F.col("est").isNotNull().cast("long"))).alias(
-            "found_all_heavy"
-        ),
-        F.coalesce(
-            F.max(
-                (F.col("cnt") - F.col("est") > F.col("err_bound")).cast("long")
-            ) == 0,
-            F.lit(True),
-        ).alias("heavy_in_bound"),
+    heavy = F.col("cnt") > F.col("n") / (k + 1)
+    missed = heavy & F.col("est").isNull()
+    out_of_bound = heavy & (
+        F.col("cnt") - F.coalesce(F.col("est"), F.lit(0))
+        > F.coalesce(F.col("err_bound"), F.lit(0))
     )
-    over = sketch.join(exact, "item").agg(
-        F.coalesce(F.max((F.col("est") > F.col("cnt")).cast("long")) == 0, F.lit(True)).alias(
-            "no_overestimate"
-        ),
+    over = F.col("est").isNotNull() & (F.col("est") > F.col("cnt"))
+    verdicts = j.agg(
+        F.max("n").alias("n"),
+        F.sum(heavy.cast("long")).alias("n_heavy"),
+        (F.sum(missed.cast("long")) == 0).alias("found_all_heavy"),
+        (F.sum(over.cast("long")) == 0).alias("no_overestimate"),
+        (F.sum(out_of_bound.cast("long")) == 0).alias("heavy_in_bound"),
         F.coalesce(F.max("err_bound"), F.lit(0)).alias("err_bound"),
     )
-    return (
-        tot.crossJoin(F.broadcast(heavy_checks))
-        .crossJoin(F.broadcast(over))
-        .select(
-            F.col("n").cast("bigint").alias("n"),
-            F.col("n_heavy").cast("bigint").alias("n_heavy"),
-            "found_all_heavy",
-            "no_overestimate",
-            (
-                F.col("heavy_in_bound")
-                & (F.col("err_bound") <= F.col("n") / (k + 1))
-            ).alias("err_within_bound"),
-        )
+    return verdicts.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_heavy").cast("bigint").alias("n_heavy"),
+        "found_all_heavy",
+        "no_overestimate",
+        (
+            F.col("heavy_in_bound") & (F.col("err_bound") <= F.col("n") / (k + 1))
+        ).alias("err_within_bound"),
     )
 
 
