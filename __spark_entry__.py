@@ -67,6 +67,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "heavy_hitters_misra_gries",
     "hll_sketch_mergeability",
     "udtf_sentence_split",
+    "bigram_counts_top",
     "knn_lsh_ann",
     "knn_ivf_ann",
     "knn_ivf_pq",

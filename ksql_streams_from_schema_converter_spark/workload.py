@@ -6170,3 +6170,54 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.* FROM __docs_for_udtf, "
         "LATERAL sentence_split_udtf(doc_id, text) s"
     )
+
+
+@query(
+    "bigram_counts_top",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    pairs AS (
+      SELECT t, unnest(generate_series(1, len(t) - 1)) AS j
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT t[j] || ' ' || t[j + 1] AS bigram,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 50
+    """,
+)
+def bigram_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model statistics: top-50 corpus bigrams — the
+    counting pass under tokenizer training (BPE merge-pair selection is
+    exactly 'most frequent adjacent pair') and n-gram LM estimation.
+    Adjacent pairs come from zipping the token array with its own
+    1-shifted slice (pure codegen, no explode of both sides), then one
+    count shuffle with map-side combine; the global top-50 is a
+    TakeOrdered (no full sort), tie-broken by the bigram string so the
+    limit boundary is deterministic on both engines. At 100 TB this is
+    the canonical map-side-combine shape: the shuffle carries one row
+    per distinct bigram per partition."""
+    from .operators import text as TX
+
+    toks = TX.tokens("text")
+    docs = load_table(spark, sf_dir, "documents").select(toks.alias("t"))
+    bigrams = (
+        docs.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(50)
+    )
