@@ -106,6 +106,34 @@ def read_state(
     return df.where(~drop_where) if drop_where is not None else df
 
 
+def vacuum_versions(target_dir: str, keep_latest: int = 1) -> list[str]:
+    """Delete bucket directories SUPERSEDED by newer versions — the
+    state table's compaction/VACUUM. A bucket dir ``v-X/__bucket=b`` is
+    superseded once ``keep_latest`` newer versions also contain bucket
+    ``b`` (keep_latest > 1 preserves that much time-travel depth for
+    :func:`read_state`'s ``max_version``). Empty version dirs are
+    removed. Returns the deleted bucket-dir paths.
+
+    Safe to run between merges (never concurrently with one): current
+    visibility per bucket is always the NEWEST version containing it,
+    which vacuum never touches."""
+    import shutil
+
+    deleted: list[str] = []
+    newer_count: dict[int, int] = {}
+    for v in sorted(_versions_on_disk(target_dir), reverse=True):
+        for b, path in _bucket_dirs(target_dir, v).items():
+            if newer_count.get(b, 0) >= keep_latest:
+                shutil.rmtree(path)
+                deleted.append(path)
+            else:
+                newer_count[b] = newer_count.get(b, 0) + 1
+        vdir = os.path.join(target_dir, f"v-{v}")
+        if not _bucket_dirs(target_dir, v):  # only marker files left
+            shutil.rmtree(vdir)
+    return sorted(deleted)
+
+
 def merge_into(
     source_df: DataFrame,
     target_dir: str,

@@ -489,24 +489,24 @@ def planted_corpus(
     corpus = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-
-    def perturb(j: int):
-        # closure factory: pyspark counts the lambda's parameters, so a
-        # bound default (lambda x, i, j=j) would read as a 3-arg HOF
-        return lambda x, i: x + F.when(
-            (i + j) % 2 == 0, F.lit(0.01)
-        ).otherwise(F.lit(-0.01))
-
-    for j in range(copies):
-        corpus = corpus.unionByName(
-            q.select(
-                (F.col(id_col) + F.lit(offset * (j + 1))).alias(id_col),
-                F.transform(
-                    F.col(vec_col).cast("array<double>"), perturb(j)
-                ).alias(vec_col),
-            )
-        )
-    return corpus
+    # ONE exploded branch for all copies (not a copies-way union): copy
+    # j's perturbation sign pattern is (i + j - 1) % 2 with j 1-based —
+    # identical values to the per-copy unions, a fraction of the plan
+    planted = q.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        F.explode(F.sequence(F.lit(1), F.lit(copies))).alias("__j"),
+    ).select(
+        (F.col(id_col) + F.col("__j") * offset).alias(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: x
+            + F.when(
+                (i + F.col("__j") - 1) % 2 == 0, F.lit(0.01)
+            ).otherwise(F.lit(-0.01)),
+        ).alias(vec_col),
+    )
+    return corpus.unionByName(planted)
 
 
 def recall_verdicts(

@@ -122,3 +122,35 @@ def test_read_state_as_of_version(spark, tmp_path):
     )
     assert read_state(spark, tgt, max_version=0).head().v == 10
     assert read_state(spark, tgt).head().v == 20
+
+
+def test_vacuum_versions_removes_superseded_buckets(spark, tmp_path):
+    """Vacuum deletes only bucket dirs shadowed by newer versions; the
+    visible state is identical before and after, and time-travel depth
+    honors keep_latest."""
+    from ksql_streams_from_schema_converter_spark.operators.merge import (
+        vacuum_versions,
+    )
+
+    tgt = str(tmp_path / "state")
+    merge_into(
+        spark.range(200).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        tgt, key="k", version=0, num_buckets=8,
+    )
+    merge_into(  # rewrites every bucket => v0 fully superseded
+        spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        tgt, key="k", version=1, num_buckets=8,
+    )
+    merge_into(  # touches one bucket
+        spark.createDataFrame([(7, 777)], "k long, v long"),
+        tgt, key="k", version=2, num_buckets=8,
+    )
+    before = _rows(read_state(spark, tgt))
+    deleted = vacuum_versions(tgt, keep_latest=1)
+    # all 8 v0 buckets superseded by v1; the one v1 bucket shadowed by
+    # v2 is superseded too
+    assert len(deleted) == 9
+    assert all("/v-0/" in p or "/v-1/" in p for p in deleted)
+    assert _rows(read_state(spark, tgt)) == before
+    assert not os.path.exists(os.path.join(tgt, "v-0"))  # fully emptied
+    assert vacuum_versions(tgt, keep_latest=1) == []  # idempotent
