@@ -51,11 +51,12 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: hand-listed (VERDICT r4 #2/#8): new-or-changed queries first (they
 #: need fresh rows), then every other query sorted staleness-first by
 #: its newest driver row across all CORRECTNESS_r*.json records
-#: (never-checked sorts first).  r5 instance: 8 priority slots (4 new
-#: queries, 3 ANN queries whose shape changed to recall verdicts, the
-#: upsert rewritten onto the bucketed MERGE) + the 42 stalest of the
-#: 44 queries whose newest row is r01/r02; the 2 leftovers lead r6's
-#: window automatically.  Guarded by tests/test_driver_window.py.
+#: (never-checked sorts first).  r5 instance: the PRIORITY_THIS_ROUND
+#: queries below (new operators, the 3 ANN queries whose shape changed
+#: to recall verdicts, the upsert rewritten onto the bucketed MERGE)
+#: fill the leading slots; the rest go to the stalest of the 44
+#: queries whose newest row is r01/r02, with the leftovers leading
+#: r6's window automatically.  Guarded by tests/test_driver_window.py.
 
 #: queries added or materially changed this round — they take window
 #: slots ahead of the staleness rotation
@@ -68,6 +69,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "hll_sketch_mergeability",
     "udtf_sentence_split",
     "bigram_counts_top",
+    "cogroup_reconcile_orders",
     "knn_lsh_ann",
     "knn_ivf_ann",
     "knn_ivf_pq",

@@ -6221,3 +6221,67 @@ def bigram_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@query(
+    "cogroup_reconcile_orders",
+    """
+    WITH li AS (
+      SELECT l_orderkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_total,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           CAST(coalesce(li.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS order_total,
+           CAST(coalesce(li.line_total, CAST(0 AS DECIMAL(18,2))) AS VARCHAR) AS line_total,
+           (li.l_orderkey IS NULL) AS orphan_order
+    FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    """,
+)
+def cogroup_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``cogroup().applyInPandas`` surface — the last grouped-Python
+    shape after grouped-map and mapInPandas: both sides of a key are
+    handed to ONE Python function per key group (orders vs their
+    lineitems), the escape hatch for per-key reconciliation logic no
+    join expresses directly. Here the logic is deliberately
+    join-expressible so DuckDB can oracle it exactly (exact DECIMAL
+    totals stringified in pandas to dodge float rendering): per order,
+    line count, order total vs summed line revenue, and an
+    orphan-order flag. Scale shape: ONE cogroup shuffle on the key,
+    Arrow-batched transfer, pandas work O(group size)."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
+    )
+
+    def reconcile(o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(o_pdf):  # lineitems with no order row: not emitted
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_lines", "order_total", "line_total", "orphan_order"]
+            )
+        key = int(o_pdf["o_orderkey"].iloc[0])
+        total = sum(l_pdf["price"], start=__import__("decimal").Decimal("0"))
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key],
+                "n_lines": [len(l_pdf)],
+                "order_total": [str(o_pdf["o_totalprice"].iloc[0])],
+                "line_total": [f"{total:.2f}"],
+                "orphan_order": [len(l_pdf) == 0],
+            }
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            schema="o_orderkey long, n_lines long, order_total string, "
+            "line_total string, orphan_order boolean",
+        )
+    )
