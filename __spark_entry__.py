@@ -70,6 +70,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "udtf_sentence_split",
     "bigram_counts_top",
     "cogroup_reconcile_orders",
+    "bloom_pruned_join_orders",
     "knn_lsh_ann",
     "knn_ivf_ann",
     "knn_ivf_pq",

@@ -6285,3 +6285,42 @@ def cogroup_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line_total string, orphan_order boolean",
         )
     )
+
+
+@query(
+    "bloom_pruned_join_orders",
+    """
+    SELECT o.o_orderkey, c.c_custkey, c.c_name,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS order_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def bloom_pruned_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/bloom.py) — the
+    explicit runtime-row-filter: a KB-sized bit sketch of the filtered
+    customer keys is built in one bit_or aggregation, embedded as an
+    array literal in the orders-scan filter (whole-stage codegen — no
+    UDF, no join to evaluate membership), and only surviving fact rows
+    reach the join shuffle. The hash gate is the operator's defining
+    guarantee made testable: NO false negatives, so the pruned join's
+    output is IDENTICAL to the plain join the oracle runs — false
+    positives only cost shuffle bytes (rate (1-e^{-kn/m})^k, sized
+    here at m=65536, k=4). At 100 TB this is the difference between
+    shuffling every fact row and shuffling ~the matching ones."""
+    from .operators.bloom import bloom_pruned_join
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > 9000
+    ).select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    joined = bloom_pruned_join(
+        orders, cust, "o_custkey", "c_custkey", m_bits=65536, k=4
+    )
+    return joined.select(
+        "o_orderkey", "c_custkey", "c_name",
+        F.col("o_totalprice").cast("string").alias("order_total"),
+    )
