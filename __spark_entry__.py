@@ -71,6 +71,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "bigram_counts_top",
     "cogroup_reconcile_orders",
     "bloom_pruned_join_orders",
+    "salted_join_hot_events",
     "knn_lsh_ann",
     "knn_ivf_ann",
     "knn_ivf_pq",

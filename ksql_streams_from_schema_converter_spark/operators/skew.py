@@ -49,3 +49,40 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[combine[fn](f"__p_{name}").alias(name) for name, (fn, _) in aggs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join by salting: the big (skewed) side gets a
+    deterministic salt ``pmod(hash(entire row key + a row fingerprint),
+    n)`` — here derived from the key AND a per-row hash so a single hot
+    key's rows spread over ``n_salts`` reducers — and the small side is
+    replicated ``n_salts`` times (explode over the salt domain), so the
+    join key becomes (key, salt) and no reducer owns a hot key alone.
+
+    Output is row-identical to the plain join (the salt is internal);
+    cost is ``n_salts×`` the small side's shuffle bytes — the classic
+    trade when AQE's skew splitting can't help (e.g. the skewed side
+    feeds a co-partitioned downstream stage, or the join is inside a
+    streaming micro-batch where AQE is off). AQE remains the first
+    resort; this is the explicit fallback."""
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.hash(F.col(big_key), F.monotonically_increasing_id()), n_salts),
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    joined = salted_big.join(
+        salted_small,
+        (salted_big[big_key] == salted_small[small_key])
+        & (salted_big["__salt"] == salted_small["__salt"]),
+        how,
+    )
+    return joined.drop(salted_big["__salt"]).drop(salted_small["__salt"])

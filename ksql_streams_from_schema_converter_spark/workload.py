@@ -6324,3 +6324,39 @@ def bloom_pruned_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "c_custkey", "c_name",
         F.col("o_totalprice").cast("string").alias("order_total"),
     )
+
+
+@query(
+    "salted_join_hot_events",
+    """
+    WITH hot AS (
+      SELECT event_id, CAST(user_id % 5 AS BIGINT) AS hot_key, event_type
+      FROM events
+    ),
+    dim AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation WHERE n_nationkey < 5
+    )
+    SELECT h.event_id, h.hot_key, h.event_type, d.n_name
+    FROM hot h JOIN dim d ON h.hot_key = d.k
+    """,
+)
+def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join (operators/skew.salted_join) — the manual
+    skew fallback when AQE can't split (streaming micro-batches, or a
+    downstream stage inheriting the partitioning): every event hashes
+    into one of 5 hot keys (worst-case skew: the whole fact side lands
+    on 5 reducers in a plain shuffle join), the big side salts over 8
+    reducers per key and the 5-row dim side replicates 8×. The salt is
+    internal, so the hash gate is output IDENTITY with the plain join
+    the oracle runs — the same no-semantic-change contract as the
+    Bloom-pruned and bucketed joins."""
+    from .operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 5).alias("hot_key"), "event_type"
+    )
+    dim = load_table(spark, sf_dir, "nation").where(
+        F.col("n_nationkey") < 5
+    ).select(F.col("n_nationkey").cast("bigint").alias("k"), "n_name")
+    joined = salted_join(ev, dim, "hot_key", "k", n_salts=8)
+    return joined.select("event_id", "hot_key", "event_type", "n_name")

@@ -59,3 +59,28 @@ def test_planted_corpus_is_two_branch_union(spark):
     assert planted.count() == 25
     ids = {r.vec_id for r in planted.select("vec_id").collect()}
     assert ids == {q + 100_000 * j for q in range(5) for j in range(1, 6)}
+
+
+def test_salted_join_spreads_hot_key_and_matches_plain(spark):
+    """Salted join: output identical to the plain join, and the big
+    side's shuffle spreads a single hot key over multiple partitions
+    (the plain shuffle pins it to one)."""
+    from ksql_streams_from_schema_converter_spark.operators.skew import salted_join
+
+    big = spark.range(20_000).select(F.lit(3).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(3, "three"), (4, "four")], "k long, name string")
+    plain = big.join(small.withColumnRenamed("k", "sk"), F.col("k") == F.col("sk")) \
+        .select("v", "name").collect()
+    salted = salted_join(big, small.withColumnRenamed("k", "sk"), "k", "sk", n_salts=8) \
+        .select("v", "name").collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    # the join key is (key, salt): one hot key occupies up to 8 buckets
+    from ksql_streams_from_schema_converter_spark.operators.skew import F as _F  # noqa: F401
+    salts = (
+        big.withColumn(
+            "__salt",
+            F.pmod(F.hash(F.col("k"), F.monotonically_increasing_id()), 8),
+        )
+        .select("__salt").distinct().count()
+    )
+    assert salts == 8
