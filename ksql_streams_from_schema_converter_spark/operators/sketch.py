@@ -96,3 +96,79 @@ def heavy_hitters(
         .where(F.col("item").isNotNull())
         .select("item", "est", "err_bound")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — engine-portable
+# ---------------------------------------------------------------------------
+
+#: hex-nibble value of md5 character at 1-based position {pos} (the
+#: same engine-portable construction the SimHash oracle uses)
+_NIB = "strpos('0123456789abcdef', substr(md5({expr}), {pos}, 1)) - 1"
+
+
+def _cms_bucket_spark(key, d, width: int):
+    """CMS bucket: first 16 bits of md5(d ':' key), mod width — md5 is
+    byte-identical everywhere, so Spark and DuckDB agree on every
+    bucket."""
+    h = F.md5(F.concat(d.cast("string"), F.lit(":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % width
+
+
+def cms_bucket_sql(key_expr: str, d_expr: str, width: int) -> str:
+    """DuckDB replay of :func:`_cms_bucket_spark` (no conv() there —
+    explicit nibble arithmetic over the same md5 hex)."""
+    inp = f"CAST({d_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+    nibs = " + ".join(
+        f"({_NIB.format(expr=inp, pos=p + 1)}) * {16 ** (3 - p)}"
+        for p in range(4)
+    )
+    return f"(({nibs}) % {width})"
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Build a ``depth × width`` count-min sketch of ``key_col``'s
+    frequency distribution as ``(d, bucket, cnt)`` rows.
+
+    Scale: the explode multiplies rows ``depth``× BEFORE aggregation,
+    but the groupBy key space is ``depth*width`` (constant), so
+    partial aggregation collapses each map task's contribution to at
+    most ``depth*width`` rows — the shuffle carries KBs regardless of
+    input size.  This is the mergeable-summary property that lets CMS
+    run as a streaming accumulator or a tree-reduce."""
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        F.col(key_col).alias("k"),
+    )
+    return (
+        rows.select(
+            "d", _cms_bucket_spark(F.col("k"), F.col("d"), width).alias("bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "k",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[probe_col]``: min over
+    the ``depth`` rows of the probed bucket counters (0 when a bucket
+    is empty).  Estimates NEVER undercount — ``est ≥ freq`` is the CMS
+    guarantee, asserted downstream as a verdict column."""
+    p = probes.select(
+        F.col(probe_col).alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    p = p.withColumn("bucket", _cms_bucket_spark(F.col("k"), F.col("d"), width))
+    return (
+        p.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

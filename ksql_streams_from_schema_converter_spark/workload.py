@@ -6360,3 +6360,356 @@ def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("n_nationkey").cast("bigint").alias("k"), "n_name")
     joined = salted_join(ev, dim, "hot_key", "k", n_salts=8)
     return joined.select("event_id", "hot_key", "event_type", "n_name")
+
+
+# ===========================================================================
+# Round 5: graph analytics, distributed ranking, IVM, temporal joins,
+# count-min sketch (operators/graph.py, operators/ranking.py,
+# operators/sketch.py)
+# ===========================================================================
+
+_PR_CUST_OFFSET = 10_000_000
+
+_PR_EDGES_CTE = f"""
+  SELECT l_suppkey AS src, o_custkey + {_PR_CUST_OFFSET} AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey + {_PR_CUST_OFFSET} AS src, l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def _pr_oracle() -> str:
+    from .operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PR_EDGES_CTE, n_iter=3)
+
+
+@query("pagerank_supplier_customer", _pr_oracle())
+def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py) over the supplier ↔
+    customer trade graph (URGENT orders; customers offset into a
+    disjoint id space).  3 synchronous rounds, ALL arithmetic in
+    BIGINT micro-ranks with truncating division, so the driver hash-
+    gates an ITERATIVE graph algorithm exactly — float PageRank could
+    never hash across engines.  The DuckDB oracle replays the same
+    recurrence as unrolled CTEs.  Each round is one keyed shuffle of
+    the edge list (Pregel shape); lineage is checkpoint-truncated."""
+    from .operators.graph import pagerank_fixed_point
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    sc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(_PR_CUST_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = sc.union(sc.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank_fixed_point(edges, n_iter=3)
+
+
+_TRI_EDGES_CTE = """
+  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1
+  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                  AND l1.l_partkey < l2.l_partkey
+  JOIN orders ON l1.l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def _tri_oracle() -> str:
+    from .operators.graph import triangle_oracle_sql
+
+    return triangle_oracle_sql(_TRI_EDGES_CTE)
+
+
+@query("triangle_count_parts", _tri_oracle())
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph (parts
+    sharing an URGENT order).  Degree-ordered orientation bounds wedge
+    enumeration at O(|E|^1.5) — the Schank-Wagner/MapReduce-triangles
+    shape — and the closing probe is a two-column equi-join against
+    the id-canonical edge set (operators/graph.py).  All counts are
+    integers: exact hash gate."""
+    from .operators.graph import triangle_participation
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+    )
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = l1.join(l2, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    return triangle_participation(pairs)
+
+
+_RECURSIVE_ANCESTRY_SQL = """
+    WITH RECURSIVE chain(start, node, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM {customer} WHERE c_custkey <= 100
+      UNION ALL
+      SELECT start, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+      FROM chain WHERE node > 1
+    )
+    SELECT start,
+           CAST(max(depth) AS BIGINT) AS depth_to_root,
+           count(*) AS chain_len,
+           CAST(sum(node) AS BIGINT) AS path_sum
+    FROM chain
+    GROUP BY start
+"""
+
+
+@query(
+    "recursive_cte_ancestry",
+    _RECURSIVE_ANCESTRY_SQL.format(customer="customer"),
+)
+def recursive_cte_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — the raw-SQL surface
+    executing an iterative plan INSIDE Catalyst, no driver loop):
+    binary-ancestry chains node → floor(node/2) → … → 1, aggregated
+    per start node.  The oracle is the IDENTICAL statement — both
+    engines run the same ANSI recursive query, a direct parity check
+    of the reference's raw-query passthrough endpoint on its hardest
+    SQL feature.  floor(x/2.0) keeps the step portable (double CASTs
+    round in DuckDB but floor's output is integral)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__rc_customer"
+    )
+    return spark.sql(_RECURSIVE_ANCESTRY_SQL.format(customer="__rc_customer"))
+
+
+@query(
+    "equi_depth_bins_orders",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           count(*) AS n,
+           CAST(min(o_totalprice) AS DECIMAL(18,2)) AS lo,
+           CAST(max(o_totalprice) AS DECIMAL(18,2)) AS hi,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+    FROM ranked
+    GROUP BY bin
+    """,
+)
+def equi_depth_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency (NTILE) discretization of order value via
+    DISTRIBUTED global ranking (operators/ranking.py): range-partition
+    on the sort key, prefix-sum per-partition counts into offsets, add
+    the local row_number — NO single-reducer window, which is how the
+    oracle's ``NTILE() OVER (ORDER BY …)`` would execute naively.  The
+    hash gate proves the distributed rank reproduces the sequential
+    NTILE bucketing bit-for-bit."""
+    from .operators.ranking import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    binned = global_ntile(orders, ["o_totalprice", "o_orderkey"], k=8)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").cast("decimal(18,2)").alias("lo"),
+        F.max("o_totalprice").cast("decimal(18,2)").alias("hi"),
+        F.sum(price_dec).cast("decimal(38,2)").alias("total"),
+    )
+
+
+@query(
+    "incremental_agg_maintenance",
+    """
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+           CAST(min(o_orderdate) AS TIMESTAMP) AS first_order,
+           CAST(max(o_orderdate) AS TIMESTAMP) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the orders table is
+    split into a BASE (90%) and a DELTA batch (o_orderkey % 10 = 0),
+    each aggregated independently, and the delta's partial aggregate is
+    MERGED into the base's (sum-of-sums / min-of-mins — the standard
+    self-maintainable aggregate algebra).  The oracle recomputes the
+    aggregate from scratch, so the hash gate IS the IVM correctness
+    statement: maintain(base ⊎ delta) ≡ recompute(all).  At 100 TB the
+    delta path touches only the new partition — this gate is what lets
+    a pipeline trust it."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    ts = F.col("o_orderdate").cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("cnt"),
+            F.sum(price_dec).alias("total"),
+            F.min(ts).alias("first_order"),
+            F.max(ts).alias("last_order"),
+        )
+
+    base = partial(orders.where(F.col("o_orderkey") % 10 != 0))
+    delta = partial(orders.where(F.col("o_orderkey") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("total").cast("decimal(38,2)").alias("total"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    """
+    WITH dim AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS severity,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT f.event_id,
+           f.user_id,
+           CAST(f.ts AS TIMESTAMP) AS purchase_ts,
+           d.severity,
+           CAST(d.valid_from AS TIMESTAMP) AS version_from
+    FROM events f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'purchase'
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) lookup against an SCD2 dimension built
+    from the error changelog: each purchase joins the error-severity
+    version VALID AT its timestamp — the exact-interval complement of
+    `asof_join_latest_event`.  The join is keyed on user_id (hash
+    join); the validity range is a residual predicate evaluated inside
+    the join, so per-key version lists never fan out beyond the
+    matching interval.  Empty intervals (duplicate version timestamps)
+    match nothing by construction on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    # version intervals ordered exactly like the oracle's window:
+    # (ts, event_id) — event_id breaks same-timestamp ties
+    dim = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_id").alias("d_event"),
+            F.col("value").cast("decimal(18,2)").alias("severity"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("d_user").orderBy("valid_from", "d_event")
+            ),
+        )
+    )
+    fact = ev.where(F.col("event_type") == "purchase")
+    cond = (
+        (fact.user_id == dim.d_user)
+        & (fact.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (fact.ts < dim.valid_to))
+    )
+    return fact.join(dim, cond, "left").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "severity",
+        F.col("valid_from").cast("timestamp_ntz").alias("version_from"),
+    )
+
+
+def _cms_oracle(depth: int = 4, width: int = 64, probes: int = 20) -> str:
+    from .operators.sketch import cms_bucket_sql
+
+    return f"""
+    WITH expanded AS (
+      SELECT o_custkey AS k, d
+      FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1})) AS d) ds
+    ),
+    sketch AS (
+      SELECT d, {cms_bucket_sql("k", "d", width)} AS bucket, count(*) AS cnt
+      FROM expanded GROUP BY d, bucket
+    ),
+    pd AS (
+      SELECT p.k, ds.d, {cms_bucket_sql("p.k", "ds.d", width)} AS bucket
+      FROM (SELECT unnest(generate_series(1, {probes})) AS k) p
+      CROSS JOIN (SELECT unnest(generate_series(0, {depth - 1})) AS d) ds
+    ),
+    est AS (
+      SELECT pd.k, min(COALESCE(s.cnt, 0)) AS cms_est
+      FROM pd LEFT JOIN sketch s ON s.d = pd.d AND s.bucket = pd.bucket
+      GROUP BY pd.k
+    ),
+    truth AS (
+      SELECT o_custkey AS k, count(*) AS true_cnt
+      FROM orders WHERE o_custkey BETWEEN 1 AND {probes}
+      GROUP BY o_custkey
+    )
+    SELECT e.k,
+           COALESCE(t.true_cnt, 0) AS true_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           e.cms_est >= COALESCE(t.true_cnt, 0) AS never_undercounts
+    FROM est e LEFT JOIN truth t ON e.k = t.k
+    """
+
+
+@query("count_min_sketch_custkey", _cms_oracle())
+def count_min_sketch_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py, Cormode-Muthukrishnan):
+    a 4×64 CMS of order counts per customer, probed at 20 point keys
+    against exact truth.  Buckets derive from md5 nibbles, so BOTH
+    engines build the byte-identical sketch — the estimates hash-gate
+    exactly, and ``never_undercounts`` asserts the one-sided CMS error
+    bound as data.  The sketch shuffle is ``depth×width`` counters
+    total (mergeable summary) — the constant-memory frequency path
+    when even Misra-Gries' per-item candidate set is too wide."""
+    from .operators.sketch import cms_point_estimates, count_min_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = count_min_sketch(orders.select("o_custkey"), "o_custkey", 4, 64)
+    probes = spark.range(1, 21).select(F.col("id").alias("k"))
+    est = cms_point_estimates(sketch, probes, depth=4, width=64)
+    truth = (
+        orders.where(F.col("o_custkey").between(1, 20))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    return est.join(truth, "k", "left").select(
+        "k",
+        F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") >= F.coalesce("true_cnt", F.lit(0))).alias(
+            "never_undercounts"
+        ),
+    )

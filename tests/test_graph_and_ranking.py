@@ -1,0 +1,136 @@
+"""Unit tests for operators/graph.py (fixed-point PageRank, oriented
+triangle counting), operators/ranking.py (distributed global rank /
+NTILE) and the count-min sketch (operators/sketch.py) — the oracle
+parity suite covers their workload queries end-to-end; these pin the
+operator contracts on hand-checkable graphs."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ksql_streams_from_schema_converter_spark.operators.graph import (
+    PR_SCALE,
+    canonical_edges,
+    orient_edges_by_degree,
+    pagerank_fixed_point,
+    triangle_participation,
+)
+from ksql_streams_from_schema_converter_spark.operators.ranking import (
+    global_ntile,
+    global_row_number,
+)
+from ksql_streams_from_schema_converter_spark.operators.sketch import (
+    cms_point_estimates,
+    count_min_sketch,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_canonical_edges_dedup_and_self_loops(spark):
+    e = _edges(spark, [(1, 2), (2, 1), (1, 2), (3, 3), (2, 4)])
+    got = {(r.a, r.b) for r in canonical_edges(e).collect()}
+    assert got == {(1, 2), (2, 4)}
+
+
+def test_orientation_covers_each_edge_once(spark):
+    # path 1-2-3-4 plus chord 1-3
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 3)])
+    o = orient_edges_by_degree(e).collect()
+    assert len(o) == 4
+    undirected = {frozenset((r.lo, r.hi)) for r in o}
+    assert undirected == {
+        frozenset(p) for p in [(1, 2), (2, 3), (3, 4), (1, 3)]
+    }
+    # 4 has degree 1, 3 has degree 3: the 3-4 edge must point 4 -> 3
+    assert (4, 3) in {(r.lo, r.hi) for r in o}
+
+
+def test_triangles_k4(spark):
+    # K4: C(4,3)=4 triangles, every node participates in C(3,2)=3
+    nodes = [1, 2, 3, 4]
+    e = _edges(spark, [(a, b) for a in nodes for b in nodes if a < b])
+    got = {r.node: r.triangles for r in triangle_participation(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_none_in_tree(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 5)])
+    assert triangle_participation(e).count() == 0
+
+
+def test_pagerank_two_node_cycle_exact(spark):
+    """1 <-> 2: both nodes keep rank exactly PR_SCALE at every round
+    (each forwards its whole rank to the other): fixed point of the
+    recurrence, checkable by hand: 150000 + 85*1000000 div 100 div 1
+    -> 150000 + 850000 = 1000000."""
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r.node: r.rank for r in pagerank_fixed_point(e, n_iter=3).collect()}
+    assert got == {1: PR_SCALE, 2: PR_SCALE}
+
+
+def test_pagerank_star_hub_dominates(spark):
+    e = spark.createDataFrame(
+        [(i, 99) for i in range(1, 6)] + [(99, i) for i in range(1, 6)],
+        "src long, dst long",
+    )
+    ranks = {r.node: r.rank for r in pagerank_fixed_point(e, n_iter=3).collect()}
+    assert all(ranks[99] > ranks[i] for i in range(1, 6))
+    # leaves are symmetric: identical ranks
+    assert len({ranks[i] for i in range(1, 6)}) == 1
+
+
+def test_pagerank_deep_run_checkpoints(spark):
+    """n_iter beyond checkpoint_every exercises the lineage
+    truncation path and still converges to stable integer ranks."""
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = {r.node: r.rank for r in pagerank_fixed_point(
+        e, n_iter=7, checkpoint_every=3
+    ).collect()}
+    # 3-cycle: every node forwards its full rank -> all stay at SCALE
+    assert got == {1: PR_SCALE, 2: PR_SCALE, 3: PR_SCALE}
+
+
+def test_global_row_number_matches_sequential_window(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 251).alias("key"), F.col("id")
+    )
+    got, total = global_row_number(df, ["key", "id"], n_partitions=8)
+    assert total == 1000
+    w = Window.orderBy("key", "id")
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert (
+        got.select("key", "id", "rn")
+        .exceptAll(want.select("key", "id", "rn"))
+        .count()
+        == 0
+    )
+
+
+@pytest.mark.parametrize("n,k", [(1000, 8), (10, 4), (7, 3), (5, 9)])
+def test_global_ntile_matches_sql_ntile(spark, n, k):
+    df = spark.range(0, n).select((F.col("id") * 61 % 997).alias("key"), "id")
+    got = global_ntile(df, ["key", "id"], k=k, n_partitions=4)
+    want = df.withColumn(
+        "bin", F.ntile(k).over(Window.orderBy("key", "id"))
+    )
+    assert (
+        got.select("key", "id", "bin")
+        .exceptAll(want.select("key", "id", "bin"))
+        .count()
+        == 0
+    )
+
+
+def test_cms_never_undercounts_and_is_tiny(spark):
+    df = spark.range(0, 2000).select((F.col("id") % 37).alias("k"))
+    sketch = count_min_sketch(df, "k", depth=4, width=16)
+    assert sketch.count() <= 4 * 16
+    probes = spark.range(0, 37).select(F.col("id").alias("k"))
+    est = cms_point_estimates(sketch, probes, depth=4, width=16)
+    truth = df.groupBy("k").agg(F.count("*").alias("t"))
+    joined = est.join(truth, "k").collect()
+    assert len(joined) == 37
+    assert all(r.cms_est >= r.t for r in joined)
