@@ -62,12 +62,14 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: slots ahead of the staleness rotation
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "pagerank_supplier_customer",
+    "bfs_hops_from_supplier1",
     "triangle_count_parts",
     "recursive_cte_ancestry",
     "equi_depth_bins_orders",
     "incremental_agg_maintenance",
     "scd2_point_in_time_join",
     "count_min_sketch_custkey",
+    "parquet_schema_evolution",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

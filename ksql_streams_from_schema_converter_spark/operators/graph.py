@@ -247,3 +247,64 @@ def triangle_oracle_sql(edges_cte: str) -> str:
     )
     GROUP BY node
     """
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source shortest hop counts via distributed frontier BFS:
+    ``(node, hops)`` for every node within ``max_hops`` of ``source``.
+
+    Each level is one keyed join (edges ⋈ frontier on ``src``) + a
+    distinct + an anti-join against the visited set — the standard
+    bulk-synchronous BFS whose total work is O(levels × |E|), NOT the
+    all-walks enumeration a naive ``UNION ALL`` recursive CTE would do
+    (walk counts explode combinatorially on dense graphs; the DuckDB
+    oracle therefore recurses with deduplicating ``UNION``, which is
+    the same frontier semantics).  The frontier is checkpointed per
+    level (the convergence count forces a job anyway); the visited set
+    stays O(reached nodes)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = e.sparkSession.createDataFrame(
+        [(source,)], "node long"
+    ).localCheckpoint()
+    visited = frontier.select("node", F.lit(0).cast("bigint").alias("hops"))
+    for d in range(1, max_hops + 1):
+        frontier = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.union(
+            frontier.select("node", F.lit(d).cast("bigint").alias("hops"))
+        ).localCheckpoint()
+    return visited
+
+
+def bfs_oracle_sql(edges_cte: str, source: int, max_hops: int = 4) -> str:
+    """DuckDB replay of :func:`bfs_hops`: recursive CTE with
+    deduplicating UNION (frontier semantics — the recursion's working
+    set is the NEW distinct rows only), min(depth) per node."""
+    return f"""
+    WITH RECURSIVE edges AS (SELECT DISTINCT src, dst FROM ({edges_cte})),
+    walk(node, depth) AS (
+      SELECT CAST({source} AS BIGINT), CAST(0 AS BIGINT)
+      UNION
+      SELECT e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.depth < {max_hops}
+    )
+    SELECT node, min(depth) AS hops FROM walk GROUP BY node
+    """

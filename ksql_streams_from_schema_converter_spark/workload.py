@@ -6713,3 +6713,94 @@ def count_min_sketch_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_undercounts"
         ),
     )
+
+
+def _bfs_oracle() -> str:
+    from .operators.graph import bfs_oracle_sql
+
+    return bfs_oracle_sql(_PR_EDGES_CTE, source=1, max_hops=4)
+
+
+@query("bfs_hops_from_supplier1", _bfs_oracle())
+def bfs_hops_from_supplier1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop counts (operators/graph.py) from supplier
+    1 over the same trade graph PageRank uses: bulk-synchronous
+    frontier expansion — per level one keyed join + distinct + anti-
+    join against the visited set, O(levels × |E|) total.  The oracle
+    recurses with deduplicating UNION (frontier semantics); a naive
+    UNION ALL walk enumeration would explode combinatorially on this
+    dense bipartite graph — the operator exists precisely because the
+    sequential formulation doesn't scale."""
+    from .operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    sc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(_PR_CUST_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = sc.union(sc.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return bfs_hops(edges, source=1, max_hops=4)
+
+
+@query(
+    "parquet_schema_evolution",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(NULL AS DECIMAL(18,2)) AS total
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(total) AS n_with_total,
+           CAST(sum(total) AS DECIMAL(38,2)) AS sum_total
+    FROM unioned
+    GROUP BY o_orderstatus
+    """,
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a partitioned parquet lake: batch=1 files
+    written with the v1 schema (no ``total`` column), batch=2 with the
+    widened v2 schema; ONE read with ``mergeSchema`` + partition
+    discovery reconciles them (old files surface NULL for the new
+    column).  This is the append-only-lake upgrade path at 100 TB —
+    no rewrite of historical files, footer-level schema union at
+    planning time.  The oracle replays the union with an explicit NULL
+    column, so the hash gate proves merged-read semantics exactly."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    ).write.mode("overwrite").parquet(f"{root}/batch=1")
+    orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+    ).write.mode("overwrite").parquet(f"{root}/batch=2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", root)
+        .parquet(root)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count("total").alias("n_with_total"),
+        F.sum("total").cast("decimal(38,2)").alias("sum_total"),
+    )

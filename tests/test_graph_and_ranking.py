@@ -134,3 +134,32 @@ def test_cms_never_undercounts_and_is_tiny(spark):
     joined = est.join(truth, "k").collect()
     assert len(joined) == 37
     assert all(r.cms_est >= r.t for r in joined)
+
+
+def test_bfs_hops_path_graph(spark):
+    from ksql_streams_from_schema_converter_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (9, 1)], "src long, dst long"
+    )
+    got = {r.node: r.hops for r in bfs_hops(e, source=1, max_hops=3).collect()}
+    # directed: 9 -> 1 is not reachable FROM 1; 5 is beyond max_hops
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_takes_shortest_route(spark):
+    from ksql_streams_from_schema_converter_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    got = {r.node: r.hops for r in bfs_hops(e, source=1, max_hops=4).collect()}
+    assert got[4] == 1  # via the direct edge, not the 3-hop path
+
+
+def test_bfs_early_exit_on_empty_frontier(spark):
+    from ksql_streams_from_schema_converter_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.node: r.hops for r in bfs_hops(e, source=1, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1}
