@@ -106,3 +106,22 @@ def read_partitioned_parquet(
     back typed from the directory names via the supplied schema (no
     inference pass over the directory tree)."""
     return spark.read.schema(schema).parquet(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Partition-scoped overwrite (``partitionOverwriteMode=dynamic``,
+    as a WRITE option — session conf untouched): replaces ONLY the
+    ``col=value`` directories present in ``df``, leaving every other
+    partition's files in place.  This is the backfill shape at 100 TB —
+    re-running one day/language re-writes one subtree; the default
+    static mode would first truncate the whole table root.  The write
+    option scopes the behavior to this writer, so concurrent static
+    writers elsewhere in the session keep their semantics."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
