@@ -70,6 +70,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "count_min_sketch_custkey",
     "parquet_schema_evolution",
+    "events_sliding_window_rates",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

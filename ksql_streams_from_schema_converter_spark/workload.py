@@ -6830,3 +6830,52 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("total").alias("n_with_total"),
         F.sum("total").cast("decimal(38,2)").alias("sum_total"),
     )
+
+
+@query(
+    "events_sliding_window_rates",
+    """
+    WITH ev AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + ((slot - k) * 900) * INTERVAL '1 second' AS win_start
+      FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks
+    )
+    SELECT win_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+    FROM w
+    GROUP BY win_start, event_type
+    """,
+)
+def events_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (1 h window, 15 min slide — each
+    event lands in 4 overlapping windows), completing the window-type
+    coverage next to the tumbling and session windows.  Spark's
+    ``F.window(w, s)`` explodes each row into w/s windows BEFORE the
+    aggregation, so partial aggregation still collapses map-side — the
+    shuffle carries (window × type) groups, not 4× the events.  The
+    oracle replays the window assignment as slot arithmetic on naive
+    epoch seconds (no to_timestamp/timezone anywhere — the driver host
+    is non-UTC; timestamps stay timestamp_ntz end-to-end)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp_ntz"), "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total"
+        )
+    )
