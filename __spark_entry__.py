@@ -73,6 +73,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "events_sliding_window_rates",
     "pseudonymized_join_orders",
     "dedup_jaccard_prefix_filtered",
+    "kmeans_embeddings_exact",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

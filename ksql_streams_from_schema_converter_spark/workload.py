@@ -6950,3 +6950,27 @@ def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
     return D.ngram_jaccard_pairs_prefix(
         dedup_corpus(spark, sf_dir), threshold=0.5, max_doc_freq=50
     )
+
+
+def _kmeans_oracle() -> str:
+    from .operators.clustering import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=4, n_iter=2, dims=64)
+
+
+@query("kmeans_embeddings_exact", _kmeans_oracle())
+def kmeans_embeddings_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, EXACTLY hash-gated
+    (operators/clustering.py): vectors quantized once to BIGINT
+    micro-units, then assignment (integer squared-L2, broadcast of k
+    centroid rows — no shuffle) and centroid update (one keyed shuffle
+    of (cluster, dim) partial sums, map-side combined to k·dim rows
+    per task) run in pure integer arithmetic both engines replay
+    bit-for-bit — float k-means could never be differentially tested.
+    Deterministic lowest-id init; argmin ties break by cluster id via
+    the dist·8+cluster key.  The exactly-gated small-k complement to
+    the recall-gated IVF coarse quantizer."""
+    from .operators.clustering import kmeans_fixed_point
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed_point(emb, k=4, n_iter=2)

@@ -188,3 +188,41 @@ def test_prefix_filter_identity_and_candidate_reduction(spark):
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in pref.collect()}
     assert a == b and len(a) >= 30  # every planted near-dup pair found
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [0.0 + i * 0.01, 0.0]))        # cluster near origin
+        rows.append((100 + i, [10.0 + i * 0.01, 10.0]))  # cluster far away
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 3 rounds: both seeds start inside the origin group, so round 1
+    # splits {point 0} vs {rest}, round 2's update lands one centroid
+    # on each planted group, round 3's final assignment is clean
+    got = kmeans_fixed_point(emb, k=2, n_iter=3).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster, set()).add(r.pid)
+    assert len(by_cluster) == 2
+    groups = sorted(by_cluster.values(), key=min)
+    assert groups[0] == set(range(10))
+    assert groups[1] == {100 + i for i in range(10)}
+    # converged centroids == group means: within-group spread is
+    # 0.09 in x -> integer dist bounded by (0.05 * 1e6)^2 * 2
+    assert all(r.dist <= 2 * (50_000**2) for r in got)
+
+
+def test_kmeans_is_deterministic(spark):
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, kmeans_fixed_point(emb, k=4, n_iter=2).collect()))
+    b = sorted(map(tuple, kmeans_fixed_point(emb, k=4, n_iter=2).collect()))
+    assert a == b
