@@ -226,3 +226,20 @@ def test_kmeans_is_deterministic(spark):
     a = sorted(map(tuple, kmeans_fixed_point(emb, k=4, n_iter=2).collect()))
     b = sorted(map(tuple, kmeans_fixed_point(emb, k=4, n_iter=2).collect()))
     assert a == b
+
+
+def test_map_in_arrow_features_match_pandas_path(spark):
+    """The Arrow-native feature extractor must be byte-identical to
+    the mapInPandas path on the same media corpus."""
+    from ksql_streams_from_schema_converter_spark.multimodal.binary import (
+        attach_fake_media,
+        extract_features_arrow,
+        extract_media_features,
+    )
+    from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    media = attach_fake_media(docs)
+    a = sorted(map(tuple, extract_media_features(media).collect()))
+    b = sorted(map(tuple, extract_features_arrow(media).collect()))
+    assert a == b and len(a) == 50
