@@ -74,6 +74,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "pseudonymized_join_orders",
     "dedup_jaccard_prefix_filtered",
     "kmeans_embeddings_exact",
+    "entity_resolution_golden",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

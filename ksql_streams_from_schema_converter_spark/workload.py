@@ -6974,3 +6974,79 @@ def kmeans_embeddings_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fixed_point(emb, k=4, n_iter=2)
+
+
+def _entity_resolution_oracle() -> str:
+    """The dedup_clusters pipeline extended through survivorship: the
+    same LSH→transitive-closure CTEs, then per-component golden-record
+    election (longest text, ties to the smallest doc_id — one integer
+    argmax key) over the FULL corpus (singletons are their own
+    component)."""
+    return f"""
+    WITH RECURSIVE {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_oracle_exprs(8)} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_oracle(8, 4)}),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT u, v AS r FROM edges
+      UNION
+      SELECT e.u, t.r FROM edges e JOIN reach t ON e.v = t.u
+    ),
+    comp AS (
+      SELECT u AS node, least(u, min(r)) AS component
+      FROM reach GROUP BY u
+    ),
+    resolved AS (
+      SELECT c.doc_id,
+             coalesce(p.component, c.doc_id) AS component,
+             length(c.text) AS len
+      FROM corpus c LEFT JOIN comp p ON c.doc_id = p.node
+    )
+    SELECT component,
+           CAST(arg_max(doc_id, len * 1000000 - doc_id) AS BIGINT) AS golden_id,
+           count(*) AS n_members
+    FROM resolved GROUP BY component
+    """
+
+
+@query("entity_resolution_golden", _entity_resolution_oracle())
+def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: LSH blocking → connected-
+    components clustering → SURVIVORSHIP (golden-record election per
+    cluster: longest text wins, ties to the smallest id — one integer
+    argmax key, engine-exact).  Singleton documents survive as their
+    own component, so the output is a full master-data table:
+    (component, golden_id, n_members).  The composition reuses the
+    gated building blocks (`dedup_lsh_pairs`, `dedup_clusters`) and
+    adds the keep-side aggregation; everything after the pair join is
+    keyed shuffles on component — no new scale surface."""
+    corpus = dedup_corpus(spark, sf_dir)
+    cc = D.connected_components(D.lsh_candidate_pairs(corpus))
+    resolved = corpus.join(
+        cc.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        F.length("text").alias("len"),
+    )
+    key = F.col("len") * 1000000 - F.col("doc_id")
+    return resolved.groupBy("component").agg(
+        F.max_by("doc_id", key).cast("bigint").alias("golden_id"),
+        F.count("*").alias("n_members"),
+    )
