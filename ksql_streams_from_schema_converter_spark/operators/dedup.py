@@ -539,8 +539,6 @@ def ngram_jaccard_pairs_prefix(
     land outside prefixes.  ``max_doc_freq`` still prunes the universe
     first (both variants must share it: the pruned universe defines
     the Jaccard)."""
-    from pyspark.sql import Window
-
     shingled = docs.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
         F.col(id_col),
         F.explode(
@@ -557,17 +555,31 @@ def ngram_jaccard_pairs_prefix(
         shingled = shingled.join(rare, "sh")
     shingled = shingled.persist()
     df_counts = shingled.groupBy("sh").agg(F.count("*").alias("__df"))
-    pos_w = Window.partitionBy(id_col).orderBy("__df", "sh")
-    ranked = (
-        shingled.join(df_counts, "sh")
-        .withColumn("__pos", F.row_number().over(pos_w))
-        .withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
-    )
+    # ONE per-document aggregation yields both the canonical-order
+    # prefix and the full verification set: collect (df, sh) structs,
+    # sort (rarest-first — struct ordering is lexicographic), slice
+    # the prefix, all inside codegen. The first cut used two window
+    # passes (row_number + count over the doc partition) and spent
+    # more in window shuffles than the candidate join saved.
     t_num, t_den = (threshold * 1000000).__trunc__(), 1000000
+    docs_arr = (
+        shingled.join(df_counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "sh"))),
+                lambda s: s.sh,
+            ).alias("__set")
+        )
+        .withColumn("__sz", F.size("__set").cast("bigint"))
+    )
     # alpha = ceil(t*sz) in exact integers; prefix = sz - alpha + 1
     alpha = F.expr(f"CAST(({t_num} * __sz + {t_den} - 1) div {t_den} AS BIGINT)")
-    prefix = ranked.where(F.col("__pos") <= F.col("__sz") - alpha + 1).select(
-        id_col, "sh"
+    docs_arr = docs_arr.withColumn(
+        "__pfx", (F.col("__sz") - alpha + 1).cast("int")
+    ).persist()
+    prefix = docs_arr.select(
+        id_col, F.explode(F.slice("__set", F.lit(1), F.col("__pfx"))).alias("sh")
     )
     pa, pb = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -581,7 +593,7 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
-    sets = shingled.groupBy(id_col).agg(F.collect_set("sh").alias("__set"))
+    sets = docs_arr.select(id_col, "__set")
     sa = sets.select(
         F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a")
     )
