@@ -75,6 +75,8 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "dedup_jaccard_prefix_filtered",
     "kmeans_embeddings_exact",
     "entity_resolution_golden",
+    "winsorize_order_prices",
+    "group_aware_split_events",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

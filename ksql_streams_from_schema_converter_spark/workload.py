@@ -7050,3 +7050,93 @@ def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("doc_id", key).cast("bigint").alias("golden_id"),
         F.count("*").alias("n_members"),
     )
+
+
+@query(
+    "winsorize_order_prices",
+    """
+    WITH bounds AS (
+      SELECT quantile_disc(o_totalprice, 0.05) AS lo,
+             quantile_disc(o_totalprice, 0.95) AS hi
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           CAST(least(greatest(o_totalprice, b.lo), b.hi) AS DECIMAL(18,2)) AS price_capped,
+           (o_totalprice < b.lo OR o_totalprice > b.hi) AS was_clamped
+    FROM orders CROSS JOIN bounds b
+    """,
+)
+def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile outlier capping, the standard
+    feature-cleaning step before scaling/training): values clamped to
+    the exact [p5, p95] band.  ``percentile_disc`` picks actual data
+    values (first value with cume_dist ≥ p — engine-exact, unlike
+    interpolated quantiles on arbitrary doubles), the 1-row bounds
+    broadcast to a map-side clamp: one pass + one tiny cross join at
+    any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").alias("hi"),
+    )
+    return orders.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.least(F.greatest("o_totalprice", F.col("lo")), F.col("hi"))
+        .cast("decimal(18,2)")
+        .alias("price_capped"),
+        ((F.col("o_totalprice") < F.col("lo")) | (F.col("o_totalprice") > F.col("hi"))).alias(
+            "was_clamped"
+        ),
+    )
+
+
+@query(
+    "group_aware_split_events",
+    """
+    WITH assigned AS (
+      SELECT user_id, event_id,
+             CASE WHEN (strpos('0123456789abcdef', substr(md5('grp:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) < 13
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, min(split) AS split,
+             count(DISTINCT split) = 1 AS user_consistent,
+             count(*) AS n_events
+      FROM assigned GROUP BY user_id
+    )
+    SELECT user_id, split, user_consistent, n_events FROM per_user
+    """,
+)
+def group_aware_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/eval split: the split key is the USER, not the
+    row, so no user's events straddle the boundary — the split
+    discipline that prevents per-entity leakage when evaluating models
+    on held-out users (complement of the per-document
+    `dataset_split_md5`).  The md5-nibble assignment is deterministic
+    and engine-portable; `user_consistent` re-derives the no-leakage
+    invariant from the row-level assignment and ships it as a verdict
+    column (count(DISTINCT split) = 1 per user — trivially true by
+    construction, verified not assumed)."""
+    ev = load_table(spark, sf_dir, "events")
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat(F.lit("grp:"), F.col("user_id").cast("string"))), 1, 1
+            ),
+        )
+        - 1
+    )
+    assigned = ev.select(
+        "user_id",
+        "event_id",
+        F.when(nib < 13, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
+    return assigned.groupBy("user_id").agg(
+        F.min("split").alias("split"),
+        (F.countDistinct("split") == 1).alias("user_consistent"),
+        F.count("*").alias("n_events"),
+    )
