@@ -59,7 +59,13 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: r6's window automatically.  Guarded by tests/test_driver_window.py.
 
 #: queries added or materially changed this round — they take window
-#: slots ahead of the staleness rotation
+#: slots ahead of the staleness rotation.  r5: the graph/ranking/
+#: clustering/sketch/IVM/temporal/governance batch (all new), the
+#: merge/streaming-topology/fuzzy/sketch/UDTF batch from earlier in
+#: the round, the 3 ANN queries (shape changed to recall verdicts),
+#: the upsert (rewritten onto the bucketed MERGE), and the cogroup
+#: (rewritten onto bucket keys).  Leftover stale r2 queries roll into
+#: r6's window automatically via compute_window().
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "pagerank_supplier_customer",
     "bfs_hops_from_supplier1",
