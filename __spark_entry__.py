@@ -83,6 +83,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "entity_resolution_golden",
     "winsorize_order_prices",
     "group_aware_split_events",
+    "streaming_sliding_window_rates",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

@@ -7140,3 +7140,47 @@ def group_aware_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("split") == 1).alias("user_consistent"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "streaming_sliding_window_rates",
+    WORKLOAD["events_sliding_window_rates"][1],
+)
+def streaming_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SLIDING window aggregation (1 h / 15 min — each event in 4
+    overlapping windows) as a real Structured Streaming query: same
+    oracle as the batch twin, so the driver hash-gates batch/stream
+    parity of overlapping-window state management (the window explode
+    happens before the stateful aggregation; state is one row per
+    (window, type) group, evictable by watermark in a continuous
+    deployment — availableNow drains the full replay here)."""
+    import uuid
+
+    from .sources.parquet import stream_table
+
+    src = stream_table(spark, sf_dir, "events")
+    agg = (
+        src.groupBy(
+            F.window(F.col("ts").cast("timestamp_ntz"), "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
+    name = f"ev_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("sliding-window stream did not drain in 120s")
+    return spark.table(name)
