@@ -84,6 +84,8 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "winsorize_order_prices",
     "group_aware_split_events",
     "streaming_sliding_window_rates",
+    "t24_xml_parse_native",
+    "sql_scripting_threshold_search",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

@@ -7184,3 +7184,79 @@ def streaming_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFram
         q.stop()
         raise TimeoutError("sliding-window stream did not drain in 120s")
     return spark.table(name)
+
+
+@query("t24_xml_parse_native", WORKLOAD["t24_xml_parse"][1])
+def t24_xml_parse_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XML MAPPED stage on Spark 4's NATIVE ``from_xml`` expression
+    (the built-in path the hand-rolled codec predates): the same
+    XMLRECORD payload, rooted and parsed by the engine's XML reader
+    into a typed struct in one codegen expression.  Gated against the
+    IDENTICAL oracle as ``t24_xml_parse``, so the driver proves the
+    custom codec and the native parser agree field-for-field — the
+    migration proof a user switching parse paths needs."""
+    cust = load_table(spark, sf_dir, "customer")
+    raw = cust.select(
+        F.col("c_custkey").cast("string").alias("recid"),
+        F.concat(
+            F.lit("<row><NAME>"), F.col("c_name"), F.lit("</NAME><SEGMENT>"),
+            F.col("c_mktsegment"), F.lit("</SEGMENT><BAL>"),
+            F.col("c_acctbal").cast("decimal(18,2)").cast("string"),
+            F.lit("</BAL></row>"),
+        ).alias("xml_payload"),
+    )
+    parsed = raw.select(
+        "recid",
+        F.from_xml(
+            "xml_payload", "NAME STRING, SEGMENT STRING, BAL STRING"
+        ).alias("p"),
+    )
+    return parsed.select(
+        F.upper("recid").alias("RECID"),
+        F.col("p.NAME").alias("NAME"),
+        F.col("p.SEGMENT").alias("SEGMENT"),
+        F.col("p.BAL").cast("decimal(18,2)").alias("BAL"),
+    )
+
+
+@query(
+    "sql_scripting_threshold_search",
+    """
+    WITH ks AS (SELECT unnest(generate_series(0, 40)) AS k),
+    cand AS (SELECT k, 100.0 * power(2, k) AS thr FROM ks),
+    cnt AS (
+      SELECT c.k, c.thr, count(o.o_orderkey) AS n
+      FROM cand c LEFT JOIN orders o ON o.o_totalprice > c.thr
+      GROUP BY c.k, c.thr
+    )
+    SELECT CAST(thr AS DECIMAL(18,1)) AS threshold, n AS n_above
+    FROM cnt WHERE n < 100 ORDER BY k LIMIT 1
+    """,
+)
+def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE — procedural logic
+    inside the engine, no driver loop): doubling threshold search —
+    double ``thr`` until fewer than 100 orders exceed it, return the
+    first such threshold and its count.  DuckDB has no scripting, so
+    the oracle states the loop's FIXPOINT declaratively (first k in
+    the doubling sequence with count < 100) — same answer, which is
+    exactly the point: iterative control flow gated against its
+    closed form.  Thresholds are 100·2^k, exact in doubles for every
+    reachable k."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__script_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 100.0;
+          DECLARE n BIGINT DEFAULT 0;
+          SET n = (SELECT count(*) FROM __script_orders WHERE o_totalprice > thr);
+          WHILE n >= 100 DO
+            SET thr = thr * 2;
+            SET n = (SELECT count(*) FROM __script_orders WHERE o_totalprice > thr);
+          END WHILE;
+          SELECT CAST(thr AS DECIMAL(18,1)) AS threshold, n AS n_above;
+        END
+        """
+    )
