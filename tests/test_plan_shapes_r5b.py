@@ -136,3 +136,32 @@ def test_join_strategy_hints_are_honored(spark):
         j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
         plan = _executed_plan(j.select("o_orderkey", "c_name"))
         assert op in plan, f"{hint}: expected {op} in plan\n{plan}"
+
+
+def test_scd2_point_in_time_join_is_keyed_hash_join(spark):
+    """The validity-interval lookup must hash-join on user_id with the
+    range bounds as residual predicates — a nested-loop plan would be
+    quadratic over facts × versions at scale."""
+    plan = _executed_plan(WORKLOAD["scd2_point_in_time_join"][0](spark, SF))
+    assert "NestedLoop" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sliding_window_aggregation_is_partial_agged(spark):
+    """The 4× window explode must happen below a map-side-combining
+    aggregate — the shuffle carries (window, type) groups."""
+    plan = _executed_plan(WORKLOAD["events_sliding_window_rates"][0](spark, SF))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_entity_resolution_no_python_in_plan(spark):
+    """Blocking, clustering, and survivorship are all JVM-side."""
+    plan = _executed_plan(WORKLOAD["entity_resolution_golden"][0](spark, SF))
+    assert "Python" not in plan, plan
+
+
+def test_winsorize_bounds_broadcast_not_shuffled(spark):
+    """The 1-row percentile bounds must broadcast into the clamp —
+    re-shuffling the fact table for a 1-row join is the anti-shape."""
+    plan = _executed_plan(WORKLOAD["winsorize_order_prices"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
