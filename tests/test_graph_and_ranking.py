@@ -243,3 +243,40 @@ def test_map_in_arrow_features_match_pandas_path(spark):
     a = sorted(map(tuple, extract_media_features(media).collect()))
     b = sorted(map(tuple, extract_features_arrow(media).collect()))
     assert a == b and len(a) == 50
+
+
+def test_triangles_match_bruteforce_on_seeded_random_graphs(spark):
+    """Deterministic pseudo-random graphs (seeded LCG — no RNG state in
+    the test) cross-checked against an O(n³) Python brute force."""
+    import itertools
+
+    seed = 12345
+    for trial in range(3):
+        edges, x = set(), seed + trial
+        for _ in range(60):
+            x = (x * 1103515245 + 12345) % (2**31)
+            u = x % 12
+            x = (x * 1103515245 + 12345) % (2**31)
+            v = x % 12
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+        brute = {n: 0 for n in range(12)}
+        for a, b, c in itertools.combinations(sorted({n for e in edges for n in e}), 3):
+            if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+                for n in (a, b, c):
+                    brute[n] += 1
+        df = spark.createDataFrame(sorted(edges), "u long, v long")
+        got = {r.node: r.triangles for r in triangle_participation(df).collect()}
+        want = {n: c for n, c in brute.items() if c > 0}
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_global_ntile_on_all_equal_keys(spark):
+    """Degenerate total-tie input: ordering falls entirely to the
+    tie-break column; NTILE must still match the sequential window."""
+    df = spark.range(0, 100).select(F.lit(7).alias("key"), "id")
+    got = global_ntile(df, ["key", "id"], k=6, n_partitions=4)
+    want = df.withColumn("bin", F.ntile(6).over(Window.orderBy("key", "id")))
+    assert (
+        got.select("id", "bin").exceptAll(want.select("id", "bin")).count() == 0
+    )
