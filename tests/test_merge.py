@@ -154,3 +154,43 @@ def test_vacuum_versions_removes_superseded_buckets(spark, tmp_path):
     assert _rows(read_state(spark, tgt)) == before
     assert not os.path.exists(os.path.join(tgt, "v-0"))  # fully emptied
     assert vacuum_versions(tgt, keep_latest=1) == []  # idempotent
+
+
+def test_merge_batch_split_is_associative(spark, tmp_path):
+    """State-machine property: merging a CDC log as ANY partition into
+    ordered batches yields the same final state as one big merge —
+    the guarantee that lets a streaming job's batch boundaries (which
+    depend on trigger timing) never change the answer. Seeded rows,
+    three splits compared cell-for-cell."""
+    from pyspark.sql import functions as F
+
+    from ksql_streams_from_schema_converter_spark.operators.merge import (
+        merge_into,
+        read_state,
+    )
+
+    rows = []
+    x = 99
+    for seq in range(120):
+        x = (x * 1103515245 + 12345) % (2**31)
+        recid = f"R{x % 17}"
+        op = "DELETE" if x % 11 == 0 else "UPSERT"
+        rows.append((recid, seq, op, float(x % 1000)))
+    src = spark.createDataFrame(
+        rows, "recid string, seq long, op string, amount double"
+    )
+
+    def run(split_points, name):
+        d = str(tmp_path / name)
+        bounds = [0, *split_points, 120]
+        for v, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            batch = src.where((F.col("seq") >= lo) & (F.col("seq") < hi))
+            merge_into(batch, d, key="recid", version=v, order_col="seq")
+        final = read_state(spark, d, drop_where=F.col("op") == "DELETE")
+        return sorted(map(tuple, final.collect()))
+
+    whole = run([], "whole")
+    halves = run([60], "halves")
+    uneven = run([7, 30, 31, 100], "uneven")
+    assert whole == halves == uneven
+    assert len(whole) > 0
