@@ -86,6 +86,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "streaming_sliding_window_rates",
     "t24_xml_parse_native",
     "sql_scripting_threshold_search",
+    "bfs_landmark_distances",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

@@ -249,6 +249,58 @@ def triangle_oracle_sql(edges_cte: str) -> str:
     """
 
 
+def bfs_hops_multi(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source shortest hop counts via distributed frontier BFS:
+    ``(source, node, hops)`` for every node within ``max_hops`` of each
+    source — all sources expand in the SAME synchronous rounds (the
+    landmark/distance-sketch primitive: k landmark BFS runs cost one
+    traversal with k-tagged frontiers, not k traversals).
+
+    Each level is one keyed join (edges ⋈ frontier on ``src``) + a
+    distinct + an anti-join against the visited set, both keyed on
+    (source, node) — the standard bulk-synchronous BFS whose total
+    work is O(levels × |E| × k), NOT the all-walks enumeration a naive
+    ``UNION ALL`` recursive CTE would do (walk counts explode
+    combinatorially on dense graphs; the DuckDB oracle therefore
+    recurses with deduplicating ``UNION``, which is the same frontier
+    semantics).  The frontier is checkpointed per level (the
+    convergence check forces a job anyway); the visited set stays
+    O(k × reached nodes)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = e.sparkSession.createDataFrame(
+        [(s, s) for s in sources], "source long, node long"
+    ).localCheckpoint()
+    visited = frontier.select(
+        "source", "node", F.lit(0).cast("bigint").alias("hops")
+    )
+    for d in range(1, max_hops + 1):
+        frontier = (
+            e.join(frontier, e.src == frontier.node)
+            .select("source", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("source", "node"), ["source", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.union(
+            frontier.select(
+                "source", "node", F.lit(d).cast("bigint").alias("hops")
+            )
+        ).localCheckpoint()
+    return visited
+
+
 def bfs_hops(
     edges: DataFrame,
     source: int,
@@ -256,41 +308,11 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
-    """Single-source shortest hop counts via distributed frontier BFS:
-    ``(node, hops)`` for every node within ``max_hops`` of ``source``.
-
-    Each level is one keyed join (edges ⋈ frontier on ``src``) + a
-    distinct + an anti-join against the visited set — the standard
-    bulk-synchronous BFS whose total work is O(levels × |E|), NOT the
-    all-walks enumeration a naive ``UNION ALL`` recursive CTE would do
-    (walk counts explode combinatorially on dense graphs; the DuckDB
-    oracle therefore recurses with deduplicating ``UNION``, which is
-    the same frontier semantics).  The frontier is checkpointed per
-    level (the convergence count forces a job anyway); the visited set
-    stays O(reached nodes)."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()
+    """Single-source BFS — :func:`bfs_hops_multi` with one landmark,
+    the ``source`` column projected away."""
+    return bfs_hops_multi(edges, [source], max_hops, src, dst).select(
+        "node", "hops"
     )
-    frontier = e.sparkSession.createDataFrame(
-        [(source,)], "node long"
-    ).localCheckpoint()
-    visited = frontier.select("node", F.lit(0).cast("bigint").alias("hops"))
-    for d in range(1, max_hops + 1):
-        frontier = (
-            e.join(frontier, e.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint()
-        )
-        if frontier.isEmpty():
-            break
-        visited = visited.union(
-            frontier.select("node", F.lit(d).cast("bigint").alias("hops"))
-        ).localCheckpoint()
-    return visited
 
 
 def bfs_oracle_sql(edges_cte: str, source: int, max_hops: int = 4) -> str:
@@ -307,4 +329,28 @@ def bfs_oracle_sql(edges_cte: str, source: int, max_hops: int = 4) -> str:
       WHERE w.depth < {max_hops}
     )
     SELECT node, min(depth) AS hops FROM walk GROUP BY node
+    """
+
+
+def bfs_multi_oracle_sql(
+    edges_cte: str, sources: list[int], max_hops: int = 4
+) -> str:
+    """DuckDB replay of :func:`bfs_hops_multi`: the same deduplicating-
+    UNION recursion tagged with the landmark, min(depth) per
+    (source, node)."""
+    seeds = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT), CAST({s} AS BIGINT), CAST(0 AS BIGINT)"
+        for s in sources
+    )
+    return f"""
+    WITH RECURSIVE edges AS (SELECT DISTINCT src, dst FROM ({edges_cte})),
+    walk(source, node, depth) AS (
+      {seeds}
+      UNION
+      SELECT w.source, e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.depth < {max_hops}
+    )
+    SELECT source, node, min(depth) AS hops
+    FROM walk GROUP BY source, node
     """

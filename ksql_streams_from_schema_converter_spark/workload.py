@@ -7260,3 +7260,38 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
         END
         """
     )
+
+
+def _bfs_multi_oracle() -> str:
+    from .operators.graph import bfs_multi_oracle_sql
+
+    return bfs_multi_oracle_sql(_PR_EDGES_CTE, sources=[1, 2, 3], max_hops=3)
+
+
+@query("bfs_landmark_distances", _bfs_multi_oracle())
+def bfs_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source landmark BFS (operators/graph.bfs_hops_multi): 3
+    landmark suppliers expand in the SAME synchronous rounds — the
+    distance-sketch primitive (k landmark distance columns from ONE
+    traversal with k-tagged frontiers, the standard shortest-path
+    estimation layout for billion-node graphs).  Frontier and visited
+    sets are keyed on (landmark, node); the oracle tags the
+    deduplicating-UNION recursion with the landmark."""
+    from .operators.graph import bfs_hops_multi
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    sc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(_PR_CUST_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = sc.union(sc.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return bfs_hops_multi(edges, sources=[1, 2, 3], max_hops=3)

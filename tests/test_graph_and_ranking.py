@@ -280,3 +280,22 @@ def test_global_ntile_on_all_equal_keys(spark):
     assert (
         got.select("id", "bin").exceptAll(want.select("id", "bin")).count() == 0
     )
+
+
+def test_bfs_multi_source_tags_each_landmark(spark):
+    from ksql_streams_from_schema_converter_spark.operators.graph import (
+        bfs_hops_multi,
+    )
+
+    # 1 -> 2 -> 3 and 9 -> 3: landmarks 1 and 9 see 3 at different hops
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 3)], "src long, dst long"
+    )
+    got = {
+        (r.source, r.node): r.hops
+        for r in bfs_hops_multi(e, sources=[1, 9], max_hops=4).collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2,
+        (9, 9): 0, (9, 3): 1,
+    }
