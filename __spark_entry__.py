@@ -87,6 +87,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "t24_xml_parse_native",
     "sql_scripting_threshold_search",
     "bfs_landmark_distances",
+    "shortest_paths_bellman_ford",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

@@ -354,3 +354,81 @@ def bfs_multi_oracle_sql(
     SELECT source, node, min(depth) AS hops
     FROM walk GROUP BY source, node
     """
+
+
+def bellman_ford_rounds(
+    edges: DataFrame,
+    source: int,
+    n_rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted shortest-path distances after ``n_rounds`` synchronous
+    Bellman-Ford relaxations from ``source``: exact distances to every
+    node reachable within ``n_rounds`` hops (the BSP relaxation each
+    round: dist' = min(dist, min over in-edges dist[u]+w)).  Integer
+    weights → exact, order-independent minimums both engines replay
+    (the oracle unrolls the same rounds as CTEs, like PageRank).
+
+    Scale: each round is one keyed join (distances ⋈ edges on the
+    source endpoint) + a map-side-combining min keyed on the
+    destination — O(rounds × |E|).  Only REACHED nodes carry rows, so
+    early rounds touch the frontier's edge neighborhood, not the
+    graph.  This is delta-stepping's degenerate (Δ=∞) form; a fixed
+    round count keeps the plan lazy end-to-end, checkpoint-free."""
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("bigint").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    dist = e.sparkSession.createDataFrame(
+        [(source, 0)], "node long, dist long"
+    )
+    for _ in range(n_rounds):
+        relaxed = (
+            e.join(dist, e.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def bellman_ford_oracle_sql(
+    edges_cte: str, source: int, n_rounds: int = 3
+) -> str:
+    """DuckDB replay of :func:`bellman_ford_rounds`: the relaxation
+    unrolled as chained CTEs; ``edges_cte`` yields (src, dst, w) with
+    parallel edges collapsed to min weight here, mirroring the
+    operator."""
+    parts = [
+        f"""WITH raw_e AS ({edges_cte}),
+    edges AS (
+      SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+      FROM raw_e GROUP BY src, dst
+    ),
+    d0 AS (SELECT CAST({source} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"""
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f""",
+    d{i + 1} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{i} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+        )
+    parts.append(f"\n    SELECT node, dist FROM d{n_rounds}")
+    return "".join(parts)

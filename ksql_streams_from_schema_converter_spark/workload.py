@@ -7295,3 +7295,57 @@ def bfs_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = sc.union(sc.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return bfs_hops_multi(edges, sources=[1, 2, 3], max_hops=3)
+
+
+_BF_EDGES_CTE = f"""
+  SELECT l_suppkey AS src, o_custkey + {_PR_CUST_OFFSET} AS dst,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey + {_PR_CUST_OFFSET} AS src, l_suppkey AS dst,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def _bf_oracle() -> str:
+    from .operators.graph import bellman_ford_oracle_sql
+
+    return bellman_ford_oracle_sql(_BF_EDGES_CTE, source=1, n_rounds=3)
+
+
+@query("shortest_paths_bellman_ford", _bf_oracle())
+def shortest_paths_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/graph.bellman_ford_rounds):
+    3 synchronous relaxation rounds from supplier 1 over the trade
+    graph with quantity weights (parallel edges collapsed to the min).
+    Completes the graph family — PageRank (fixed point), BFS
+    (unweighted), triangles (local structure), CC (components), and
+    now weighted distances — every one an iterative algorithm under an
+    exact integer hash gate with an unrolled-CTE oracle."""
+    from .operators.graph import bellman_ford_rounds
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("w")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    fwd = j.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(_PR_CUST_OFFSET)).alias("dst"),
+        "w",
+    )
+    edges = fwd.union(
+        j.select(
+            (F.col("o_custkey") + F.lit(_PR_CUST_OFFSET)).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+            "w",
+        )
+    )
+    return bellman_ford_rounds(edges, source=1, n_rounds=3)

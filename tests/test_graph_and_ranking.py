@@ -299,3 +299,32 @@ def test_bfs_multi_source_tags_each_landmark(spark):
         (1, 1): 0, (1, 2): 1, (1, 3): 2,
         (9, 9): 0, (9, 3): 1,
     }
+
+
+def test_bellman_ford_prefers_cheap_long_path(spark):
+    from ksql_streams_from_schema_converter_spark.operators.graph import (
+        bellman_ford_rounds,
+    )
+
+    # direct 1->4 costs 100; the 3-hop path costs 3 — 3 rounds find it
+    e = spark.createDataFrame(
+        [(1, 4, 100), (1, 2, 1), (2, 3, 1), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    got = {r.node: r.dist for r in bellman_ford_rounds(e, 1, n_rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # with only 1 round, the expensive direct edge is the best known
+    got1 = {r.node: r.dist for r in bellman_ford_rounds(e, 1, n_rounds=1).collect()}
+    assert got1[4] == 100
+
+
+def test_bellman_ford_parallel_edges_collapse_to_min(spark):
+    from ksql_streams_from_schema_converter_spark.operators.graph import (
+        bellman_ford_rounds,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 9), (1, 2, 4), (1, 2, 7)], "src long, dst long, w long"
+    )
+    got = {r.node: r.dist for r in bellman_ford_rounds(e, 1, n_rounds=1).collect()}
+    assert got == {1: 0, 2: 4}
