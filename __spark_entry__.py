@@ -88,6 +88,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "sql_scripting_threshold_search",
     "bfs_landmark_distances",
     "shortest_paths_bellman_ford",
+    "pretrain_pipeline_v2",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

@@ -7349,3 +7349,105 @@ def shortest_paths_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bellman_ford_rounds(edges, source=1, n_rounds=3)
+
+
+@query(
+    "pretrain_pipeline_v2",
+    f"""
+    WITH RECURSIVE {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_oracle_exprs(8)} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_oracle(8, 4)}),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT u, v AS r FROM edges
+      UNION
+      SELECT e.u, t.r FROM edges e JOIN reach t ON e.v = t.u
+    ),
+    comp AS (
+      SELECT u AS node, least(u, min(r)) AS component FROM reach GROUP BY u
+    ),
+    kept AS (
+      SELECT c.doc_id, c.text
+      FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+      WHERE comp.node IS NULL OR comp.component = c.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, len({_TOKS}) AS n_tok, {_STOP_EN} AS n_stop
+      FROM kept
+    ),
+    filtered AS (
+      SELECT * FROM scored WHERE n_tok >= 10 AND n_stop > 0
+    ),
+    assigned AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN (strpos('0123456789abcdef',
+                        substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 10
+                  THEN 'train'
+                  WHEN (strpos('0123456789abcdef',
+                        substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 13
+                  THEN 'valid' ELSE 'test' END AS split
+      FROM filtered
+    )
+    SELECT split, count(*) AS n_docs, sum(n_tok) AS total_tokens
+    FROM assigned GROUP BY split
+    """,
+)
+def pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data pipeline as one gated query — near-dedup,
+    not just exact: LSH candidates → connected components → keep each
+    cluster's canonical doc → quality/language gate → deterministic
+    md5 train/valid/test split (10/3/3 nibble bands) → per-split token
+    budgets.  Everything is the engine's own gated operators composed
+    end-to-end (dedup_lsh_pairs + dedup_clusters + dedup_apply_keep +
+    text scoring + dataset split), and the oracle replays the entire
+    composition — the closest thing to a Dolma/C4-style corpus build
+    under a single hash gate.  The dedup apply is a left-anti join
+    against a drop list proportional to duplicates; the rest is
+    map-side scoring plus one final (split) aggregation."""
+    from .operators.text import stopword_count, token_count
+
+    corpus = dedup_corpus(spark, sf_dir)
+    comp = D.connected_components(D.lsh_candidate_pairs(corpus))
+    drop = comp.where(F.col("component") != F.col("node")).select("node")
+    kept = corpus.join(drop, corpus["doc_id"] == drop["node"], "left_anti")
+    scored = kept.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        stopword_count("text").alias("n_stop"),
+    )
+    filtered = scored.where((F.col("n_tok") >= 10) & (F.col("n_stop") > 0))
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            ),
+        )
+        - 1
+    )
+    assigned = filtered.select(
+        "n_tok",
+        F.when(nib < 10, F.lit("train"))
+        .when(nib < 13, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
+    )
