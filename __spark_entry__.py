@@ -89,6 +89,8 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "bfs_landmark_distances",
     "shortest_paths_bellman_ford",
     "pretrain_pipeline_v2",
+    "ohlc_bars_events",
+    "time_weighted_value_events",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

@@ -7451,3 +7451,116 @@ def pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("split").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
     )
+
+
+@query(
+    "ohlc_bars_events",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS bar_start, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             first_value(value) OVER (
+               PARTITION BY date_trunc('hour', ts), event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_v,
+             last_value(value) OVER (
+               PARTITION BY date_trunc('hour', ts), event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+      FROM events
+    )
+    SELECT bar_start, event_type,
+           CAST(min(open_v) AS DECIMAL(18,2)) AS open,
+           CAST(max(v) AS DECIMAL(18,2)) AS high,
+           CAST(min(v) AS DECIMAL(18,2)) AS low,
+           CAST(min(close_v) AS DECIMAL(18,2)) AS close,
+           count(*) AS n
+    FROM w
+    GROUP BY bar_start, event_type
+    """,
+)
+def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (candlestick) bars: per hour and type, the first/last value
+    by (timestamp, id) plus the extremes — the market-data aggregation
+    shape.  Open/close come from an unbounded-frame window ordered on
+    the composite key (constant within the bar, collapsed by min in
+    the group-by); high/low/count are plain partial aggregates.  At
+    scale this is one shuffle keyed on (bar, type) feeding both the
+    window and the aggregation.  Values decimal-cast for exact
+    hashing; the tie-break id makes first/last total orders."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts")).alias("bar_start")
+    w = (
+        Window.partitionBy(F.date_trunc("hour", F.col("ts")), "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    val = F.col("value").cast("decimal(18,2)")
+    enriched = ev.select(
+        bar,
+        "event_type",
+        val.alias("v"),
+        F.first("value").over(w).alias("open_v"),
+        F.last("value").over(w).alias("close_v"),
+    )
+    return enriched.groupBy("bar_start", "event_type").agg(
+        F.min("open_v").cast("decimal(18,2)").alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.min("close_v").cast("decimal(18,2)").alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "time_weighted_value_events",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(v * (date_diff('microsecond', ts, t_next) // 1000000)) AS DECIMAL(38,2)) AS weighted_sum,
+           CAST(sum(date_diff('microsecond', ts, t_next) // 1000000) AS BIGINT) AS total_seconds,
+           count(*) AS n_intervals
+    FROM seq WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted value accumulation over irregular samples (the
+    hypertable ``time_weight`` / TWAP shape): each observation is held
+    last-observation-carried-forward until the user's next event, and
+    weighted by that duration in whole seconds — floor of the exact
+    microsecond difference, computed identically on both engines
+    (second-granularity datediffs count boundary CROSSINGS in DuckDB
+    but truncate the interval in Spark; the microsecond diff has one
+    semantics).  ``timestampdiff`` works on timestamp_ntz directly —
+    no epoch conversion, no timezone anywhere.  The
+    numerator (DECIMAL value × BIGINT seconds) and denominator ship as
+    separate EXACT columns — the division is left to the consumer
+    because decimal-division scale rules differ across engines, and a
+    ratio of exact integers is the auditable form anyway.  One window
+    keyed on the entity, one aggregation — per-series partitioning at
+    scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        "ts",
+        F.lead("ts").over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    dur = F.expr("timestampdiff(MICROSECOND, ts, t_next) div 1000000")
+    return seq.groupBy("user_id").agg(
+        F.sum(F.col("v") * dur).cast("decimal(38,2)").alias("weighted_sum"),
+        F.sum(dur).cast("bigint").alias("total_seconds"),
+        F.count("*").alias("n_intervals"),
+    )
