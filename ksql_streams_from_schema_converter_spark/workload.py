@@ -7491,15 +7491,17 @@ def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    bar = F.date_trunc("hour", F.col("ts")).alias("bar_start")
+    # F.window keeps timestamp_ntz inputs ntz; date_trunc would coerce
+    # through the session timezone (shifted bars on a non-UTC driver)
+    bar = F.window("ts", "1 hour")
     w = (
-        Window.partitionBy(F.date_trunc("hour", F.col("ts")), "event_type")
+        Window.partitionBy(bar, "event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     val = F.col("value").cast("decimal(18,2)")
     enriched = ev.select(
-        bar,
+        bar.getField("start").alias("bar_start"),
         "event_type",
         val.alias("v"),
         F.first("value").over(w).alias("open_v"),
