@@ -91,6 +91,8 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "pretrain_pipeline_v2",
     "ohlc_bars_events",
     "time_weighted_value_events",
+    "exact_moments_qty_price",
+    "frequent_part_pairs",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

@@ -7566,3 +7566,99 @@ def time_weighted_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dur).cast("bigint").alias("total_seconds"),
         F.count("*").alias("n_intervals"),
     )
+
+
+@query(
+    "exact_moments_qty_price",
+    """
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS DECIMAL(38,0)) AS sum_y,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS sum_xy,
+           CAST(sum(CAST(y AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS sum_yy
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def exact_moments_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed moments for correlation/covariance: per group,
+    the integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) over
+    quantity and price-in-cents.  ``corr()``/``covar_pop()`` return
+    order-dependent doubles no cross-engine gate can hash — the
+    sufficient statistics are EXACT (integer/decimal sums), shuffle as
+    one map-side-combined aggregation, are mergeable across partitions
+    and days (the moments-sketch property), and the consumer derives
+    r = (nΣxy−ΣxΣy)/√((nΣx²−Σx²)(nΣy²−Σy²)) in one local step."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    t = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
+    return t.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("decimal(38,0)").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sum_xy"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("sum_yy"),
+    )
+
+
+@query(
+    "frequent_part_pairs",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair_support AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             count(*) AS support
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY item_a, item_b
+      HAVING count(*) >= 2
+    ),
+    item_support AS (
+      SELECT l_partkey, count(*) AS item_n FROM baskets GROUP BY l_partkey
+    )
+    SELECT p.item_a, p.item_b, p.support,
+           ia.item_n AS n_a, ib.item_n AS n_b
+    FROM pair_support p
+    JOIN item_support ia ON ia.l_partkey = p.item_a
+    JOIN item_support ib ON ib.l_partkey = p.item_b
+    """,
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the A-priori first pass): parts
+    co-purchased in ≥2 orders, with each item's own support attached so
+    confidence (support/n_a) and lift come as exact ratios downstream.
+    The pair join is keyed on the basket id — fan-out is Σ C(basket
+    size, 2), bounded by small baskets (the same bounded-verify shape
+    as the shingle joins); support counts are map-side combined.  At
+    100 TB the HAVING threshold is the A-priori prune: emit only pairs
+    clearing min-support, never the full cross-product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item_a"))
+    b = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    items = baskets.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
+    ia = items.select(F.col("l_partkey").alias("item_a"), F.col("item_n").alias("n_a"))
+    ib = items.select(F.col("l_partkey").alias("item_b"), F.col("item_n").alias("n_b"))
+    return pairs.join(ia, "item_a").join(ib, "item_b").select(
+        "item_a", "item_b", "support", "n_a", "n_b"
+    )
