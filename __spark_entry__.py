@@ -93,6 +93,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "time_weighted_value_events",
     "exact_moments_qty_price",
     "frequent_part_pairs",
+    "table_checksum_orders",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

@@ -7662,3 +7662,54 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(ia, "item_a").join(ib, "item_b").select(
         "item_a", "item_b", "support", "n_a", "n_b"
     )
+
+
+def _checksum_oracle() -> str:
+    nib = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    val = " + ".join(f"({nib.format(p=p + 1)}) * {16 ** (7 - p)}" for p in range(8))
+    return f"""
+    WITH canon AS (
+      SELECT o_orderstatus,
+             md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' ||
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum({val}) AS DECIMAL(38,0)) AS checksum
+    FROM canon GROUP BY o_orderstatus
+    """
+
+
+@query("table_checksum_orders", _checksum_oracle())
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the anti-entropy /
+    replica-reconciliation primitive: each row canonicalizes to a
+    delimited string, hashes to a 32-bit integer (md5 head), and the
+    per-group SUM of row hashes is a commutative digest two replicas
+    (or two engines — which is literally what this gate does) can
+    compare with one scan and KBs of output.  Mergeable across
+    partitions, shards, and days; a mismatch localizes to the group.
+    The decimal-cast price pins the canonical rendering so both
+    engines hash identical bytes."""
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        )
+    )
+    rowhash = F.conv(F.substring(canon, 1, 8), 16, 10).cast("bigint")
+    return (
+        orders.select("o_orderstatus", rowhash.alias("rh"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("rh").cast("decimal(38,0)").alias("checksum"),
+        )
+    )
