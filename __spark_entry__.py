@@ -94,6 +94,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "exact_moments_qty_price",
     "frequent_part_pairs",
     "table_checksum_orders",
+    "referential_integrity_report",
     "merge_into_orders",
     "fuzzy_match_multipass",
     "t24_streaming_pipeline",

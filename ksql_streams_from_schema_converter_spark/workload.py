@@ -7713,3 +7713,74 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rh").cast("decimal(38,0)").alias("checksum"),
         )
     )
+
+
+@query(
+    "referential_integrity_report",
+    """
+    SELECT 'orders.custkey->customer' AS relation,
+           (SELECT count(*) FROM orders) AS n_child,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'supplier.nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    """,
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's FK relations:
+    per relation, child row count and ORPHAN count (children whose key
+    has no parent) — the cross-TABLE complement of the row-level
+    expectations report, and the first check any 100 TB ingest runs
+    after a load.  Each orphan count is one left-anti join (parent
+    side broadcast when dimension-sized); counts are exact integers.
+    A healthy lake reports zeros — verified against the oracle, not
+    assumed."""
+    def orphans(child: DataFrame, parent: DataFrame, ck: str, pk: str) -> DataFrame:
+        return child.select(ck).join(
+            parent.select(pk), F.col(ck) == F.col(pk), "left_anti"
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rels = [
+        ("orders.custkey->customer", orders, customer, "o_custkey", "c_custkey"),
+        ("lineitem.orderkey->orders", lineitem, orders, "l_orderkey", "o_orderkey"),
+        ("lineitem.partkey->part", lineitem, part, "l_partkey", "p_partkey"),
+        ("supplier.nationkey->nation", supplier, nation, "s_nationkey", "n_nationkey"),
+    ]
+    out = None
+    for name, child, parent, ck, pk in rels:
+        row = (
+            child.agg(F.count("*").alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    orphans(child, parent, ck, pk).agg(
+                        F.count("*").alias("n_orphans")
+                    )
+                )
+            )
+            .select(F.lit(name).alias("relation"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
