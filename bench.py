@@ -76,7 +76,19 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(round(time.perf_counter() - t0, 3))
-            timings[name] = min(runs)
+            # Sub-2 s queries are dominated by trigger/checkpoint/GC
+            # variance, so min-of-2 branded healthy plans as regressions
+            # (VERDICT r5 What's-wrong #2): take a 3rd run and report
+            # the MEDIAN for those; min-of-2 stays the signal for the
+            # heavier queries where the plan dominates.
+            if min(runs) < 2.0:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+                timings[name] = sorted(runs)[1]
+            else:
+                timings[name] = min(runs)
             both_runs[name] = runs
         except Exception as e:  # one bad query must never zero the round
             msg = f"{type(e).__name__}: {e}"
@@ -92,7 +104,11 @@ def main() -> None:
         "errors": errors,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "methodology": "hot-data: base tables persisted; min of 2 runs per query",
+        "methodology": (
+            "hot-data: base tables persisted; min of 2 runs per query; "
+            "queries whose best run is <2s get a 3rd run and report the "
+            "median (sub-second timings are trigger/GC-noise-dominated)"
+        ),
         "sf": sf,
     }
     # Full per-query record (incl. both run times) to a file: the

@@ -206,9 +206,12 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
         import hashlib
 
         for rb in batches:
-            payloads = [
-                None if v is None else v.as_py() for v in rb.column("payload")
-            ]
+            # Iterating a pyarrow array yields pa scalars (never Python
+            # None) — as_py() is what surfaces nulls as None.  A null
+            # payload therefore crashes at len()/md5() below, exactly
+            # like the mapInPandas path's .map(len); the fixture has no
+            # null payloads and both paths stay byte-identical.
+            payloads = rb.column("payload").to_pylist()
             widths = rb.column("meta_width").to_pylist()
             out = pa.RecordBatch.from_pydict(
                 {

@@ -70,6 +70,10 @@ def kmeans_fixed_point(
     keep their previous centroid (both engines replay the same rule:
     the update only rewrites clusters that own points)."""
     assert k < KM_KEYMUL
+    # the final-assignment return lives INSIDE the loop body; n_iter=0
+    # would fall through to the unreachable-return below and surface as
+    # an AttributeError far from the cause (ADVICE r5)
+    assert n_iter >= 1
     pts = quantize_points(emb, vec_col, id_col).persist()
     # deterministic init: the k lowest-id vectors, cluster = rank
     seeds = pts.orderBy("pid").limit(k)
@@ -97,7 +101,9 @@ def kmeans_fixed_point(
                     _sq_dist(F.col("q"), F.col("c")).alias("dist"),
                 )
             )
-            return final
+            from .lifecycle import eager_release
+
+            return eager_release(final, pts)
         # update: per (cluster, dim) integer mean; clusters that own no
         # points keep their previous centroid
         sums = (

@@ -613,6 +613,12 @@ def ngram_jaccard_pairs_prefix(
         )
         .withColumn("n_union", F.col("__szsum") - F.col("n_common"))
     )
-    return verified.where(
-        F.col("n_common") * t_den >= F.col("n_union") * t_num
-    ).select("id_a", "id_b", "n_common", "n_union")
+    from .lifecycle import eager_release
+
+    return eager_release(
+        verified.where(
+            F.col("n_common") * t_den >= F.col("n_union") * t_num
+        ).select("id_a", "id_b", "n_common", "n_union"),
+        shingled,
+        docs_arr,
+    )

@@ -94,7 +94,13 @@ def pagerank_fixed_point(
         )
         if (i + 1) % checkpoint_every == 0 and i != n_iter - 1:
             ranks = ranks.localCheckpoint()
-    return ranks
+    # close the cache lifecycle here: nodes/e_deg are pinned by the
+    # CacheManager and would otherwise leak across a bench session
+    # (ADVICE r5); the final rank table is |V|-sized, so the eager
+    # checkpoint is cheap
+    from .lifecycle import eager_release
+
+    return eager_release(ranks, nodes, e_deg)
 
 
 def pagerank_oracle_sql(edges_cte: str, n_iter: int = 3) -> str:
@@ -206,10 +212,14 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
         canon,
         (F.col("q1") == F.col("a")) & (F.col("q2") == F.col("b")),
     ).select("p", "q1", "q2")
-    return (
+    from .lifecycle import eager_release
+
+    return eager_release(
         tri.select(F.explode(F.array("p", "q1", "q2")).alias("node"))
         .groupBy("node")
-        .agg(F.count("*").alias("triangles"))
+        .agg(F.count("*").alias("triangles")),
+        canon,
+        o,
     )
 
 

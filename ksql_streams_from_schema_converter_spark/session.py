@@ -36,5 +36,24 @@ def get_spark(app_name: str = "ksql-streams-spark", shuffle_partitions: int | No
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # keep saveAsTable output (bucketed-join layouts) out of the repo
+        # root: ./spark-warehouse accumulated test debris otherwise
+        # (VERDICT r5 What's-wrong #3). tempfile, not a fixed /tmp name,
+        # so parallel sessions don't collide.
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
     )
     return builder.getOrCreate()
+
+
+_WAREHOUSE: str | None = None
+
+
+def _warehouse_dir() -> str:
+    """One process-lifetime temp warehouse dir (stable across
+    getOrCreate calls so a restarted session still sees its tables)."""
+    global _WAREHOUSE
+    if _WAREHOUSE is None:
+        import tempfile
+
+        _WAREHOUSE = tempfile.mkdtemp(prefix="spark-graft-warehouse-")
+    return _WAREHOUSE

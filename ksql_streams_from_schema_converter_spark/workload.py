@@ -39,6 +39,18 @@ def query(name: str, oracle: str | None):
     return deco
 
 
+def _await_or_raise(q, timeout: int = 120, what: str = "stream") -> None:
+    """Drain a streaming query or fail LOUDLY (VERDICT r5 #3).
+
+    ``awaitTermination(timeout)`` returns False on timeout without
+    raising; a hung stream would then read a stale/empty memory sink
+    and surface as a confusing hash mismatch instead of a timeout.
+    Every streaming query in this module drains through this helper."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"{what} did not drain within {timeout}s")
+
+
 # ===========================================================================
 # T24 pipeline queries (reference parity; SURVEY.md §2.1-2.4)
 # ===========================================================================
@@ -1338,7 +1350,7 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q)
     return spark.table(name)
 
 
@@ -2793,7 +2805,7 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q)
     return spark.table(name)
 
 
@@ -3025,7 +3037,7 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q)
     return spark.table(name)
 
 
@@ -4511,7 +4523,7 @@ def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataF
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q)
     # latest emission per key = the final running count
     return spark.table(name).groupBy("key").agg(F.max("n").alias("n"))
 
@@ -4638,7 +4650,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q)
     return spark.table(name)
 
 
@@ -4809,7 +4821,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await_or_raise(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)
@@ -5341,7 +5353,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q)
     return spark.table(name)
 
 
@@ -5457,7 +5469,7 @@ def python_datasource_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q)
     return spark.table(name)
 
 
@@ -6276,9 +6288,13 @@ def cogroup_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _fmt(cents: "pd.Series") -> "pd.Series":
-        return (cents // 100).astype(str) + "." + (
-            (cents % 100).astype(str).str.zfill(2)
-        )
+        # format on abs() and prepend the sign: floor-division renders
+        # negative cents wrong (-5 → "-1.95") — latent here because
+        # TPC-H prices are positive, fixed so the helper is total
+        # (ADVICE r5)
+        mag = cents.abs()
+        s = (mag // 100).astype(str) + "." + (mag % 100).astype(str).str.zfill(2)
+        return cents.lt(0).map({True: "-", False: ""}) + s
 
     def reconcile(o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(o_pdf):  # lineitems with no order row: not emitted
@@ -7710,7 +7726,13 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum("rh").cast("decimal(38,0)").alias("checksum"),
+            # Sum IN decimal(38,0): summing the 32-bit row hashes as
+            # BIGINT wraps silently once a group exceeds ~2^31 rows
+            # (ANSI off), while DuckDB's SUM promotes to HUGEINT — the
+            # 100 TB digest would diverge cross-engine exactly at the
+            # advertised scale. Casting before the aggregate makes the
+            # sum itself overflow-free (ADVICE r5).
+            F.sum(F.col("rh").cast("decimal(38,0)")).alias("checksum"),
         )
     )
 

@@ -1,0 +1,267 @@
+"""Scale-probe harness (VERDICT r5 #1): measure, don't argue.
+
+SCALE.md states the 100-TB scaling arguments in prose; this harness
+proves them empirically on the heavy operator families by running each
+at 1x / 4x / 16x the base row count and fitting the scaling exponent
+``e`` in ``t = a * n^e`` (least squares over log-log points).  A keyed
+equi-join/agg pipeline should land near e = 1 (linear in rows, the
+shape that survives a 1000-executor scale-up); anything approaching
+e = 2 is an all-pairs blowup the prose missed.
+
+Replica construction (deterministic, seedless):
+
+- Every fact table is replicated k times with all key AND foreign-key
+  columns shifted by ``i * SPACING`` per replica, so referential
+  integrity holds within each replica and key spaces never collide
+  (SPACING = 4e9 also clears merge_into_orders' +1e9 synthetic-insert
+  band).
+- ``documents.text`` gets every token suffixed with ``_r{i}`` via one
+  regexp_replace: token counts, document lengths, and per-replica
+  shingle statistics are identical to the base corpus, but replica
+  shingle universes are DISJOINT — so near-dup structure scales
+  linearly (each replica contains one copy of the corpus's planted
+  duplicates' base docs) instead of every document acquiring k-1
+  artificial twins, which would make candidate generation quadratic
+  by construction and measure the generator, not the engine.
+- The same transform is applied at k=1 (replica 0), so x1 and x16 run
+  byte-comparable per-document content.
+- region/nation are dimensions: copied, not replicated.
+
+Timings follow bench.py methodology (hot warmup, min of 2 full
+noop-sink executions).  Per query and scale the formatted plan's
+Exchange count and any nested-loop/cartesian nodes are recorded —
+plan-shape stability across scales is half the claim (a join that
+flips to BroadcastNestedLoopJoin at 16x is a scale bug regardless of
+the fitted exponent).
+
+Artifacts: ``SCALE_PROBE.json`` at the repo root;
+``tests/test_scale_probe.py`` asserts the committed exponents and plan
+shapes and smoke-runs the harness end-to-end at sf0.001.
+
+Run: ``python scale_probe.py`` (env: SCALE_PROBE_BASE_DIR,
+SCALE_PROBE_SCALES, SCALE_PROBE_QUERIES, SCALE_PROBE_WORK_DIR).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import math
+import os
+import shutil
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+SPACING = 4_000_000_000
+DEFAULT_SCALES = (1, 4, 16)
+DEFAULT_QUERIES = (
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix_filtered",
+    "entity_resolution_golden",
+    "pretrain_pipeline_v2",
+    "pagerank_supplier_customer",
+    "merge_into_orders",
+)
+#: key / FK columns shifted per replica (referential integrity holds
+#: within a replica; replicas never cross-reference)
+OFFSET_COLS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIM_TABLES = ("region", "nation")
+
+
+def _write_single_parquet(df: DataFrame, out_dir: str, table: str) -> None:
+    """Write ``df`` as ``out_dir/<table>.parquet`` — a single FILE, the
+    same layout as /root/testdata (streaming sources pathGlobFilter on
+    the exact file name, so a directory would be invisible to them)."""
+    import glob as _glob
+
+    tmp = os.path.join(out_dir, f"__tmp_{table}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+    assert len(part) == 1, part
+    shutil.move(part[0], os.path.join(out_dir, f"{table}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def generate_scaled_dir(
+    spark: SparkSession, base_dir: str, out_dir: str, k: int
+) -> dict[str, int]:
+    """Materialize a k-replica copy of ``base_dir`` under ``out_dir``;
+    returns per-table row counts. Idempotent: skips if already built
+    (marker file records base_dir + k)."""
+    marker = os.path.join(out_dir, "__scale_probe_marker.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        if m.get("base_dir") == base_dir and m.get("k") == k:
+            return m["rows"]
+    os.makedirs(out_dir, exist_ok=True)
+    rows: dict[str, int] = {}
+    for t in DIM_TABLES:
+        df = load_table(spark, base_dir, t)
+        _write_single_parquet(df, out_dir, t)
+        rows[t] = df.count()
+    for t, key_cols in OFFSET_COLS.items():
+        base = load_table(spark, base_dir, t)
+        reps = []
+        for i in range(k):
+            r = base
+            for c in key_cols:
+                r = r.withColumn(c, (F.col(c) + F.lit(i * SPACING)).cast("long"))
+            if t == "documents":
+                # uniquify every token per replica: shingle universes
+                # become disjoint across replicas while per-replica
+                # token/shingle statistics stay identical to the base
+                r = r.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1_r{i}")
+                )
+            reps.append(r)
+        df = reduce(DataFrame.unionByName, reps)
+        _write_single_parquet(df, out_dir, t)
+        rows[t] = df.count()
+    with open(marker, "w") as fh:
+        json.dump({"base_dir": base_dir, "k": k, "rows": rows}, fh)
+    return rows
+
+
+def plan_stats(df: DataFrame) -> dict[str, int]:
+    """Operator counts from the formatted (pre-AQE) physical plan."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    return {
+        "exchanges": plan.count("Exchange"),
+        "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian_products": plan.count("CartesianProduct"),
+    }
+
+
+def fit_exponent(points: list[tuple[float, float]]) -> float:
+    """Least-squares slope of log(t) over log(scale)."""
+    xs = [math.log(s) for s, _ in points]
+    ys = [math.log(max(t, 1e-3)) for _, t in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def time_query(spark: SparkSession, name: str, sf_dir: str, n_runs: int = 2):
+    from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
+
+    fn, _ = WORKLOAD[name]
+    runs, stats = [], None
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+        if stats is None:
+            stats = plan_stats(df)
+    return min(runs), runs, stats
+
+
+def run_probe(
+    spark: SparkSession,
+    base_dir: str,
+    work_dir: str,
+    scales=DEFAULT_SCALES,
+    queries=DEFAULT_QUERIES,
+    n_runs: int = 2,
+) -> dict:
+    dirs: dict[int, str] = {}
+    gen_rows: dict[int, dict[str, int]] = {}
+    for k in scales:
+        d = os.path.join(work_dir, f"x{k}")
+        gen_rows[k] = generate_scaled_dir(spark, base_dir, d, k)
+        dirs[k] = d
+    # warm the same paths bench.py warms (JIT, Arrow worker pool)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(100_000).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    out: dict[str, dict] = {}
+    for name in queries:
+        rec: dict[str, dict] = {"sec": {}, "runs": {}, "plan": {}}
+        for k in scales:
+            best, runs, stats = time_query(spark, name, dirs[k], n_runs)
+            rec["sec"][str(k)] = best
+            rec["runs"][str(k)] = runs
+            rec["plan"][str(k)] = stats
+        rec["exponent"] = round(
+            fit_exponent([(k, rec["sec"][str(k)]) for k in scales]), 3
+        )
+        out[name] = rec
+    return {
+        "base_dir": base_dir,
+        "scales": list(scales),
+        "rows_x1": gen_rows[scales[0]],
+        "methodology": (
+            f"min of {n_runs} full noop-sink executions per (query, scale); "
+            "exponent = least-squares slope of log(sec) vs log(scale); "
+            "replicas are key-shifted + token-suffixed (disjoint shingle "
+            "universes) so duplicate structure scales linearly by design"
+        ),
+        "queries": out,
+    }
+
+
+def main() -> None:
+    from ksql_streams_from_schema_converter_spark.session import get_spark
+
+    base_dir = os.environ.get("SCALE_PROBE_BASE_DIR", "/root/testdata/sf0.01")
+    work_dir = os.environ.get(
+        "SCALE_PROBE_WORK_DIR", "/tmp/spark_graft_scale_probe"
+    )
+    scales = tuple(
+        int(s)
+        for s in os.environ.get(
+            "SCALE_PROBE_SCALES", ",".join(map(str, DEFAULT_SCALES))
+        ).split(",")
+    )
+    queries = tuple(
+        q
+        for q in os.environ.get(
+            "SCALE_PROBE_QUERIES", ",".join(DEFAULT_QUERIES)
+        ).split(",")
+        if q
+    )
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    result = run_probe(spark, base_dir, work_dir, scales, queries)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "SCALE_PROBE.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                "probe": {
+                    n: {"exponent": r["exponent"], "sec": r["sec"]}
+                    for n, r in result["queries"].items()
+                }
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
