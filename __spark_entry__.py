@@ -59,56 +59,23 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: r6's window automatically.  Guarded by tests/test_driver_window.py.
 
 #: queries added or materially changed this round — they take window
-#: slots ahead of the staleness rotation.  r5: the graph/ranking/
-#: clustering/sketch/IVM/temporal/governance batch (all new), the
-#: merge/streaming-topology/fuzzy/sketch/UDTF batch from earlier in
-#: the round, the 3 ANN queries (shape changed to recall verdicts),
-#: the upsert (rewritten onto the bucketed MERGE), and the cogroup
-#: (rewritten onto bucket keys).  Leftover stale r2 queries roll into
-#: r6's window automatically via compute_window().
+#: slots ahead of the staleness rotation.  r6: the two NEW operators
+#: (distributed BPE training, incremental dedup against a persisted
+#: LSH index), plus the queries whose code changed this round —
+#: table_checksum (sum moved into decimal), cogroup (sign-correct
+#: formatting), merge/upsert (commit-marker version resolution).
+#: Everything else rotates by staleness: the 35 queries whose newest
+#: driver row is r02 fill the remaining 44 slots first (VERDICT r5
+#: #2 — after r6, no query's newest driver row should be older
+#: than r3).
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
-    "pagerank_supplier_customer",
-    "bfs_hops_from_supplier1",
-    "triangle_count_parts",
-    "recursive_cte_ancestry",
-    "equi_depth_bins_orders",
-    "incremental_agg_maintenance",
-    "scd2_point_in_time_join",
-    "count_min_sketch_custkey",
-    "parquet_schema_evolution",
-    "events_sliding_window_rates",
-    "pseudonymized_join_orders",
-    "dedup_jaccard_prefix_filtered",
-    "kmeans_embeddings_exact",
-    "entity_resolution_golden",
-    "winsorize_order_prices",
-    "group_aware_split_events",
-    "streaming_sliding_window_rates",
-    "t24_xml_parse_native",
-    "sql_scripting_threshold_search",
-    "bfs_landmark_distances",
-    "shortest_paths_bellman_ford",
-    "pretrain_pipeline_v2",
-    "ohlc_bars_events",
-    "time_weighted_value_events",
-    "exact_moments_qty_price",
-    "frequent_part_pairs",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "dedup_incremental_index",
+    "streaming_incremental_dedup",
     "table_checksum_orders",
-    "referential_integrity_report",
-    "merge_into_orders",
-    "fuzzy_match_multipass",
-    "t24_streaming_pipeline",
-    "t24_streaming_xml_pipeline",
-    "heavy_hitters_misra_gries",
-    "hll_sketch_mergeability",
-    "udtf_sentence_split",
-    "bigram_counts_top",
     "cogroup_reconcile_orders",
-    "bloom_pruned_join_orders",
-    "salted_join_hot_events",
-    "knn_lsh_ann",
-    "knn_ivf_ann",
-    "knn_ivf_pq",
+    "merge_into_orders",
     "streaming_foreachbatch_upsert",
 )
 

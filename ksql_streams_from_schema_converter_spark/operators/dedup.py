@@ -148,20 +148,20 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_rows(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """Banded LSH: split the signature into ``bands`` bands of
-    ``num_hashes/bands`` rows; documents agreeing on ALL hashes of any
-    band become a candidate pair. Output: (id_a, id_b) with a < b,
-    distinct. The join is keyed by (band, band_key) — no all-pairs."""
+    """The LSH bucket-membership table ``(id, band, key)``: one row per
+    (document, band), key = the band's concatenated MinHash rows.  This
+    is both the join side of :func:`lsh_candidate_pairs` and the
+    posting layout a persisted index stores (incremental.py)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes)
-    band_rows = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -177,6 +177,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; documents agreeing on ALL hashes of any
+    band become a candidate pair. Output: (id_a, id_b) with a < b,
+    distinct. The join is keyed by (band, band_key) — no all-pairs."""
+    band_rows = lsh_band_rows(docs, text_col, id_col, num_hashes, bands)
     left = band_rows.alias("l")
     right = band_rows.alias("r")
     return (

@@ -34,6 +34,7 @@ def pagerank_fixed_point(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
+    release: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list, ``n_iter`` synchronous
     rounds of the un-normalized recurrence
@@ -94,10 +95,13 @@ def pagerank_fixed_point(
         )
         if (i + 1) % checkpoint_every == 0 and i != n_iter - 1:
             ranks = ranks.localCheckpoint()
+    if not release:
+        return ranks
     # close the cache lifecycle here: nodes/e_deg are pinned by the
     # CacheManager and would otherwise leak across a bench session
     # (ADVICE r5); the final rank table is |V|-sized, so the eager
-    # checkpoint is cheap
+    # checkpoint is cheap.  release=False hands back the LAZY plan
+    # (caller owns the persisted inputs) — the plan-shape tests use it.
     from .lifecycle import eager_release
 
     return eager_release(ranks, nodes, e_deg)
@@ -180,7 +184,7 @@ def orient_edges_by_degree(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_participation(edges: DataFrame) -> DataFrame:
+def triangle_participation(edges: DataFrame, release: bool = True) -> DataFrame:
     """Per-node triangle counts over an undirected graph given as
     ``(u, v)`` rows (either/both directions).  Pipeline: degree-orient
     (:func:`orient_edges_by_degree`), enumerate wedges at the low
@@ -212,15 +216,16 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
         canon,
         (F.col("q1") == F.col("a")) & (F.col("q2") == F.col("b")),
     ).select("p", "q1", "q2")
-    from .lifecycle import eager_release
-
-    return eager_release(
+    counts = (
         tri.select(F.explode(F.array("p", "q1", "q2")).alias("node"))
         .groupBy("node")
-        .agg(F.count("*").alias("triangles")),
-        canon,
-        o,
+        .agg(F.count("*").alias("triangles"))
     )
+    if not release:
+        return counts
+    from .lifecycle import eager_release
+
+    return eager_release(counts, canon, o)
 
 
 def triangle_oracle_sql(edges_cte: str) -> str:

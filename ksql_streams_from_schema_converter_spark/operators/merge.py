@@ -55,10 +55,18 @@ def bucket_expr(key_cols: list[str], num_buckets: int) -> Column:
 
 
 def _versions_on_disk(target_dir: str) -> list[int]:
+    """COMMITTED versions only: a version directory counts once its
+    ``_SUCCESS`` marker exists.  Spark's file committer writes the
+    marker strictly after every task's part files are moved into
+    place, so it is the version's publish point — a merge killed
+    mid-write (part files present, no marker) leaves a TORN directory
+    that readers must never resolve (tests/test_merge.py torn-write
+    injection).  The replay of that version overwrites the torn
+    directory wholesale and re-publishes."""
     out = []
     for d in glob.glob(os.path.join(target_dir, "v-*")):
         m = re.fullmatch(r"v-(\d+)", os.path.basename(d))
-        if m:
+        if m and os.path.exists(os.path.join(d, "_SUCCESS")):
             out.append(int(m.group(1)))
     return sorted(out)
 

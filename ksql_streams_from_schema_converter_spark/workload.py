@@ -6429,18 +6429,10 @@ def _pr_oracle() -> str:
     return pagerank_oracle_sql(_PR_EDGES_CTE, n_iter=3)
 
 
-@query("pagerank_supplier_customer", _pr_oracle())
-def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-point PageRank (operators/graph.py) over the supplier ↔
-    customer trade graph (URGENT orders; customers offset into a
-    disjoint id space).  3 synchronous rounds, ALL arithmetic in
-    BIGINT micro-ranks with truncating division, so the driver hash-
-    gates an ITERATIVE graph algorithm exactly — float PageRank could
-    never hash across engines.  The DuckDB oracle replays the same
-    recurrence as unrolled CTEs.  Each round is one keyed shuffle of
-    the edge list (Pregel shape); lineage is checkpoint-truncated."""
-    from .operators.graph import pagerank_fixed_point
-
+def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier ↔ customer trade edge list (URGENT orders;
+    customers offset into a disjoint id space) — shared by the gated
+    query and the plan-shape tests."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = (
         load_table(spark, sf_dir, "orders")
@@ -6455,8 +6447,22 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = sc.union(sc.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank_fixed_point(edges, n_iter=3)
+    return sc.union(sc.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+@query("pagerank_supplier_customer", _pr_oracle())
+def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py) over the supplier ↔
+    customer trade graph (URGENT orders; customers offset into a
+    disjoint id space).  3 synchronous rounds, ALL arithmetic in
+    BIGINT micro-ranks with truncating division, so the driver hash-
+    gates an ITERATIVE graph algorithm exactly — float PageRank could
+    never hash across engines.  The DuckDB oracle replays the same
+    recurrence as unrolled CTEs.  Each round is one keyed shuffle of
+    the edge list (Pregel shape); lineage is checkpoint-truncated."""
+    from .operators.graph import pagerank_fixed_point
+
+    return pagerank_fixed_point(_pagerank_edges(spark, sf_dir), n_iter=3)
 
 
 _TRI_EDGES_CTE = """
@@ -6485,6 +6491,12 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers: exact hash gate."""
     from .operators.graph import triangle_participation
 
+    return triangle_participation(_triangle_pairs(spark, sf_dir))
+
+
+def _triangle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part co-purchase edge list (parts sharing an URGENT order)
+    — shared by the gated query and the plan-shape tests."""
     o = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderpriority") == "1-URGENT")
@@ -6497,8 +6509,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    pairs = l1.join(l2, "ok").where(F.col("u") < F.col("v")).select("u", "v")
-    return triangle_participation(pairs)
+    return l1.join(l2, "ok").where(F.col("u") < F.col("v")).select("u", "v")
 
 
 _RECURSIVE_ANCESTRY_SQL = """
@@ -7806,3 +7817,195 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _bpe_oracle() -> str:
+    from .operators.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(n_merges=10, vocab_cap=4000)
+
+
+@query("bpe_train_merges", _bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py, VERDICT r5
+    #4): one corpus scan builds the word-frequency table, then 10
+    merge rounds of pair-count → deterministic global argmax →
+    broadcast re-segmentation, all under the repo's fixed-point
+    discipline (per-round localCheckpoint).  Output is the ranked
+    merge table — the trained tokenizer artifact.  The oracle replays
+    the identical recurrence as unrolled per-round CTEs, so an
+    ITERATIVE argmax loop is hash-gated end-to-end."""
+    from .operators.bpe import bpe_train
+
+    return bpe_train(
+        load_table(spark, sf_dir, "documents"), n_merges=10, vocab_cap=4000
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    from .operators.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(n_merges=10, vocab_cap=4000)
+
+
+@query("bpe_encode_tokens", _bpe_encode_oracle())
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the train→apply round trip (operators/bpe.py):
+    train 10 merges, then segment every document by threading its
+    whole spaced-symbol string (word boundaries as an unmergeable
+    ``|`` symbol) through the same double-replace per merge.  20
+    chained codegen ``replace`` calls, ONE corpus pass, zero shuffles
+    in the apply; the md5 of each final segmented string is emitted,
+    so a single mis-segmented byte anywhere in the corpus flips the
+    gate.  The oracle re-derives the merges AND replays the encode."""
+    from .operators.bpe import bpe_segment_docs, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bounded driver collect: n_merges rows (the trained artifact)
+    merges = [
+        r.pair
+        for r in bpe_train(docs, n_merges=10, vocab_cap=4000)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return bpe_segment_docs(docs, merges)
+
+
+@query(
+    "dedup_incremental_index",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_oracle_exprs(8)} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_oracle(8, 4)}),
+    dropped AS (
+      SELECT DISTINCT r.doc_id
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_id,
+           CASE WHEN c.doc_id < 10000 THEN 'old' ELSE 'new' END AS phase,
+           d.doc_id IS NULL AS kept
+    FROM corpus c LEFT JOIN dropped d ON d.doc_id = c.doc_id
+    """,
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED LSH index
+    (operators/incremental.py, VERDICT r5 #5): the base documents
+    (doc_id < 10000) are indexed once — postings partitioned by band +
+    per-doc verdicts on parquet — then the planted near/exact
+    duplicates (ids 10000+/20000+) arrive as the refresh batch and are
+    deduped by joining their band rows against the STORED postings:
+    old docs are never re-shingled, old-vs-old pairs never recomputed.
+    The oracle is the FROM-SCRATCH answer over the whole corpus (drop
+    iff a smaller id shares a band bucket), so the hash gate proves
+    incremental ≡ from-scratch exactly."""
+    import shutil
+    import tempfile
+
+    from .operators.incremental import build_lsh_index, refresh_against_index
+
+    corpus = dedup_corpus(spark, sf_dir)
+    old = corpus.where(F.col("doc_id") < 10000)
+    new = corpus.where(F.col("doc_id") >= 10000)
+    index_dir = tempfile.mkdtemp(prefix="lsh_index_")
+    try:
+        build_lsh_index(old, index_dir)
+        return refresh_against_index(spark, index_dir, new).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+@query(
+    "streaming_incremental_dedup",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_oracle_exprs(8)} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_oracle(8, 4)}),
+    dropped AS (
+      SELECT DISTINCT r.doc_id
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_id, d.doc_id IS NULL AS kept
+    FROM corpus c LEFT JOIN dropped d ON d.doc_id = c.doc_id
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental LSH index driven as a STREAMING corpus-refresh
+    loop: the planted corpus arrives as three id-monotone files
+    (base < 10000, near-dups 1xxxx, exact dups 2xxxx), a file-source
+    stream with maxFilesPerTrigger=1 feeds them to ``foreachBatch``
+    one at a time, and each micro-batch is deduped against — then
+    appended to — the evolving persisted index
+    (operators/incremental.py).  Files carry strictly increasing
+    mtimes, so the source's oldest-first order makes ingest
+    id-monotone; a mis-ordered delivery trips the refresh's monotone
+    guard LOUDLY rather than corrupting verdicts.  The final verdict
+    table read back from the index must equal the FROM-SCRATCH answer
+    over the whole corpus — batch boundaries must not exist in the
+    output."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .operators.incremental import build_lsh_index, refresh_against_index
+
+    corpus = dedup_corpus(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="inc_stream_")
+    stream_dir = os.path.join(work, "in")
+    index_dir = os.path.join(work, "idx")
+    os.makedirs(stream_dir)
+    try:
+        now = _time.time()
+        splits = [
+            ("b0", F.col("doc_id") < 10000),
+            ("b1", (F.col("doc_id") >= 10000) & (F.col("doc_id") < 20000)),
+            ("b2", F.col("doc_id") >= 20000),
+        ]
+        for i, (name, cond) in enumerate(splits):
+            tmp = os.path.join(work, f"tmp_{name}")
+            corpus.where(cond).coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{name}.parquet")
+            shutil.move(part, dst)
+            # oldest-first source order == id order (10 s apart so the
+            # ordering can never be a same-mtime coin flip)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        def refresh_batch(batch_df, batch_id: int) -> None:
+            if not os.path.isdir(os.path.join(index_dir, "docs")):
+                build_lsh_index(batch_df, index_dir)
+            else:
+                refresh_against_index(spark, index_dir, batch_df)
+
+        q = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(refresh_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, what="incremental-dedup refresh stream")
+        return (
+            spark.read.parquet(os.path.join(index_dir, "docs"))
+            .select("doc_id", "kept")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

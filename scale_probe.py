@@ -62,7 +62,11 @@ from pyspark.sql import functions as F
 from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
 
 SPACING = 4_000_000_000
-DEFAULT_SCALES = (1, 4, 16)
+#: x64 of sf0.01 ≈ 0.64 SF — big enough that the local[32] cores
+#: saturate and fixed per-query overhead (~1.5 s of job scheduling at
+#: x1) stops dominating; the x16→x64 marginal exponent is the
+#: overhead-free scaling signal
+DEFAULT_SCALES = (1, 4, 16, 64)
 DEFAULT_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix_filtered",
@@ -70,6 +74,11 @@ DEFAULT_QUERIES = (
     "pretrain_pipeline_v2",
     "pagerank_supplier_customer",
     "merge_into_orders",
+    # the gate's old/new split is at doc_id 10000, so at scale k the
+    # indexed base stays replica-0-sized while the refresh batch grows
+    # ~k — this measures refresh cost against BATCH size (shingling +
+    # the postings join), which must stay ~linear in the batch
+    "dedup_incremental_index",
 )
 #: key / FK columns shifted per replica (referential integrity holds
 #: within a replica; replicas never cross-reference)
@@ -209,6 +218,18 @@ def run_probe(
         rec["exponent"] = round(
             fit_exponent([(k, rec["sec"][str(k)]) for k in scales]), 3
         )
+        if len(scales) >= 2:
+            # overhead-free signal: slope between the two LARGEST
+            # scales, where fixed per-query cost is amortized away
+            k_hi, k_lo = scales[-1], scales[-2]
+            rec["marginal_exponent"] = round(
+                math.log(
+                    max(rec["sec"][str(k_hi)], 1e-3)
+                    / max(rec["sec"][str(k_lo)], 1e-3)
+                )
+                / math.log(k_hi / k_lo),
+                3,
+            )
         out[name] = rec
     return {
         "base_dir": base_dir,

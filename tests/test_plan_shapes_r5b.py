@@ -38,8 +38,17 @@ def test_global_ntile_has_no_single_partition_window(spark):
 def test_triangle_closure_is_hash_join_not_nested_loop(spark):
     """The wedge-closing probe must stay a two-column equi-join — an
     OR-of-conjunctions condition silently degrades to
-    BroadcastNestedLoopJoin, which is quadratic at scale."""
-    plan = _executed_plan(WORKLOAD["triangle_count_parts"][0](spark, SF))
+    BroadcastNestedLoopJoin, which is quadratic at scale.  Built with
+    release=False: the shipped operator eager-checkpoints its result
+    (cache hygiene), which would hide the join plan from inspection."""
+    from ksql_streams_from_schema_converter_spark.operators.graph import (
+        triangle_participation,
+    )
+    from ksql_streams_from_schema_converter_spark.workload import _triangle_pairs
+
+    plan = _executed_plan(
+        triangle_participation(_triangle_pairs(spark, SF), release=False)
+    )
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
@@ -47,10 +56,25 @@ def test_triangle_closure_is_hash_join_not_nested_loop(spark):
 def test_pagerank_plan_is_one_job_no_python(spark):
     """3 fixed rounds must compile into one lazy JVM plan: no Python
     evaluation anywhere, edge inputs reused via persisted
-    InMemoryRelation (not recomputed per round)."""
-    plan = _executed_plan(WORKLOAD["pagerank_supplier_customer"][0](spark, SF))
+    InMemoryRelation (not recomputed per round).  release=False gives
+    the lazy plan (the shipped operator eager-checkpoints and
+    unpersists — ADVICE r5 — which would hide both properties); the
+    shipped path is additionally asserted to return a truncated-
+    lineage checkpoint scan."""
+    from ksql_streams_from_schema_converter_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from ksql_streams_from_schema_converter_spark.workload import _pagerank_edges
+
+    lazy = pagerank_fixed_point(_pagerank_edges(spark, SF), n_iter=3, release=False)
+    plan = _executed_plan(lazy)
     assert "Python" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
+
+    shipped = WORKLOAD["pagerank_supplier_customer"][0](spark, SF)
+    shipped_plan = shipped._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in shipped_plan, shipped_plan  # checkpointed
+    assert "InMemoryTableScan" not in shipped_plan, shipped_plan  # released
 
 
 def test_cms_sketch_shuffle_is_map_side_combined(spark):
