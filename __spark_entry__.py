@@ -71,6 +71,8 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "bpe_train_merges",
     "bpe_encode_tokens",
+    "dsir_importance_selection",
+    "dedup_span_exact_substr",
     "dedup_incremental_index",
     "streaming_incremental_dedup",
     "table_checksum_orders",

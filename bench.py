@@ -109,6 +109,16 @@ def main() -> None:
             "queries whose best run is <2s get a 3rd run and report the "
             "median (sub-second timings are trigger/GC-noise-dominated)"
         ),
+        "methodology_change_r6": (
+            "operators with internal persist() now release their caches "
+            "at query end (ADVICE r5 cache-leak fix), so EVERY run is "
+            "cold; in r5 and earlier, run 2 of pagerank/triangles/"
+            "kmeans/prefix-jaccard silently reused run 1's leaked cache "
+            "entries, understating those queries by 2-3x. r5-to-r6 "
+            "deltas on those queries are the methodology correction, "
+            "not plan regressions (plans unchanged; see SCALE_PROBE.json "
+            "for scale behavior)"
+        ),
         "sf": sf,
     }
     # Full per-query record (incl. both run times) to a file: the

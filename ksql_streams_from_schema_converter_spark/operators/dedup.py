@@ -552,7 +552,19 @@ def ngram_jaccard_pairs_prefix(
     are precisely the low-df ones — the blowup-prone frequent shingles
     land outside prefixes.  ``max_doc_freq`` still prunes the universe
     first (both variants must share it: the pruned universe defines
-    the Jaccard)."""
+    the Jaccard).
+
+    Honest cost accounting (r6, cold per-run timings after the cache
+    lifecycle fix): at sf0.1 with the df-cutoff already bounding the
+    plain join, the two variants are within ~15% of each other — the
+    prefix variant pays an extra per-doc sort/agg that the candidate
+    savings only repay when the corpus has hot-shingle mass the cutoff
+    can't remove without changing the universe (boilerplate-heavy web
+    corpora).  Its value is the ASYMPTOTIC bound: candidates are
+    limited by prefix-posting overlap regardless of df skew, with zero
+    false negatives — the variant you run when the cutoff is not
+    acceptable.  (r5's bench showed 1.4 s vs 3.9 s, but that second
+    run was warmed by this function's then-leaked cache entries.)"""
     shingled = docs.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
         F.col(id_col),
         F.explode(
@@ -635,4 +647,112 @@ def ngram_jaccard_pairs_prefix(
         ).select("id_a", "id_b", "n_common", "n_union"),
         shingled,
         docs_arr,
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span removal (Lee et al., ACL 2022)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_span_removal(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style span dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): any token
+    span of length >= ``k`` that occurs more than once in the corpus is
+    CUT OUT of every occurrence except the lexicographically-first one
+    (lowest ``(doc_id, position)``), and the document's remainder is
+    kept — content-level dedup, not document-level drop.
+
+    The paper builds one giant suffix array, which is a single-node
+    construction.  The distributed equivalent here exploits that "a
+    duplicated span of length >= k" is exactly "a run of duplicated
+    k-grams": one k-gram per token position (md5 of the k joined
+    tokens — an exact key, not a sketch), a shuffle keyed by gram to
+    find repeats and elect each gram's canonical first occurrence, and
+    a per-document gaps-and-islands pass that merges overlapping
+    duplicated positions ``[p, p+k)`` into maximal spans.  Every step
+    is linear in corpus token count and equi-partitioned:
+
+    - gram generation is map-side (``transform`` over a position
+      ``sequence`` — no explode-then-window);
+    - repeat detection is ONE shuffle by gram key (count + row_number
+      share the same window exchange); hot grams (boilerplate) cost
+      O(df) rows in one partition, not O(df^2) — there is no self-join
+      anywhere;
+    - span merging and text reconstruction shuffle by ``doc_id`` and
+      then work per-document with native higher-order functions
+      (filter/exists/get) — no Python.
+
+    Returns one row per input document: ``(doc_id, n_spans, n_removed,
+    n_kept, clean_fp)`` where ``clean_fp`` is the md5 of the surviving
+    tokens joined by single spaces — a value-exact witness of the
+    reconstructed text (the gate replays the whole policy)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("__t") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - k),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i + 1, k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p", "g"),
+    )
+    wg = Window.partitionBy("g")
+    occ = grams.select(
+        F.col(id_col),
+        "p",
+        F.count("*").over(wg).alias("__cnt"),
+        F.row_number().over(wg.orderBy(id_col, "p")).alias("__rn"),
+    )
+    # an occurrence is cut iff its gram repeats AND it is not the
+    # gram's canonical first occurrence
+    marked = occ.where((F.col("__cnt") >= 2) & (F.col("__rn") > 1)).select(
+        F.col(id_col), "p", (F.col("p") + k).alias("e")
+    )
+    wd = Window.partitionBy(id_col).orderBy("p")
+    isl = (
+        marked.withColumn(
+            "__prev_e",
+            F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev_e").isNull() | (F.col("p") > F.col("__prev_e")), 1
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(wd))
+    )
+    spans = isl.groupBy(id_col, "__isl").agg(
+        F.min("p").alias("s"), F.max("e").alias("e")
+    )
+    doc_spans = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans")
+    )
+    sp = F.coalesce(
+        F.col("__spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size("__t") - 1),
+        lambda p: ~F.exists(sp, lambda x: (p >= x.s) & (p < x.e)),
+    )
+    removed = F.aggregate(sp, F.lit(0), lambda a, x: a + (x.e - x.s))
+    return toks.join(doc_spans, id_col, "left").select(
+        F.col(id_col),
+        F.size(sp).cast("long").alias("n_spans"),
+        removed.cast("long").alias("n_removed"),
+        (F.size("__t") - removed).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(" ", F.transform(kept, lambda p: F.get("__t", p)))
+        ).alias("clean_fp"),
     )

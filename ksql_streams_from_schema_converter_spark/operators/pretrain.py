@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import ngrams_from_tokens, tokens
+from .text import ngrams_from_tokens, tokens, word_ngrams
 
 
 def contamination_overlap(
@@ -103,5 +103,108 @@ def pack_sequences(
                     != F.floor((F.col("cum_tok") - 1) / budget)
                 )
             ).alias("spans_cut"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_cond,
+    n_buckets: int = 256,
+    keep_quarter: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling, DSIR-style (Xie et
+    al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): score every document by how
+    target-distribution-like its hashed n-gram features are, then keep
+    the top slice — the data-selection step a real pretrain pipeline
+    runs between raw crawl and training mix.
+
+    Faithful-to-the-paper parts: word-bigram features hashed into
+    ``n_buckets`` buckets, bag-of-buckets bucket counts from the
+    target subset vs the full corpus (add-one smoothed), per-document
+    score = sum of per-occurrence feature affinities, resample = keep
+    the top quantile.  ENGINE-EXACT deviation: the paper's
+    log-likelihood-ratio weight ``log(p_t[b]/p_c[b])`` is replaced by
+    the CENTERED integer permille affinity
+
+        w_b = (ct[b] * TOTAL_C * 1000) div (cc[b] * TOTAL_T) - 1000
+
+    (cross-multiplied smoothed ratio, truncating BIGINT division,
+    zero-centered) — ``ln`` is libm-dependent and cannot be hash-gated
+    across engines, while this weight preserves the ratio ORDERING of
+    buckets exactly, keeps every value an integer, and — like the
+    log-ratio's ``ln(x) ≈ x - 1`` first order — makes
+    target-neutral buckets contribute ~0, so a document's score
+    measures AFFINITY, not length (uncentered weights are all
+    positive and the top quartile degenerates to the longest docs).
+    (At larger corpora move the cross product into DECIMAL(38,0) — the
+    table_checksum_orders discipline — before BIGINT would overflow.)
+    The hash is the md5 head (16 bits, mod n_buckets), the same
+    engine-portable bucketing every md5-split operator here uses, not
+    Spark's Murmur3 (which DuckDB cannot replay).
+
+    Scale shape: feature extraction is a map-side explode; both count
+    passes are map-side-combined aggregations onto ``n_buckets`` rows;
+    the weight table is a broadcast join against the exploded corpus;
+    the keep decision is a top-quantile rank — HERE a global
+    row_number (corpus-sized window, fine at test scale), at 100 TB
+    swap in ``operators/ranking.global_ntile`` or an approx-quantile
+    threshold.
+
+    ``target_cond``: a boolean Column selecting the target docs (e.g.
+    ``F.col("lang") == "en"``).  Output: (doc_id, score, kept) for
+    every document with at least one bigram."""
+    bg = docs.select(
+        F.col(id_col),
+        target_cond.alias("__tgt"),
+        F.explode(word_ngrams(text_col, 2)).alias("bg"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("bg"), 1, 4), 16, 10).cast("bigint")
+        % n_buckets
+    ).alias("b")
+    occ = bg.select(id_col, "__tgt", bucket)
+    spine = docs.sparkSession.range(n_buckets).select(F.col("id").alias("b"))
+    counts = (
+        spine.join(
+            occ.groupBy("b").agg(
+                F.count("*").alias("__nc"),
+                F.count_if("__tgt").alias("__nt"),
+            ),
+            "b",
+            "left",
+        )
+        .select(
+            "b",
+            (F.coalesce("__nt", F.lit(0)) + 1).alias("ct"),
+            (F.coalesce("__nc", F.lit(0)) + 1).alias("cc"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tot_t"), F.sum("cc").alias("tot_c")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr("(ct * tot_c * 1000) div (cc * tot_t) - 1000").alias("w"),
+    )
+    scored = (
+        occ.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("score"))
+    )
+    if not keep_quarter:
+        return scored
+    n_docs = scored.agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.desc("score"), id_col)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "score",
+            (F.col("rnk") * 4 <= F.col("n")).alias("kept"),
         )
     )

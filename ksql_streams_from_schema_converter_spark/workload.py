@@ -7819,6 +7819,148 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _dsir_oracle(n_buckets: int = 256) -> str:
+    nib = "(strpos('0123456789abcdef', substr(md5(bg), {p}, 1)) - 1)"
+    b16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
+    return f"""
+    WITH bg AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(CASE WHEN len({_TOKS}) >= 2 THEN
+                      list_transform(generate_series(1, len({_TOKS})-1),
+                                     i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END) AS bg
+      FROM documents
+    ),
+    occ AS (SELECT doc_id, tgt, ({b16}) % {n_buckets} AS b FROM bg),
+    cnt AS (
+      SELECT b, count(*) AS nc, count(*) FILTER (tgt) AS nt
+      FROM occ GROUP BY b
+    ),
+    spine AS (SELECT unnest(generate_series(0, {n_buckets - 1})) AS b),
+    counts AS (
+      SELECT s.b, COALESCE(nt, 0) + 1 AS ct, COALESCE(nc, 0) + 1 AS cc
+      FROM spine s LEFT JOIN cnt ON cnt.b = s.b
+    ),
+    tot AS (SELECT sum(ct) AS tot_t, sum(cc) AS tot_c FROM counts),
+    wts AS (SELECT b, (ct * tot_c * 1000) // (cc * tot_t) - 1000 AS w
+            FROM counts, tot),
+    scored AS (
+      SELECT doc_id, sum(w) AS score FROM occ JOIN wts USING (b)
+      GROUP BY doc_id
+    ),
+    nn AS (SELECT count(*) AS n FROM scored)
+    SELECT doc_id, score,
+           (row_number() OVER (ORDER BY score DESC, doc_id)) * 4 <= nn.n AS kept
+    FROM scored, nn
+    """
+
+
+@query("dsir_importance_selection", _dsir_oracle())
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/pretrain.py
+    dsir_importance_weights; Xie et al. NeurIPS 2023): hashed-bigram
+    bag-of-features, target = the English subset, integer permille
+    affinity weights replacing the paper's libm-dependent log-ratio so
+    an IMPORTANCE-RESAMPLING selector is hash-gated end-to-end; keep
+    the top quartile.  Feature extraction is map-side, both count
+    passes partial-aggregate onto 256 buckets, the weight table
+    broadcasts."""
+    from .operators.pretrain import dsir_importance_weights
+
+    return dsir_importance_weights(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def _span_dedup_oracle(k: int = 8) -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    gs AS (
+      SELECT doc_id, t,
+             unnest(CASE WHEN len(t) >= {k}
+                    THEN generate_series(1, len(t) - {k - 1})
+                    ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS p,
+             md5(array_to_string(t[i : i + {k - 1}], ' ')) AS gr
+      FROM gs
+    ),
+    rep AS (
+      SELECT doc_id, p,
+             count(*) OVER (PARTITION BY gr) AS cnt,
+             row_number() OVER (PARTITION BY gr ORDER BY doc_id, p) AS rn
+      FROM occ
+    ),
+    mk AS (SELECT doc_id, p, p + {k} AS e FROM rep WHERE cnt >= 2 AND rn > 1),
+    isl AS (
+      SELECT doc_id, p, e,
+             CASE WHEN p > COALESCE(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS nw
+      FROM mk
+    ),
+    isl2 AS (
+      SELECT doc_id, p, e, sum(nw) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(p) AS s, max(e) AS e
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(e - s) AS BIGINT) AS n_removed
+      FROM spans GROUP BY doc_id
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(0, len(t) - 1)) AS p
+      FROM toks
+    ),
+    keptpos AS (
+      SELECT po.doc_id, po.p, po.t
+      FROM pos po
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = po.doc_id
+                          AND po.p >= s.s AND po.p < s.e)
+    ),
+    clean AS (
+      SELECT doc_id, md5(string_agg(t[p + 1], ' ' ORDER BY p)) AS clean_fp
+      FROM keptpos GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.n_removed, 0) AS n_removed,
+           len(tk.t) - COALESCE(a.n_removed, 0) AS n_kept,
+           COALESCE(c.clean_fp, md5('')) AS clean_fp
+    FROM toks tk
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    """
+
+
+@query("dedup_span_exact_substr", _span_dedup_oracle())
+def dedup_span_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (operators/dedup.duplicated_span_removal;
+    Lee et al. ACL 2022): every >= 8-token span that repeats anywhere
+    in the corpus is cut from all but its first occurrence, and each
+    document's surviving text is re-emitted — gated by the md5 of the
+    reconstructed token stream, so the hash proves the exact cut
+    positions AND the reconstruction.  Distributed replacement for the
+    paper's single-node suffix array: one shuffle keyed by k-gram (no
+    self-join, hot grams cost O(df)), then per-document
+    gaps-and-islands span merging — linear end-to-end.  The sf0.01
+    corpus has ~1k naturally repeated 8-grams, so the gate exercises
+    real cuts, not a vacuous no-op."""
+    from .operators.dedup import duplicated_span_removal
+
+    return duplicated_span_removal(load_table(spark, sf_dir, "documents"))
+
+
 def _bpe_oracle() -> str:
     from .operators.bpe import bpe_oracle_sql
 

@@ -79,6 +79,9 @@ DEFAULT_QUERIES = (
     # ~k — this measures refresh cost against BATCH size (shingling +
     # the postings join), which must stay ~linear in the batch
     "dedup_incremental_index",
+    # map-side features + two 256-bucket partial aggs + broadcast
+    # weight join — should be the most linear family of all
+    "dsir_importance_selection",
 )
 #: key / FK columns shifted per replica (referential integrity holds
 #: within a replica; replicas never cross-reference)
@@ -173,6 +176,16 @@ def fit_exponent(points: list[tuple[float, float]]) -> float:
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
+def driver_maxrss_mb() -> int:
+    """The PYTHON driver process's peak RSS so far (high-water mark).
+    An operator that collects scale-proportional data to the driver
+    shows up as maxrss growing with the scale factor; bounded collects
+    (bucket lists, trained merge tables, 512-row samples) do not."""
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+
 def time_query(spark: SparkSession, name: str, sf_dir: str, n_runs: int = 2):
     from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
 
@@ -185,6 +198,7 @@ def time_query(spark: SparkSession, name: str, sf_dir: str, n_runs: int = 2):
         runs.append(round(time.perf_counter() - t0, 3))
         if stats is None:
             stats = plan_stats(df)
+    stats["driver_maxrss_mb"] = driver_maxrss_mb()
     return min(runs), runs, stats
 
 

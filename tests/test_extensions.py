@@ -549,3 +549,57 @@ def test_recall_verdicts_flag_bad_results(spark):
     assert all(not r.query_recall_ok for r in rows)
     assert all(not r.overall_recall_ok for r in rows)
     assert all(r.ids_disjoint for r in rows)  # precondition itself still holds
+
+
+def test_span_removal_cuts_all_but_first_occurrence(spark):
+    """ExactSubstr policy (operators/dedup.duplicated_span_removal):
+    a repeated >=k-token run is cut from every occurrence except the
+    lexicographically-first; overlapping duplicated k-grams merge into
+    ONE maximal span; unique docs pass through untouched."""
+    import hashlib
+
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"one two three {boiler} four five six"),
+            (3, "totally unique text with no repeats at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_span_removal(docs, k=8).collect()}
+    # doc 1 owns the canonical first occurrence: nothing cut
+    assert out[1].n_spans == 0 and out[1].n_removed == 0
+    # doc 2: the 10-token boilerplate = three overlapping dup 8-grams
+    # merged into ONE 10-token span
+    assert out[2].n_spans == 1 and out[2].n_removed == 10
+    assert out[3].n_spans == 0
+    # reconstruction witness: doc 2's surviving text is exactly the
+    # frame around the cut
+    want = hashlib.md5(b"one two three four five six").hexdigest()
+    assert out[2].clean_fp == want
+    # untouched docs fingerprint their full token stream
+    want3 = hashlib.md5(
+        b"totally unique text with no repeats at all here"
+    ).hexdigest()
+    assert out[3].clean_fp == want3
+
+
+def test_span_removal_within_doc_repeat(spark):
+    """A k-gram repeated WITHIN one document keeps its first occurrence
+    and cuts the second."""
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    run = "a b c d e f g h"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [(7, f"{run} x {run} y")], "doc_id long, text string"
+    )
+    out = duplicated_span_removal(docs, k=8).collect()[0]
+    assert out.n_spans == 1 and out.n_removed == 8
+    assert out.n_kept == 10  # 8 (first run) + x + y

@@ -253,3 +253,33 @@ def test_packing_offsets_are_contiguous(spark, docs, budget, shards):
             assert r["seq_in_shard"] == r["tok_offset"] // budget
             assert r["offset_in_seq"] == r["tok_offset"] % budget
             expect += r["n_tok"]
+
+
+def test_dsir_selects_target_like_documents(spark):
+    """The centered-affinity DSIR variant must ENRICH for the target
+    distribution: with two disjoint vocabularies, the kept quartile is
+    drawn overwhelmingly from target-vocabulary docs, and scores are
+    affinity-driven, not length-driven (a long off-target doc scores
+    below a short on-target one)."""
+    from pyspark.sql import functions as F
+
+    from ksql_streams_from_schema_converter_spark.operators.pretrain import (
+        dsir_importance_weights,
+    )
+
+    rows = []
+    for i in range(40):  # target-like: vocabulary A
+        rows.append((i, "alpha beta gamma delta " * 6, True))
+    for i in range(40, 80):  # off-target: vocabulary B, LONGER docs
+        rows.append((i, "omega sigma tau upsilon " * 12, False))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    out = dsir_importance_weights(docs, F.col("is_tgt")).collect()
+    kept = {r.doc_id for r in out if r.kept}
+    assert len(kept) == 20  # top quartile of 80
+    assert all(i < 40 for i in kept), kept  # all from the target vocab
+    scores = {r.doc_id: r.score for r in out}
+    # affinity beats length: every (short) target doc outscores every
+    # (long) off-target doc
+    assert min(scores[i] for i in range(40)) > max(
+        scores[i] for i in range(40, 80)
+    )

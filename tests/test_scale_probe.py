@@ -80,6 +80,21 @@ def test_plan_shape_is_stable_across_scales(artifact):
         assert last["exchanges"] <= first["exchanges"] + 4, (name, plans)
 
 
+def test_driver_memory_does_not_scale_with_data(artifact):
+    """Driver maxrss (peak-RSS high-water across the whole probe run)
+    must not grow in proportion to the 64x data growth — a
+    scale-proportional collect() would show up here. The bound is
+    generous (x64 peak ≤ x1 peak + 512 MB) because maxrss also absorbs
+    Py4J/Arrow buffers from ordinary operation."""
+    for name, rec in artifact["queries"].items():
+        plans = rec["plan"]
+        scales = sorted(plans, key=int)
+        rss = [plans[k].get("driver_maxrss_mb") for k in scales]
+        if any(v is None for v in rss):
+            continue  # artifact predates the metric
+        assert rss[-1] <= rss[0] + 512, (name, rss)
+
+
 def test_harness_end_to_end_small(spark, tmp_path):
     """The harness itself, driven at sf0.001 with 1x/2x and one light
     query: generation doubles fact rows (dims copied), timings and
