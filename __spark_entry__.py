@@ -73,6 +73,8 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "bpe_encode_tokens",
     "dsir_importance_selection",
     "dedup_span_exact_substr",
+    "domain_mixture_allocation",
+    "bradley_terry_brand_ratings",
     "dedup_incremental_index",
     "streaming_incremental_dedup",
     "table_checksum_orders",

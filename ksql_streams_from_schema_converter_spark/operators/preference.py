@@ -1,0 +1,224 @@
+"""Pairwise-preference aggregation and Bradley-Terry strength fitting —
+the reward-model data-prep half of an RLHF pipeline expressed as
+distributed relational ops.
+
+The Bradley-Terry model (Bradley & Terry, Biometrika 1952) fits one
+strength pi_i per entity from pairwise win counts so that
+P(i beats j) = pi_i / (pi_i + pi_j); the fit here is Hunter's MM
+fixed-point (Hunter, "MM algorithms for generalized Bradley-Terry
+models", Annals of Statistics 2004):
+
+    pi_i' = W_i / sum_j n_ij / (pi_i + pi_j)
+
+with W_i = i's total wins and n_ij = games between i and j, followed by
+a mean-normalization each round.  This is the same estimator behind
+Elo-style leaderboard aggregation of human preference votes (e.g.
+Chatbot-Arena-style rankings) and reward-model pair weighting.
+
+ENGINE-EXACT arithmetic: the update runs in scaled integers — ratings
+are permille (start 1000), each reciprocal term is the truncating
+division ``(n_ij * 1_000_000) div (pi_i + pi_j)``, and the round ends
+with an integer mean-renormalization — so DuckDB replays the identical
+sequence and the fixed point is value-hash-gated, the same discipline
+as k-means (operators/clustering.py) and PageRank (operators/graph.py).
+Truncation error per term is bounded by 1/1e6 relative; after the
+rounds the ORDERING of ratings matches the float MM fit, which is what
+a leaderboard consumes.
+
+Scale shape: pair extraction is the only data-sized stage — a self-join
+keyed by the grouping id whose blowup is bounded by the per-group row
+cap (TPC-H orders have <= 7 lineitems -> <= 21 comparisons), i.e.
+linear in input with a constant factor, shuffled once on the group key.
+The iteration then runs on the ENTITY-pair matrix (|brands|^2 rows —
+tiny), broadcast-joined per round; W_i and n_ij are computed once.
+Iterations on a cached small table do not rescan the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: reciprocal scaling for the MM inner division
+BT_K = 1_000_000
+#: rating scale (start + renormalized mean)
+BT_SCALE = 1_000
+
+
+def pairwise_wins(
+    items: DataFrame,
+    group_col: str,
+    order_col: str,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Turn co-grouped rows into pairwise preference outcomes: within
+    each group, every pair of rows with DIFFERENT entities and
+    DIFFERENT values is one comparison won by the higher value (ties
+    and self-pairs are dropped — no information).  ``order_col`` de-
+    duplicates the unordered pair (a.order < b.order), so each row
+    pair is counted exactly once.
+
+    Returns (winner, loser, n) win counts."""
+    a = items.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__oa"),
+        F.col(entity_col).alias("__ea"),
+        F.col(value_col).alias("__va"),
+    )
+    b = items.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__ob"),
+        F.col(entity_col).alias("__eb"),
+        F.col(value_col).alias("__vb"),
+    )
+    pairs = a.join(b, "__g").where(
+        (F.col("__oa") < F.col("__ob"))
+        & (F.col("__ea") != F.col("__eb"))
+        & (F.col("__va") != F.col("__vb"))
+    )
+    return (
+        pairs.select(
+            F.when(F.col("__va") > F.col("__vb"), F.col("__ea"))
+            .otherwise(F.col("__eb"))
+            .alias("winner"),
+            F.when(F.col("__va") > F.col("__vb"), F.col("__eb"))
+            .otherwise(F.col("__ea"))
+            .alias("loser"),
+        )
+        .groupBy("winner", "loser")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def bradley_terry_ratings(wins: DataFrame, n_iter: int = 6) -> DataFrame:
+    """Hunter-MM Bradley-Terry fixed point over a (winner, loser, n)
+    win-count table, in exact scaled-integer arithmetic (module
+    docstring).  Entities that appear only as losers get rating 0 on
+    the first round (W_i = 0) — a true statement: BT's MLE for a
+    never-winner is 0.
+
+    Returns (entity, wins, games, rating) after ``n_iter`` rounds."""
+    assert n_iter >= 1
+    ents = (
+        wins.select(F.col("winner").alias("i"))
+        .union(wins.select(F.col("loser").alias("i")))
+        .distinct()
+    )
+    w_i = wins.groupBy(F.col("winner").alias("i")).agg(
+        F.sum("n").alias("wtot")
+    )
+    games = (
+        wins.select(F.col("winner").alias("i"), F.col("loser").alias("j"), "n")
+        .union(
+            wins.select(
+                F.col("loser").alias("i"), F.col("winner").alias("j"), "n"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"))
+    )
+    from .lifecycle import eager_release
+
+    # the iteration state is entity-sized (tiny); materialize the two
+    # static inputs once so the per-round plans do not re-derive them
+    games = eager_release(games)
+    w_full = eager_release(
+        ents.join(w_i, "i", "left").select(
+            "i", F.coalesce("wtot", F.lit(0)).alias("wtot")
+        )
+    )
+    r = ents.select("i", F.lit(BT_SCALE).cast("long").alias("pi"))
+    for _ in range(n_iter):
+        d = (
+            games.join(r.select("i", F.col("pi").alias("pi_i")), "i")
+            .join(
+                r.select(F.col("i").alias("j"), F.col("pi").alias("pi_j")),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(f"(n * {BT_K}) div (pi_i + pi_j)")
+                ).alias("d")
+            )
+        )
+        raw = d.join(w_full, "i").select(
+            "i", F.expr(f"(wtot * {BT_K}) div d").alias("raw")
+        )
+        s = raw.agg(F.sum("raw").alias("rsum"), F.count("*").alias("n_e"))
+        # truncate lineage each round (the k-means/PageRank fixed-point
+        # discipline): r is referenced twice next round, so an
+        # unchecked plan doubles per iteration
+        r = eager_release(
+            raw.crossJoin(F.broadcast(s)).select(
+                "i", F.expr(f"(raw * n_e * {BT_SCALE}) div rsum").alias("pi")
+            )
+        )
+    g_tot = games.groupBy("i").agg(F.sum("n").alias("games"))
+    return (
+        r.join(w_full, "i")
+        .join(g_tot, "i")
+        .select(
+            F.col("i").alias("entity"),
+            F.col("wtot").alias("wins"),
+            "games",
+            F.col("pi").alias("rating"),
+        )
+    )
+
+
+def bt_oracle_sql(n_iter: int = 6, pairs_cte: str = "") -> str:
+    """Unrolled-CTE DuckDB twin of :func:`bradley_terry_ratings` —
+    ``pairs_cte`` must define ``wins(winner, loser, n)``.  Every sum
+    is cast to BIGINT (DuckDB SUM promotes to HUGEINT) and every
+    division is the same truncating integer ``//`` on positive
+    operands that Spark's ``div`` performs."""
+    # every CTE is MATERIALIZED: d/raw and the r-chain each reference
+    # their predecessor TWICE, so DuckDB's default inlining would
+    # replicate the pair-extraction subtree 4^n_iter times (observed as
+    # fd exhaustion on the parquet scans); materialization makes the
+    # unrolled plan linear, mirroring the Spark side's per-round
+    # lineage truncation
+    ctes = [
+        pairs_cte.replace("wins AS (", "wins AS MATERIALIZED (", 1),
+        "ents AS MATERIALIZED "
+        "(SELECT winner AS i FROM wins UNION SELECT loser FROM wins)",
+        "wi AS MATERIALIZED (SELECT e.i, CAST(COALESCE((SELECT sum(n) "
+        "FROM wins w"
+        " WHERE w.winner = e.i), 0) AS BIGINT) AS wtot FROM ents e)",
+        "g AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM ("
+        "SELECT winner AS i, loser AS j, n FROM wins "
+        "UNION ALL SELECT loser, winner, n FROM wins) GROUP BY i, j)",
+        f"r0 AS MATERIALIZED "
+        f"(SELECT i, CAST({BT_SCALE} AS BIGINT) AS pi FROM ents)",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT g.i, CAST(sum((g.n * {BT_K}) // "
+            f"(ra.pi + rb.pi)) AS BIGINT) AS d FROM g "
+            f"JOIN r{t - 1} ra ON ra.i = g.i "
+            f"JOIN r{t - 1} rb ON rb.i = g.j GROUP BY g.i)"
+        )
+        ctes.append(
+            f"raw{t} AS MATERIALIZED "
+            f"(SELECT d.i, (wi.wtot * {BT_K}) // d.d AS raw "
+            f"FROM d{t} d JOIN wi ON wi.i = d.i)"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED "
+            f"(SELECT CAST(sum(raw) AS BIGINT) AS rsum, "
+            f"CAST(count(*) AS BIGINT) AS n_e FROM raw{t})"
+        )
+        ctes.append(
+            f"r{t} AS MATERIALIZED "
+            f"(SELECT i, (raw * n_e * {BT_SCALE}) // rsum AS pi "
+            f"FROM raw{t}, s{t})"
+        )
+    body = ",\n    ".join(c for c in ctes if c)
+    return f"""
+    WITH {body},
+    gt AS (SELECT i, CAST(sum(n) AS BIGINT) AS games FROM g GROUP BY i)
+    SELECT r.i AS entity, wi.wtot AS wins, gt.games, r.pi AS rating
+    FROM r{n_iter} r JOIN wi ON wi.i = r.i JOIN gt ON gt.i = r.i
+    """

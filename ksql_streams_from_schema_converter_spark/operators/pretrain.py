@@ -208,3 +208,88 @@ def dsir_importance_weights(
             (F.col("rnk") * 4 <= F.col("n")).alias("kept"),
         )
     )
+
+
+def domain_mixture_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Temperature-sampled domain mixture for a pretraining token
+    budget (the alpha-sampling of Conneau et al., "Unsupervised
+    Cross-lingual Representation Learning at Scale", ACL 2020 — the
+    hand-tuned ancestor of DoReMi's learned weights): each domain's
+    share of the budget is proportional to ``n_d ** alpha`` with
+    alpha = 0.5, which up-weights small domains relative to their raw
+    token mass.
+
+    Engine-portable determinism: ``n_d ** 0.5`` is computed as
+    ``floor(sqrt(double(n_d)))`` — IEEE-754 requires sqrt to be
+    correctly rounded (unlike ln/exp, which is why DSIR's log-ratio
+    needed replacing but this exponent does not), and ``n_d`` < 2^53
+    is exactly representable, so JVM and DuckDB agree bit-for-bit.
+    The integer budget split uses the largest-remainder method
+    (truncating ``div`` base + top remainders get one extra token), so
+    allocations sum to exactly ``budget_tokens``.  Within a domain,
+    documents are taken in md5(doc_id) order — a deterministic global
+    shuffle, the same order a training-data exporter would shard by —
+    until the allocation is exhausted (a document is kept iff the
+    tokens BEFORE it fit strictly inside the allocation, so the
+    boundary doc is the last kept).
+
+    Scale shape: token counting is map-side; the domain table is tiny
+    (one row per domain) and every join against it broadcasts; the
+    only data-sized shuffle is the per-domain cumulative sum, keyed by
+    domain — at 100 TB with few giant domains, sub-shard the cumsum by
+    ``(domain, md5-prefix)`` and prefix-offset the shards (the
+    distributed NTILE pattern in operators/ranking.py).
+
+    Returns (doc_id, domain, n_tok, cum_before, kept) for every doc."""
+    from pyspark.sql import Window
+
+    tc = docs.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.size(tokens(text_col)).cast("long").alias("n_tok"),
+    )
+    dom = tc.groupBy("domain").agg(F.sum("n_tok").alias("n_d"))
+    wts = dom.select(
+        "domain",
+        F.floor(F.sqrt(F.col("n_d").cast("double"))).cast("long").alias("w"),
+    )
+    tot = wts.agg(F.sum("w").alias("wsum"))
+    a0 = wts.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        F.expr(f"({budget_tokens} * w) div wsum").alias("base"),
+        F.expr(f"({budget_tokens} * w) % wsum").alias("rem"),
+    )
+    rsum = a0.agg((F.lit(budget_tokens) - F.sum("base")).alias("R"))
+    wr = Window.orderBy(F.desc("rem"), "domain")
+    alloc = a0.crossJoin(F.broadcast(rsum)).select(
+        "domain",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(wr) <= F.col("R"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+    wd = Window.partitionBy("domain").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    ordered = tc.select(
+        F.col(id_col),
+        "domain",
+        "n_tok",
+        F.coalesce(
+            F.sum("n_tok").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    return ordered.join(F.broadcast(alloc), "domain").select(
+        F.col(id_col),
+        "domain",
+        "n_tok",
+        "cum_before",
+        (F.col("cum_before") < F.col("alloc")).alias("kept"),
+    )

@@ -7943,6 +7943,56 @@ def _span_dedup_oracle(k: int = 8) -> str:
     """
 
 
+_MIX_BUDGET = 10_000
+
+
+@query(
+    "domain_mixture_allocation",
+    f"""
+    WITH tc AS (SELECT doc_id, source AS domain,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tok
+                FROM documents),
+    dom AS (SELECT domain, CAST(sum(n_tok) AS BIGINT) AS n_d
+            FROM tc GROUP BY domain),
+    wts AS (SELECT domain,
+                   CAST(floor(sqrt(CAST(n_d AS DOUBLE))) AS BIGINT) AS w
+            FROM dom),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM wts),
+    a0 AS (SELECT domain,
+                  ({_MIX_BUDGET} * w) // wsum AS base,
+                  ({_MIX_BUDGET} * w) % wsum AS rem
+           FROM wts, tot),
+    r AS (SELECT CAST({_MIX_BUDGET} - sum(base) AS BIGINT) AS R FROM a0),
+    alloc AS (SELECT domain,
+                     base + CASE WHEN row_number() OVER
+                                      (ORDER BY rem DESC, domain) <= R
+                                 THEN 1 ELSE 0 END AS alloc
+              FROM a0, r),
+    ordered AS (SELECT doc_id, domain, n_tok,
+                       CAST(COALESCE(sum(n_tok) OVER (
+                         PARTITION BY domain
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS cum_before
+                FROM tc)
+    SELECT o.doc_id, o.domain, o.n_tok, o.cum_before,
+           o.cum_before < a.alloc AS kept
+    FROM ordered o JOIN alloc a USING (domain)
+    """,
+)
+def domain_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled (alpha=0.5) domain mixture under a 10k-token
+    budget (operators/pretrain.domain_mixture_allocation; Conneau et
+    al. ACL 2020 alpha-sampling): per-domain shares proportional to
+    sqrt(token mass) via the largest-remainder integer split, docs
+    taken in md5 shuffle order until each domain's allocation fills.
+    sqrt is IEEE-correctly-rounded, so the only float op is
+    bit-reproducible cross-engine and the keep-set hash-gates."""
+    from .operators.pretrain import domain_mixture_allocation as mix
+
+    return mix(load_table(spark, sf_dir, "documents"), _MIX_BUDGET)
+
+
 @query("dedup_span_exact_substr", _span_dedup_oracle())
 def dedup_span_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span dedup (operators/dedup.duplicated_span_removal;
@@ -7959,6 +8009,52 @@ def dedup_span_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import duplicated_span_removal
 
     return duplicated_span_removal(load_table(spark, sf_dir, "documents"))
+
+
+def _bt_oracle() -> str:
+    from .operators.preference import bt_oracle_sql
+
+    pairs = """li AS (SELECT l_orderkey, l_linenumber, p_brand, l_extendedprice
+           FROM lineitem JOIN part ON p_partkey = l_partkey),
+    cmp AS (SELECT CASE WHEN a.l_extendedprice > b.l_extendedprice
+                        THEN a.p_brand ELSE b.p_brand END AS winner,
+                   CASE WHEN a.l_extendedprice > b.l_extendedprice
+                        THEN b.p_brand ELSE a.p_brand END AS loser
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_linenumber < b.l_linenumber
+             AND a.p_brand <> b.p_brand
+             AND a.l_extendedprice <> b.l_extendedprice),
+    wins AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS n
+             FROM cmp GROUP BY winner, loser)"""
+    return bt_oracle_sql(n_iter=6, pairs_cte=pairs)
+
+
+@query("bradley_terry_brand_ratings", _bt_oracle())
+def bradley_terry_brand_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fit from pairwise preferences
+    (operators/preference.py; Bradley & Terry 1952, Hunter-MM 2004) —
+    the reward-model data-prep / leaderboard-aggregation primitive:
+    within each order, every pair of lines with different part brands
+    is a comparison won by the pricier line; 6 MM rounds in scaled
+    integer arithmetic fit a permille strength per brand, hash-gated
+    by an unrolled-CTE oracle.  Pair extraction is the only
+    data-sized stage (self-join on orderkey, blowup bounded by the
+    <= 7-lines-per-order cap -> linear); the iteration runs on the
+    cached |brands|^2 matrix and never rescans the corpus."""
+    from .operators.preference import bradley_terry_ratings, pairwise_wins
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "l_linenumber", "p_brand", "l_extendedprice")
+    )
+    wins = pairwise_wins(
+        li, "l_orderkey", "l_linenumber", "p_brand", "l_extendedprice"
+    )
+    return bradley_terry_ratings(wins, n_iter=6)
 
 
 def _bpe_oracle() -> str:

@@ -283,3 +283,25 @@ def test_dsir_selects_target_like_documents(spark):
     assert min(scores[i] for i in range(40)) > max(
         scores[i] for i in range(40, 80)
     )
+
+
+def test_domain_mixture_sqrt_upweights_small_domains(spark):
+    """alpha=0.5 temperature sampling: a domain with 64x the token
+    mass gets only 8x the allocation (sqrt), so the small domain's
+    keep RATE is far higher; the largest-remainder split makes the
+    integer allocations exact (big=889, small=111 of 1000)."""
+    from ksql_streams_from_schema_converter_spark.operators.pretrain import (
+        domain_mixture_allocation,
+    )
+
+    rows = [(i, "w " * 100, "big") for i in range(64)]  # 6400 tokens
+    rows += [(i, "w " * 25, "small") for i in range(64, 68)]  # 100 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = domain_mixture_allocation(docs, budget_tokens=1000).collect()
+    # weights sqrt(6400)=80, sqrt(100)=10; bases 888/111, remainder
+    # (R=1) goes to big (rem 80 > 10) -> alloc big=889, small=111
+    kept_small = [r for r in out if r.domain == "small" and r.kept]
+    kept_big = [r for r in out if r.domain == "big" and r.kept]
+    assert len(kept_small) == 4  # 100 tokens < 111: ALL small docs kept
+    assert len(kept_big) == 9  # 9*100=900: doc with cum_before=800 is last
+    # proportional split would have given small ~15 tokens (zero docs)
