@@ -75,6 +75,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "dedup_span_exact_substr",
     "domain_mixture_allocation",
     "bradley_terry_brand_ratings",
+    "ann_incremental_index",
     "dedup_incremental_index",
     "streaming_incremental_dedup",
     "table_checksum_orders",

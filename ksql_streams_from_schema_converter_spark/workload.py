@@ -1123,6 +1123,100 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_INC_ORACLE = f"""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           TRUE AS topk_full,
+           TRUE AS query_recall_ok,
+           TRUE AS overall_recall_ok,
+           TRUE AS ids_disjoint,
+           TRUE AS incremental_matches_scratch
+    FROM embeddings WHERE vec_id IN ({", ".join(map(str, _KNN_QUERY_IDS))})
+    """
+
+
+@query("ann_incremental_index", _ANN_INC_ORACLE)
+def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN against a PERSISTED IVF index
+    (operators/ann_index.py) — the vector twin of
+    dedup_incremental_index: the quantizer is trained ONCE on the
+    build slice (~80 percent, vec_id % 5 != 3) and frozen; the
+    remaining vectors arrive as a refresh batch that is assigned to
+    the frozen centroids and APPENDED to the cell-partitioned store
+    (FAISS train-once/add-forever, no old vector re-read, no stored
+    file rewritten).  Search partition-prunes to the probed cells.
+    Gate: per-query boolean verdicts — the planted-truth recall
+    verdicts every ANN query carries PLUS
+    ``incremental_matches_scratch``, which asserts the top-k from the
+    incrementally-built index is row-identical to a monolithic
+    assign-everything index with the same frozen centroids (cell
+    assignment is per-vector and order-independent, so this must hold
+    exactly — and the verdict proves it rather than arguing it)."""
+    import shutil
+    import tempfile
+
+    from .operators.ann_index import (
+        assign_queries,
+        build_ivf_index,
+        load_centroids,
+        refresh_ivf_index,
+        score_assigned,
+        search_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = S.planted_corpus(emb, _KNN_QUERY_IDS, copies=5)
+    old = corpus.where(F.col("vec_id") % 5 != 3)
+    new = corpus.where(F.col("vec_id") % 5 == 3)
+    queries = corpus.where(F.col("vec_id").isin(_KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        build_ivf_index(old, index_dir, n_cells=16)
+        refresh_ivf_index(spark, index_dir, new)
+        inc = search_ivf_index(
+            spark, index_dir, queries, k=5, nprobe=3
+        ).localCheckpoint(eager=True)
+        # monolithic control: assign the WHOLE corpus to the same
+        # frozen centroids in one pass, score identically
+        cents = load_centroids(spark, index_dir)
+        base_all = S.assign_cells(
+            corpus.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+            cents,
+        )
+        q = assign_queries(spark, index_dir, queries, nprobe=3)
+        scratch = score_assigned(base_all, q, k=5).localCheckpoint(eager=True)
+        diff = (
+            inc.exceptAll(scratch)
+            .unionByName(scratch.exceptAll(inc))
+            .select("query_id")
+            .distinct()
+            .withColumn("__bad", F.lit(True))
+        )
+        return (
+            S.recall_verdicts(
+                inc, emb, _KNN_QUERY_IDS, k=5, copies=5, min_query_hits=3
+            )
+            .join(diff, "query_id", "left")
+            .select(
+                "query_id",
+                "topk_full",
+                "query_recall_ok",
+                "overall_recall_ok",
+                "ids_disjoint",
+                F.coalesce(~F.col("__bad"), F.lit(True)).alias(
+                    "incremental_matches_scratch"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 @query(
     "embedding_near_dup",
     """
