@@ -1123,6 +1123,76 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "grpo_group_advantage",
+    """
+    WITH r AS (
+      SELECT event_id, user_id, CAST(value AS DECIMAL(18,6)) AS r
+      FROM events WHERE event_type = 'click'
+    ),
+    g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r) AS DECIMAL(38,6)) AS sum_r,
+                 min(r) AS min_r, max(r) AS max_r
+          FROM r GROUP BY user_id)
+    SELECT r.event_id, r.user_id, g.n,
+           CAST(r.r * g.n - g.sum_r AS DECIMAL(38,6)) AS adv_num,
+           g.min_r <> g.max_r AS has_signal,
+           CAST(row_number() OVER (
+             PARTITION BY r.user_id ORDER BY r.r DESC, r.event_id
+           ) AS BIGINT) AS rank_in_group
+    FROM r JOIN g USING (user_id)
+    """,
+)
+def grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage, GRPO-style (Shao et al., "DeepSeekMath",
+    2024 §4): per sampling group (user_id here standing in for the
+    prompt id), each sample's advantage is its reward minus the group
+    mean; zero-variance groups carry no learning signal and are
+    flagged for the trainer to drop.
+
+    ENGINE-EXACT form: the mean is a division, so the advantage is
+    emitted MULTIPLIED THROUGH by the group size —
+    ``adv_num = n * r_i - sum(r)`` in exact DECIMAL arithmetic
+    (sign and within-group ordering identical to the true advantage;
+    the trainer's 1/n — and any std normalization — are scalar
+    rescalings applied at consumption).  A double mean would be
+    partition-order-dependent and could not hash-gate; decimal sums
+    are exact and associative.  One groupBy + one broadcast-back join
+    + one per-group window: two shuffles on the group key, both
+    partial-aggregated map-side."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").cast("decimal(18,6)").alias("r"),
+        )
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("r").cast("decimal(38,6)").alias("sum_r"),
+        F.min("r").alias("min_r"),
+        F.max("r").alias("max_r"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("r"), "event_id")
+    return (
+        ev.join(g, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "n",
+            (F.col("r") * F.col("n") - F.col("sum_r"))
+            .cast("decimal(38,6)")
+            .alias("adv_num"),
+            (F.col("min_r") != F.col("max_r")).alias("has_signal"),
+            F.row_number().over(w).cast("long").alias("rank_in_group"),
+        )
+    )
+
+
 _ANN_INC_ORACLE = f"""
     SELECT CAST(vec_id AS BIGINT) AS query_id,
            TRUE AS topk_full,

@@ -82,6 +82,18 @@ DEFAULT_QUERIES = (
     # map-side features + two 256-bucket partial aggs + broadcast
     # weight join — should be the most linear family of all
     "dsir_importance_selection",
+    # one shuffle keyed by k-gram + per-doc islands: the replicas'
+    # disjoint token universes keep the duplicated-gram structure
+    # per-replica, so the gram-group sizes stay constant while the
+    # corpus grows — the linear claim under test
+    "dedup_span_exact_substr",
+    # pair extraction is the data-sized stage (per-order self-join,
+    # <=21 pairs/order); the MM iteration runs on the constant
+    # 25-brand matrix — cost must track pair count, not rounds
+    "bradley_terry_brand_ratings",
+    # build+refresh+search+monolithic-control per run: index build
+    # dominates; search must partition-prune regardless of scale
+    "ann_incremental_index",
 )
 #: key / FK columns shifted per replica (referential integrity holds
 #: within a replica; replicas never cross-reference)

@@ -305,3 +305,27 @@ def test_domain_mixture_sqrt_upweights_small_domains(spark):
     assert len(kept_small) == 4  # 100 tokens < 111: ALL small docs kept
     assert len(kept_big) == 9  # 9*100=900: doc with cum_before=800 is last
     # proportional split would have given small ~15 tokens (zero docs)
+
+
+def test_grpo_advantages_sum_to_zero_per_group(spark):
+    """The multiplied-through advantage preserves the defining GRPO
+    invariant: advantages sum to zero within every sampling group
+    (sum_i (n*r_i - sum_r) = n*sum_r - n*sum_r = 0), and the rank-1
+    sample carries the group's max advantage."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
+
+    fn, _ = WORKLOAD["grpo_group_advantage"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_g = defaultdict(list)
+    for r in rows:
+        by_g[r.user_id].append(r)
+    for g, rs in by_g.items():
+        assert sum(r.adv_num for r in rs) == Decimal(0), g
+        top = [r for r in rs if r.rank_in_group == 1]
+        assert len(top) == 1
+        assert top[0].adv_num == max(r.adv_num for r in rs)
+        assert len(rs) == rs[0].n
