@@ -98,8 +98,21 @@ def bradley_terry_ratings(wins: DataFrame, n_iter: int = 6) -> DataFrame:
     the first round (W_i = 0) — a true statement: BT's MLE for a
     never-winner is 0.
 
+    Iteration discipline (the k-means broadcast-centroids pattern,
+    operators/clustering.py): the pair matrix — the data-sized input —
+    stays distributed and is scanned once per round behind a broadcast
+    of the rating state; the state itself (|entities| rows, bounded
+    the way k is bounded for k-means) is collected per round and the
+    normalization arithmetic runs in exact Python integers — identical
+    values to the SQL form, since truncating ``//`` on positive
+    operands is the same operation, with no per-round checkpoint jobs.
+    For entity counts too large to collect, swap the collect for the
+    eager_release-per-round join form (the PageRank shape) — the
+    update algebra is unchanged.
+
     Returns (entity, wins, games, rating) after ``n_iter`` rounds."""
     assert n_iter >= 1
+    spark = wins.sparkSession
     ents = (
         wins.select(F.col("winner").alias("i"))
         .union(wins.select(F.col("loser").alias("i")))
@@ -120,44 +133,58 @@ def bradley_terry_ratings(wins: DataFrame, n_iter: int = 6) -> DataFrame:
     )
     from .lifecycle import eager_release
 
-    # the iteration state is entity-sized (tiny); materialize the two
-    # static inputs once so the per-round plans do not re-derive them
+    # materialize the static pair matrix once (scanned every round)
     games = eager_release(games)
     w_full = eager_release(
         ents.join(w_i, "i", "left").select(
             "i", F.coalesce("wtot", F.lit(0)).alias("wtot")
         )
     )
-    r = ents.select("i", F.lit(BT_SCALE).cast("long").alias("pi"))
+    # bounded collects: |entities| rows each (the trained artifact)
+    wtot = {r_["i"]: r_["wtot"] for r_ in w_full.collect()}
+    pi = {i: BT_SCALE for i in wtot}
+
+    from pyspark.sql import types as T
+
+    etype = wins.schema["winner"].dataType
+    r_schema = T.StructType(
+        [
+            T.StructField("i", etype),
+            T.StructField("pi_i", T.LongType()),
+            T.StructField("pi_j", T.LongType()),
+        ]
+    )
     for _ in range(n_iter):
-        d = (
-            games.join(r.select("i", F.col("pi").alias("pi_i")), "i")
+        r_df = spark.createDataFrame(
+            [(i, p, p) for i, p in sorted(pi.items())], r_schema
+        )
+        d_rows = (
+            games.join(F.broadcast(r_df.select("i", "pi_i")), "i")
             .join(
-                r.select(F.col("i").alias("j"), F.col("pi").alias("pi_j")),
+                F.broadcast(
+                    r_df.select(F.col("i").alias("j"), "pi_j")
+                ),
                 "j",
             )
             .groupBy("i")
             .agg(
-                F.sum(
-                    F.expr(f"(n * {BT_K}) div (pi_i + pi_j)")
-                ).alias("d")
+                F.sum(F.expr(f"(n * {BT_K}) div (pi_i + pi_j)")).alias("d")
             )
+            .collect()
         )
-        raw = d.join(w_full, "i").select(
-            "i", F.expr(f"(wtot * {BT_K}) div d").alias("raw")
-        )
-        s = raw.agg(F.sum("raw").alias("rsum"), F.count("*").alias("n_e"))
-        # truncate lineage each round (the k-means/PageRank fixed-point
-        # discipline): r is referenced twice next round, so an
-        # unchecked plan doubles per iteration
-        r = eager_release(
-            raw.crossJoin(F.broadcast(s)).select(
-                "i", F.expr(f"(raw * n_e * {BT_SCALE}) div rsum").alias("pi")
-            )
-        )
+        raw = {r_["i"]: (wtot[r_["i"]] * BT_K) // r_["d"] for r_ in d_rows}
+        rsum, n_e = sum(raw.values()), len(raw)
+        pi = {i: (v * n_e * BT_SCALE) // rsum for i, v in raw.items()}
     g_tot = games.groupBy("i").agg(F.sum("n").alias("games"))
+    final = spark.createDataFrame(
+        [(i, p) for i, p in sorted(pi.items())],
+        T.StructType(
+            [T.StructField("i", etype), T.StructField("pi", T.LongType())]
+        ),
+    )
     return (
-        r.join(w_full, "i")
+        F.broadcast(final)
+        .join(w_full, "i")
         .join(g_tot, "i")
         .select(
             F.col("i").alias("entity"),

@@ -25,7 +25,17 @@ def con():
 )
 def test_query_matches_oracle(spark, con, name):
     fn, oracle = WORKLOAD[name]
-    ok, msg = compare(fn(spark, SF_DIR), con, oracle)
+    df = fn(spark, SF_DIR)
+    # repo-wide plan policy, enforced on EVERY registered query (the
+    # DataFrame is already built here, so the check is planning-only):
+    # no row-at-a-time Python (BatchEvalPython — Arrow-batched
+    # MapInPandas/ArrowEvalPython surfaces are the allowed Python
+    # path), and no unbroadcast cartesian product (every crossJoin in
+    # the repo is a broadcast 1-row scalar aggregate)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    ok, msg = compare(df, con, oracle)
     assert ok, f"{name}: {msg}"
 
 
