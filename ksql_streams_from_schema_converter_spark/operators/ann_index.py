@@ -87,7 +87,12 @@ def refresh_ivf_index(
     id_col: str = "vec_id",
 ) -> None:
     """FAISS ``add()``: assign the new batch to the FROZEN centroids,
-    append to the cell partitions.  Only the new batch is scanned."""
+    append to the cell partitions.  Only the new batch is scanned.
+
+    Single-delivery batch contract: the append is blind, so an
+    at-least-once caller (foreachBatch) must NOT drive this directly —
+    wrap the write in a batch-labeled subdir overwrite first (the
+    ``ingest=<label>`` discipline of operators/incremental.py)."""
     cents = load_centroids(spark, index_dir)
     assign_cells(
         new_emb.select(

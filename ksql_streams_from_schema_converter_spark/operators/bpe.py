@@ -114,6 +114,10 @@ def bpe_train(
                 "cnt",
             )
         )
+        if i == n_merges - 1:
+            # the final round's winner needs no re-segmentation — the
+            # oracle skips it too (w{i+1} emitted only between rounds)
+            break
         sub = best.select(
             F.concat(F.lit(" "), F.col("pair"), F.lit(" ")).alias("__s"),
             F.concat(

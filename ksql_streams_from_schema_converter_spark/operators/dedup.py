@@ -694,7 +694,15 @@ def duplicated_span_removal(
     reconstructed text (the gate replays the whole policy)."""
     from pyspark.sql import Window
 
-    toks = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    # total over NULL text: treat it as an empty token stream on both
+    # engines (unguarded, size(NULL) = -1 under legacy sizeOfNull and
+    # sequence(0, -2) DESCENDS — n_kept would come out negative)
+    toks = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(text_col), F.array().cast("array<string>")
+        ).alias("__t"),
+    )
     grams = toks.select(
         F.col(id_col),
         F.posexplode(
@@ -743,7 +751,10 @@ def duplicated_span_removal(
         F.col("__spans"), F.array().cast("array<struct<s:int,e:int>>")
     )
     kept = F.filter(
-        F.sequence(F.lit(0), F.size("__t") - 1),
+        # guard the empty stream: sequence(0, -1) would DESCEND
+        F.when(
+            F.size("__t") > 0, F.sequence(F.lit(0), F.size("__t") - 1)
+        ).otherwise(F.array().cast("array<int>")),
         lambda p: ~F.exists(sp, lambda x: (p >= x.s) & (p < x.e)),
     )
     removed = F.aggregate(sp, F.lit(0), lambda a, x: a + (x.e - x.s))

@@ -1171,7 +1171,11 @@ def grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = ev.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        F.sum("r").cast("decimal(38,6)").alias("sum_r"),
+        # sum in decimal(38,6), not the default (28,6): under ANSI-off
+        # an overflowing group would wrap to NULL silently while
+        # DuckDB's SUM promotes to (38,6) — the table_checksum_orders
+        # discipline applied here
+        F.sum(F.col("r").cast("decimal(38,6)")).alias("sum_r"),
         F.min("r").alias("min_r"),
         F.max("r").alias("max_r"),
     )
@@ -5708,11 +5712,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(120):  # ADVICE r4: fail loudly, not
-            q.stop()                     # silently on stale state
-            raise TimeoutError(
-                f"foreachBatch upsert run {i} did not drain within 120s"
-            )
+        _await_or_raise(q, 120, f"foreachBatch upsert run {i}")
     # no schema passed: an empty state directory raises a descriptive
     # FileNotFoundError here (ADVICE r4) instead of returning 0 rows
     final = read_state(spark, state_dir, drop_where=F.col("op") == "DELETE")
@@ -6066,9 +6066,7 @@ def _drain_to_memory(df: DataFrame, prefix: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(180):
-        q.stop()
-        raise TimeoutError(f"streaming drain {name} did not finish in 180s")
+    _await_or_raise(q, 180, f"streaming drain {name}")
     return name
 
 
@@ -7371,9 +7369,7 @@ def streaming_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFram
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("sliding-window stream did not drain in 120s")
+    _await_or_raise(q, 120, "sliding-window stream")
     return spark.table(name)
 
 
@@ -8037,8 +8033,11 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _span_dedup_oracle(k: int = 8) -> str:
+    # COALESCE mirrors the operator's null-text-as-empty-stream totality
     return f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    WITH toks AS (SELECT doc_id,
+                         COALESCE({_TOKS}, CAST([] AS VARCHAR[])) AS t
+                  FROM documents),
     gs AS (
       SELECT doc_id, t,
              unnest(CASE WHEN len(t) >= {k}
@@ -8389,10 +8388,18 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (now + 10 * i, now + 10 * i))
 
         def refresh_batch(batch_df, batch_id: int) -> None:
-            if not os.path.isdir(os.path.join(index_dir, "docs")):
+            # foreachBatch is at-least-once: dispatch on the CHECKPOINTED
+            # batch_id (not directory existence) and pass a stable
+            # ingest label, so a re-delivered batch — even one torn
+            # between the postings and verdicts writes — rewrites its
+            # own ingest subdir and converges instead of double-
+            # appending or tripping the monotone guard (review r6)
+            if batch_id == 0:
                 build_lsh_index(batch_df, index_dir)
             else:
-                refresh_against_index(spark, index_dir, batch_df)
+                refresh_against_index(
+                    spark, index_dir, batch_df, ingest_label=f"b{batch_id}"
+                )
 
         q = (
             spark.readStream.schema(corpus.schema)

@@ -137,11 +137,19 @@ def generate_scaled_dir(
         if m.get("base_dir") == base_dir and m.get("k") == k:
             return m["rows"]
     os.makedirs(out_dir, exist_ok=True)
+
+    def _written_rows(t: str) -> int:
+        # the count is free in the written file's footer — re-running
+        # df.count() would re-execute the whole k-way union + regexp
+        # transform a second time (review r6)
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(os.path.join(out_dir, f"{t}.parquet")).metadata.num_rows
+
     rows: dict[str, int] = {}
     for t in DIM_TABLES:
-        df = load_table(spark, base_dir, t)
-        _write_single_parquet(df, out_dir, t)
-        rows[t] = df.count()
+        _write_single_parquet(load_table(spark, base_dir, t), out_dir, t)
+        rows[t] = _written_rows(t)
     for t, key_cols in OFFSET_COLS.items():
         base = load_table(spark, base_dir, t)
         reps = []
@@ -157,9 +165,8 @@ def generate_scaled_dir(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1_r{i}")
                 )
             reps.append(r)
-        df = reduce(DataFrame.unionByName, reps)
-        _write_single_parquet(df, out_dir, t)
-        rows[t] = df.count()
+        _write_single_parquet(reduce(DataFrame.unionByName, reps), out_dir, t)
+        rows[t] = _written_rows(t)
     with open(marker, "w") as fh:
         json.dump({"base_dir": base_dir, "k": k, "rows": rows}, fh)
     return rows
@@ -175,6 +182,13 @@ def plan_stats(df: DataFrame) -> dict[str, int]:
         "exchanges": plan.count("Exchange"),
         "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
         "cartesian_products": plan.count("CartesianProduct"),
+        # queries that return an eagerly-materialized result (localCheckpoint /
+        # eager_release) explain as a Scan ExistingRDD stub: their REAL plan
+        # ran inside the query function, so exchange counts here are
+        # meaningless — flagged so the plan-shape guard can fall back to the
+        # executed job/stage counts instead of silently asserting nothing
+        # (review r6)
+        "opaque_result_plan": "ExistingRDD" in plan and plan.count("Exchange") == 0,
     }
 
 
@@ -189,10 +203,13 @@ def fit_exponent(points: list[tuple[float, float]]) -> float:
 
 
 def driver_maxrss_mb() -> int:
-    """The PYTHON driver process's peak RSS so far (high-water mark).
-    An operator that collects scale-proportional data to the driver
-    shows up as maxrss growing with the scale factor; bounded collects
-    (bucket lists, trained merge tables, 512-row samples) do not."""
+    """The PYTHON driver process's peak RSS so far.  CAVEAT (review
+    r6): this is a process-lifetime HIGH-WATER mark, monotone across
+    the whole probe — it can only ever attribute growth to the first
+    (query, scale) that reaches a new peak.  run_probe therefore runs
+    scales in ASCENDING order as the OUTER loop, so every query's x1
+    reading is taken before any larger scale has run and a
+    scale-proportional collect() still surfaces as x64 > x1."""
     import resource
 
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
@@ -202,14 +219,31 @@ def time_query(spark: SparkSession, name: str, sf_dir: str, n_runs: int = 2):
     from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
 
     fn, _ = WORKLOAD[name]
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     runs, stats = [], None
-    for _ in range(n_runs):
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        runs.append(round(time.perf_counter() - t0, 3))
+    for i in range(n_runs):
+        group = f"probe-{name}-{os.path.basename(sf_dir)}-{i}"
+        sc.setJobGroup(group, name)
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
         if stats is None:
             stats = plan_stats(df)
+            # executed job/stage counts for the whole query run —
+            # checkpoint-proof plan-shape evidence: an eager
+            # localCheckpoint hides its upstream plan from explain()
+            # but cannot hide the jobs it ran (review r6)
+            job_ids = tracker.getJobIdsForGroup(group)
+            infos = [tracker.getJobInfo(j) for j in job_ids]
+            stats["jobs"] = len(job_ids)
+            stats["stages"] = sum(
+                len(info.stageIds) for info in infos if info is not None
+            )
     stats["driver_maxrss_mb"] = driver_maxrss_mb()
     return min(runs), runs, stats
 
@@ -222,6 +256,7 @@ def run_probe(
     queries=DEFAULT_QUERIES,
     n_runs: int = 2,
 ) -> dict:
+    scales = tuple(sorted(scales))  # ascending — the maxrss loop order
     dirs: dict[int, str] = {}
     gen_rows: dict[int, dict[str, int]] = {}
     for k in scales:
@@ -233,14 +268,24 @@ def run_probe(
     spark.range(100_000).repartition(8).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
-    out: dict[str, dict] = {}
-    for name in queries:
-        rec: dict[str, dict] = {"sec": {}, "runs": {}, "plan": {}}
-        for k in scales:
+    out: dict[str, dict] = {
+        name: {"sec": {}, "runs": {}, "plan": {}} for name in queries
+    }
+    # SCALES are the OUTER loop, ascending: driver_maxrss_mb is a
+    # process-lifetime high-water mark, so every query's x1 reading
+    # must be taken before ANY larger scale has run — with the loops
+    # the other way round, query #2's x1 cell would already contain
+    # query #1's x64 peak and the memory guard would be vacuous
+    # (review r6)
+    for k in scales:
+        for name in queries:
             best, runs, stats = time_query(spark, name, dirs[k], n_runs)
+            rec = out[name]
             rec["sec"][str(k)] = best
             rec["runs"][str(k)] = runs
             rec["plan"][str(k)] = stats
+    for name in queries:
+        rec = out[name]
         rec["exponent"] = round(
             fit_exponent([(k, rec["sec"][str(k)]) for k in scales]), 3
         )
@@ -256,7 +301,6 @@ def run_probe(
                 / math.log(k_hi / k_lo),
                 3,
             )
-        out[name] = rec
     return {
         "base_dir": base_dir,
         "scales": list(scales),

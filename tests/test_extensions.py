@@ -603,3 +603,24 @@ def test_span_removal_within_doc_repeat(spark):
     out = duplicated_span_removal(docs, k=8).collect()[0]
     assert out.n_spans == 1 and out.n_removed == 8
     assert out.n_kept == 10  # 8 (first run) + x + y
+
+
+def test_span_removal_is_total_over_null_and_empty_text(spark):
+    """NULL text is an empty token stream (0 spans, 0 kept, md5('')) —
+    the non-total-helper class that bit cogroup's _fmt; unguarded,
+    size(NULL) = -1 and sequence(0, -2) descends."""
+    import hashlib
+
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "some ordinary words here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_span_removal(docs, k=8).collect()}
+    assert out[1].n_spans == 0 and out[1].n_removed == 0
+    assert out[1].n_kept == 0
+    assert out[1].clean_fp == hashlib.md5(b"").hexdigest()
+    assert out[2].n_kept == 4

@@ -123,3 +123,72 @@ def test_non_monotone_refresh_fails_loudly(spark, tmp_path):
     build_lsh_index(docs.where(F.col("doc_id") >= 10), idx)
     with pytest.raises(ValueError, match="non-monotone"):
         refresh_against_index(spark, idx, docs.where(F.col("doc_id") < 10))
+
+
+def test_refresh_replay_is_idempotent(spark, tmp_path):
+    """At-least-once delivery (review r6): re-running the SAME batch
+    with the SAME ingest label — foreachBatch's replay shape — must
+    converge to the exact same verdict table with no duplicate rows
+    and no monotone-guard trip."""
+    docs = _corpus(spark)
+    old = docs.where(F.col("doc_id") < 100)
+    new = docs.where(F.col("doc_id") >= 100)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(old, idx)
+    first = sorted(
+        tuple(r)
+        for r in refresh_against_index(
+            spark, idx, new, ingest_label="b1"
+        ).collect()
+    )
+    replay = sorted(
+        tuple(r)
+        for r in refresh_against_index(
+            spark, idx, new, ingest_label="b1"
+        ).collect()
+    )
+    assert replay == first
+    n_docs = docs.count()
+    assert len(replay) == n_docs  # one verdict per doc — nothing doubled
+
+
+def test_refresh_replay_converges_after_torn_write(spark, tmp_path):
+    """Crash injected between the postings write and the verdicts
+    write: the half-written ingest subdir must neither duplicate
+    postings nor trip the monotone guard on replay, and the replayed
+    state must equal the clean run's."""
+    import os
+    import shutil
+
+    docs = _corpus(spark)
+    old = docs.where(F.col("doc_id") < 100)
+    new = docs.where(F.col("doc_id") >= 100)
+
+    clean_idx = str(tmp_path / "clean")
+    build_lsh_index(old, clean_idx)
+    want = sorted(
+        tuple(r)
+        for r in refresh_against_index(
+            spark, clean_idx, new, ingest_label="b1"
+        ).collect()
+    )
+
+    torn_idx = str(tmp_path / "torn")
+    build_lsh_index(old, torn_idx)
+    # simulate the torn first attempt: postings landed, verdicts did not
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        lsh_band_rows,
+    )
+
+    lsh_band_rows(new).write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(torn_idx, "bands", "ingest=b1")
+    )
+    assert not os.path.isdir(os.path.join(torn_idx, "docs", "ingest=b1"))
+    got = sorted(
+        tuple(r)
+        for r in refresh_against_index(
+            spark, torn_idx, new, ingest_label="b1"
+        ).collect()
+    )
+    assert got == want
+    shutil.rmtree(torn_idx, ignore_errors=True)

@@ -68,6 +68,22 @@ def test_plan_shape_is_stable_across_scales(artifact):
         scales = sorted(plans, key=int)
         for k in scales:
             assert plans[k]["cartesian_products"] == 0, (name, k)
+        first, last = plans[scales[0]], plans[scales[-1]]
+        if first.get("opaque_result_plan"):
+            # eagerly-materialized results explain as an ExistingRDD
+            # stub — explain-based exchange counts assert nothing
+            # (review r6).  Fall back to the EXECUTED job/stage counts
+            # captured per run: a per-scale replan or lineage blowup
+            # shows up as stage growth, which checkpointing cannot
+            # hide.  Bound is loose (AQE may legitimately skip/merge a
+            # couple of stages as sizes change) but catches growth
+            # proportional to data.
+            if first.get("stages") is None:
+                continue  # artifact predates the metric
+            assert last["stages"] <= first["stages"] + max(
+                8, first["stages"] // 2
+            ), (name, {k: plans[k].get("stages") for k in scales})
+            continue
         # nested-loop joins may exist (1-row scalar broadcast
         # crossJoins) but must be scale-INDEPENDENT
         nl = {plans[k]["nested_loop_joins"] for k in scales}
@@ -76,7 +92,6 @@ def test_plan_shape_is_stable_across_scales(artifact):
         # side legitimately crossing the threshold may add a bounded
         # couple of exchanges; unbounded growth means a per-scale
         # replan the operator did not intend)
-        first, last = plans[scales[0]], plans[scales[-1]]
         assert last["exchanges"] <= first["exchanges"] + 4, (name, plans)
 
 
