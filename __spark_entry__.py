@@ -76,6 +76,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "domain_mixture_allocation",
     "bradley_terry_brand_ratings",
     "ann_incremental_index",
+    "streaming_ann_refresh",
     "grpo_group_advantage",
     "dedup_incremental_index",
     "streaming_incremental_dedup",

@@ -11,10 +11,12 @@ TPAMI 2011; FAISS ``train()`` once, ``add()`` forever):
   and ``cells/`` — every vector assigned to its nearest centroid,
   parquet **partitioned by cell**.
 - :func:`refresh_ivf_index` assigns a NEW batch against the FROZEN
-  centroids and appends to ``cells/`` — no stored file rewritten, no
-  old vector re-read, exactly FAISS ``add()``.  Centroid re-training
-  under drift is an offline REBUILD, not a refresh (also the FAISS
-  posture) — a rebuilt index is a new index_dir swapped in atomically.
+  centroids and extends ``cells/`` under the batch's own
+  ``ingest=<label>`` subdirectory (label-scoped overwrite — no stored
+  file rewritten, no old vector re-read, and at-least-once replay is
+  idempotent), exactly FAISS ``add()``.  Centroid re-training under
+  drift is an offline REBUILD, not a refresh (also the FAISS posture)
+  — a rebuilt index is a new index_dir swapped in atomically.
 - :func:`search_ivf_index` probes each query's ``nprobe`` most-similar
   cells and scores exact vectors inside them.  The probed cell set is
   collected (|queries| × nprobe ints — bounded) and pushed as an
@@ -41,6 +43,16 @@ from .similarity import assign_cells, train_ivf_centroids
 
 _CENTROIDS = "centroids"
 _CELLS = "cells"
+_BASE = "base"
+
+
+def _ingest_labels(index_dir: str) -> list[str]:
+    import glob
+
+    return sorted(
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(index_dir, _CELLS, "ingest=*"))
+    )
 
 
 def build_ivf_index(
@@ -65,7 +77,7 @@ def build_ivf_index(
         ),
         cents,
     ).write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, _CELLS)
+        os.path.join(index_dir, _CELLS, f"ingest={_BASE}")
     )
 
 
@@ -85,22 +97,27 @@ def refresh_ivf_index(
     new_emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    ingest_label: str | None = None,
 ) -> None:
-    """FAISS ``add()``: assign the new batch to the FROZEN centroids,
-    append to the cell partitions.  Only the new batch is scanned.
+    """FAISS ``add()``: assign the new batch to the FROZEN centroids
+    and extend the cell store.  Only the new batch is scanned.
 
-    Single-delivery batch contract: the append is blind, so an
-    at-least-once caller (foreachBatch) must NOT drive this directly —
-    wrap the write in a batch-labeled subdir overwrite first (the
-    ``ingest=<label>`` discipline of operators/incremental.py)."""
+    Idempotent-replay contract (the incremental.py ingest discipline):
+    each refresh writes its cells under its own ``ingest=<label>``
+    subdirectory with a label-scoped OVERWRITE — an at-least-once
+    caller (foreachBatch) passes a stable label derived from the batch
+    id, and a re-delivered batch rewrites its own subdir instead of
+    double-appending vectors.  Without a label a sequential one is
+    assigned (single-writer batch use)."""
+    label = ingest_label or f"r{len(_ingest_labels(index_dir)):06d}"
     cents = load_centroids(spark, index_dir)
     assign_cells(
         new_emb.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
         ),
         cents,
-    ).write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, _CELLS)
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, _CELLS, f"ingest={label}")
     )
 
 

@@ -1291,6 +1291,118 @@ def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+@query("streaming_ann_refresh", _ANN_INC_ORACLE)
+def streaming_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF index driven as a STREAMING corpus-refresh
+    loop — the ANN twin of streaming_incremental_dedup: the planted
+    embedding corpus arrives as three mtime-ordered files, a
+    foreachBatch loop builds the index on batch 0 (frozen quantizer)
+    and FAISS-add()s every later batch under its own ingest label
+    (idempotent replay — a re-delivered batch rewrites its own cell
+    subdir).  After the stream drains, search partition-prunes to the
+    probed cells and the verdicts assert both planted-truth recall and
+    row-identity with a monolithic assign-everything index over the
+    same frozen centroids — batch boundaries must not exist in the
+    result."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .operators.ann_index import (
+        assign_queries,
+        build_ivf_index,
+        load_centroids,
+        refresh_ivf_index,
+        score_assigned,
+        search_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = S.planted_corpus(emb, _KNN_QUERY_IDS, copies=5).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    work = tempfile.mkdtemp(prefix="ann_stream_")
+    stream_dir = os.path.join(work, "in")
+    index_dir = os.path.join(work, "idx")
+    os.makedirs(stream_dir)
+    try:
+        now = _time.time()
+        splits = [
+            ("b0", F.col("vec_id") % 5 != 3),
+            ("b1", (F.col("vec_id") % 5 == 3) & (F.col("vec_id") % 2 == 0)),
+            ("b2", (F.col("vec_id") % 5 == 3) & (F.col("vec_id") % 2 == 1)),
+        ]
+        for i, (name, cond) in enumerate(splits):
+            tmp = os.path.join(work, f"tmp_{name}")
+            corpus.where(cond).coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{name}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        def refresh_batch(batch_df, batch_id: int) -> None:
+            # dispatch on the CHECKPOINTED batch id; ingest labels make
+            # at-least-once replay idempotent (incremental.py shape)
+            if batch_id == 0:
+                build_ivf_index(batch_df, index_dir, n_cells=16)
+            else:
+                refresh_ivf_index(
+                    spark, index_dir, batch_df, ingest_label=f"b{batch_id}"
+                )
+
+        q = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(refresh_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, what="ANN corpus-refresh stream")
+        queries = corpus.where(F.col("vec_id").isin(_KNN_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+        inc = search_ivf_index(
+            spark, index_dir, queries, k=5, nprobe=3
+        ).localCheckpoint(eager=True)
+        cents = load_centroids(spark, index_dir)
+        base_all = S.assign_cells(
+            corpus.select("vec_id", F.col("embedding").alias("v")), cents
+        )
+        qa = assign_queries(spark, index_dir, queries, nprobe=3)
+        scratch = score_assigned(base_all, qa, k=5).localCheckpoint(eager=True)
+        diff = (
+            inc.exceptAll(scratch)
+            .unionByName(scratch.exceptAll(inc))
+            .select("query_id")
+            .distinct()
+            .withColumn("__bad", F.lit(True))
+        )
+        return (
+            S.recall_verdicts(
+                inc, emb, _KNN_QUERY_IDS, k=5, copies=5, min_query_hits=3
+            )
+            .join(diff, "query_id", "left")
+            .select(
+                "query_id",
+                "topk_full",
+                "query_recall_ok",
+                "overall_recall_ok",
+                "ids_disjoint",
+                F.coalesce(~F.col("__bad"), F.lit(True)).alias(
+                    "incremental_matches_scratch"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "embedding_near_dup",
     """
