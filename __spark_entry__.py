@@ -77,6 +77,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "bradley_terry_brand_ratings",
     "ann_incremental_index",
     "streaming_ann_refresh",
+    "pretrain_pipeline_v3",
     "grpo_group_advantage",
     "dedup_incremental_index",
     "streaming_incremental_dedup",

@@ -660,6 +660,7 @@ def duplicated_span_removal(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    emit_clean_text: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style span dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022): any token
@@ -758,12 +759,17 @@ def duplicated_span_removal(
         lambda p: ~F.exists(sp, lambda x: (p >= x.s) & (p < x.e)),
     )
     removed = F.aggregate(sp, F.lit(0), lambda a, x: a + (x.e - x.s))
-    return toks.join(doc_spans, id_col, "left").select(
+    clean_str = F.concat_ws(" ", F.transform(kept, lambda p: F.get("__t", p)))
+    cols = [
         F.col(id_col),
         F.size(sp).cast("long").alias("n_spans"),
         removed.cast("long").alias("n_removed"),
         (F.size("__t") - removed).cast("long").alias("n_kept"),
-        F.md5(
-            F.concat_ws(" ", F.transform(kept, lambda p: F.get("__t", p)))
-        ).alias("clean_fp"),
-    )
+        F.md5(clean_str).alias("clean_fp"),
+    ]
+    if emit_clean_text:
+        # the reconstructed document itself, for downstream pipeline
+        # stages (pretrain_pipeline_v3) — off by default so the
+        # fingerprint-only gate stays narrow
+        cols.append(clean_str.alias("clean_text"))
+    return toks.join(doc_spans, id_col, "left").select(*cols)

@@ -7752,6 +7752,225 @@ def pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V3_BUDGET = 5_000
+_V3_MIN_TOK = 10
+
+
+def _pipeline_v3_oracle(k: int = 8, n_buckets: int = 256) -> str:
+    nib = "(strpos('0123456789abcdef', substr(md5(bg), {p}, 1)) - 1)"
+    b16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
+    ws = f"string_split_regex(trim(lower(clean_text)), '[{_WS}]+')"
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         COALESCE({_TOKS}, CAST([] AS VARCHAR[])) AS t
+                  FROM documents),
+    gs AS (
+      SELECT doc_id, t,
+             unnest(CASE WHEN len(t) >= {k}
+                    THEN generate_series(1, len(t) - {k - 1})
+                    ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS p,
+             md5(array_to_string(t[i : i + {k - 1}], ' ')) AS gr
+      FROM gs
+    ),
+    rep AS (
+      SELECT doc_id, p,
+             count(*) OVER (PARTITION BY gr) AS cnt,
+             row_number() OVER (PARTITION BY gr ORDER BY doc_id, p) AS rn
+      FROM occ
+    ),
+    mk AS (SELECT doc_id, p, p + {k} AS e FROM rep WHERE cnt >= 2 AND rn > 1),
+    isl AS (
+      SELECT doc_id, p, e,
+             CASE WHEN p > COALESCE(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS nw
+      FROM mk
+    ),
+    isl2 AS (
+      SELECT doc_id, p, e, sum(nw) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(p) AS s, max(e) AS e
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed
+      FROM spans GROUP BY doc_id
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(0, len(t) - 1)) AS p
+      FROM toks
+    ),
+    keptpos AS (
+      SELECT po.doc_id, po.p, po.t
+      FROM pos po
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = po.doc_id
+                          AND po.p >= s.s AND po.p < s.e)
+    ),
+    cleantxt AS (
+      SELECT doc_id, string_agg(t[p + 1], ' ' ORDER BY p) AS clean_text
+      FROM keptpos GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT tk.doc_id, d.source, d.lang,
+             COALESCE(a.n_removed, 0) AS n_removed,
+             len(tk.t) - COALESCE(a.n_removed, 0) AS n_kept,
+             COALESCE(c.clean_text, '') AS clean_text
+      FROM toks tk
+      JOIN documents d ON d.doc_id = tk.doc_id
+      LEFT JOIN agg a ON a.doc_id = tk.doc_id
+      LEFT JOIN cleantxt c ON c.doc_id = tk.doc_id
+    ),
+    quality AS (SELECT * FROM cleaned WHERE n_kept >= {_V3_MIN_TOK}),
+    bg AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(CASE WHEN len({ws}) >= 2 THEN
+                      list_transform(generate_series(1, len({ws})-1),
+                                     i -> {ws}[i] || ' ' || {ws}[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END) AS bg
+      FROM quality
+    ),
+    bocc AS (SELECT doc_id, tgt, ({b16}) % {n_buckets} AS b FROM bg),
+    bcnt AS (
+      SELECT b, count(*) AS nc, count(*) FILTER (tgt) AS nt
+      FROM bocc GROUP BY b
+    ),
+    spine AS (SELECT unnest(generate_series(0, {n_buckets - 1})) AS b),
+    bcounts AS (
+      SELECT s.b, COALESCE(nt, 0) + 1 AS ct, COALESCE(nc, 0) + 1 AS cc
+      FROM spine s LEFT JOIN bcnt ON bcnt.b = s.b
+    ),
+    btot AS (SELECT sum(ct) AS tot_t, sum(cc) AS tot_c FROM bcounts),
+    wts AS (SELECT b, (ct * tot_c * 1000) // (cc * tot_t) - 1000 AS w
+            FROM bcounts, btot),
+    dscored AS (
+      SELECT doc_id, CAST(sum(w) AS BIGINT) AS dsir_score
+      FROM bocc JOIN wts USING (b) GROUP BY doc_id
+    ),
+    dn AS (SELECT count(*) AS n FROM dscored),
+    dsel AS (
+      SELECT doc_id, dsir_score,
+             (row_number() OVER (ORDER BY dsir_score DESC, doc_id)) * 4
+               <= dn.n AS dsir_kept
+      FROM dscored, dn
+    ),
+    mixin AS (
+      SELECT q.doc_id, q.source AS domain, q.n_kept AS n_tok
+      FROM quality q JOIN dsel ON dsel.doc_id = q.doc_id AND dsel.dsir_kept
+    ),
+    dom AS (SELECT domain, CAST(sum(n_tok) AS BIGINT) AS n_d
+            FROM mixin GROUP BY domain),
+    mwts AS (SELECT domain,
+                    CAST(floor(sqrt(CAST(n_d AS DOUBLE))) AS BIGINT) AS w
+             FROM dom),
+    mtot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM mwts),
+    a0 AS (SELECT domain,
+                  ({_V3_BUDGET} * w) // wsum AS base,
+                  ({_V3_BUDGET} * w) % wsum AS rem
+           FROM mwts, mtot),
+    r AS (SELECT CAST({_V3_BUDGET} - sum(base) AS BIGINT) AS R FROM a0),
+    alloc AS (SELECT domain,
+                     base + CASE WHEN row_number() OVER
+                                      (ORDER BY rem DESC, domain) <= R
+                                 THEN 1 ELSE 0 END AS alloc
+              FROM a0, r),
+    ordered AS (SELECT doc_id, domain, n_tok,
+                       CAST(COALESCE(sum(n_tok) OVER (
+                         PARTITION BY domain
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS cum_before
+                FROM mixin),
+    mix AS (SELECT o.doc_id, o.cum_before < al.alloc AS mix_kept
+            FROM ordered o JOIN alloc al USING (domain))
+    SELECT c.doc_id, c.source,
+           c.n_removed, c.n_kept,
+           c.n_kept >= {_V3_MIN_TOK} AS passed_quality,
+           dsel.dsir_score,
+           COALESCE(dsel.dsir_kept, FALSE) AS dsir_kept,
+           COALESCE(mix.mix_kept, FALSE) AS final_kept
+    FROM cleaned c
+    LEFT JOIN dsel ON dsel.doc_id = c.doc_id
+    LEFT JOIN mix ON mix.doc_id = c.doc_id
+    """
+
+
+@query("pretrain_pipeline_v3", _pipeline_v3_oracle())
+def pretrain_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 data recipe composed END-TO-END under one hash gate:
+    ExactSubstr span removal (cut every repeated >=8-token span, keep
+    the remainder) → quality gate (>= 10 surviving tokens) → DSIR
+    importance selection over the CLEANED text (target = the English
+    subset, top quartile) → temperature-sampled domain-mixture
+    budgeting (alpha = 0.5, 5k tokens) — each stage is the engine's own
+    gated operator (dedup.duplicated_span_removal,
+    pretrain.dsir_importance_weights, pretrain.domain_mixture_allocation)
+    and the oracle replays the ENTIRE composition, so the final per-doc
+    keep decision is proven, not assembled from independently-proven
+    parts.  One row per input document with every stage's verdict.
+    Scale: the stages compose by doc_id equi-joins; the only data-sized
+    shuffles are span removal's gram key and the per-domain cumsum."""
+    from .operators.dedup import duplicated_span_removal
+    from .operators.pretrain import (
+        domain_mixture_allocation,
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = duplicated_span_removal(docs, k=8, emit_clean_text=True)
+    meta = docs.select("doc_id", "source", "lang")
+    cleaned = meta.join(clean, "doc_id")
+    quality = cleaned.where(F.col("n_kept") >= _V3_MIN_TOK).localCheckpoint(
+        eager=True
+    )
+    dsel = dsir_importance_weights(
+        quality, F.col("lang") == "en", text_col="clean_text"
+    )
+    mix_in = quality.join(
+        dsel.where("kept").select("doc_id"), "doc_id"
+    ).select("doc_id", "source", "clean_text")
+    mix = domain_mixture_allocation(
+        mix_in, _V3_BUDGET, text_col="clean_text", domain_col="source"
+    )
+    return (
+        cleaned.select("doc_id", "source", "n_removed", "n_kept")
+        .withColumn("passed_quality", F.col("n_kept") >= _V3_MIN_TOK)
+        .join(
+            dsel.select(
+                "doc_id",
+                F.col("score").alias("dsir_score"),
+                F.col("kept").alias("__dk"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            mix.select("doc_id", F.col("kept").alias("__mk")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_removed",
+            "n_kept",
+            "passed_quality",
+            "dsir_score",
+            F.coalesce("__dk", F.lit(False)).alias("dsir_kept"),
+            F.coalesce("__mk", F.lit(False)).alias("final_kept"),
+        )
+    )
+
+
 @query(
     "ohlc_bars_events",
     """

@@ -329,3 +329,28 @@ def test_grpo_advantages_sum_to_zero_per_group(spark):
         assert len(top) == 1
         assert top[0].adv_num == max(r.adv_num for r in rs)
         assert len(rs) == rs[0].n
+
+
+def test_pipeline_v3_stage_funnel_is_monotone(spark):
+    """Each stage only narrows: final ⊆ dsir ⊆ quality, and a doc that
+    failed quality can carry no downstream verdicts."""
+    from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
+
+    fn, _ = WORKLOAD["pretrain_pipeline_v3"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        if r.final_kept:
+            assert r.dsir_kept
+        if r.dsir_kept:
+            assert r.passed_quality and r.dsir_score is not None
+        if not r.passed_quality:
+            assert not r.dsir_kept and not r.final_kept
+    # and the funnel is non-degenerate at every stage
+    assert (
+        len(rows)
+        > sum(r.passed_quality for r in rows)
+        > sum(r.dsir_kept for r in rows)
+        > sum(r.final_kept for r in rows)
+        > 0
+    )
