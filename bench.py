@@ -119,6 +119,15 @@ def main() -> None:
             "not plan regressions (plans unchanged; see SCALE_PROBE.json "
             "for scale behavior)"
         ),
+        "methodology_note_r6b": (
+            "dsir_importance_selection / pretrain_pipeline_v3 grew ~2s "
+            "over their first r6 record: the top-quartile keep moved "
+            "from a corpus-sized single-partition window to the "
+            "distributed range-partition rank (ranking.global_row_number)"
+            " — fixed job-scheduling overhead at sf0.1, the correct "
+            "shape at 100 TB (the window form cannot scale past one "
+            "executor). Same values; oracle unchanged."
+        ),
         "sf": sf,
     }
     # Full per-query record (incl. both run times) to a file: the

@@ -149,10 +149,10 @@ def dsir_importance_weights(
     Scale shape: feature extraction is a map-side explode; both count
     passes are map-side-combined aggregations onto ``n_buckets`` rows;
     the weight table is a broadcast join against the exploded corpus;
-    the keep decision is a top-quantile rank — HERE a global
-    row_number (corpus-sized window, fine at test scale), at 100 TB
-    swap in ``operators/ranking.global_ntile`` or an approx-quantile
-    threshold.
+    the keep decision is a top-quantile rank computed with the
+    DISTRIBUTED range-partition + offset-prefix-sum row_number
+    (operators/ranking.global_row_number, the TeraSort shape) — no
+    corpus-sized single-partition window anywhere.
 
     ``target_cond``: a boolean Column selecting the target docs (e.g.
     ``F.col("lang") == "en"``).  Output: (doc_id, score, kept) for
@@ -197,16 +197,26 @@ def dsir_importance_weights(
     )
     if not keep_quarter:
         return scored
-    n_docs = scored.agg(F.count("*").alias("n"))
-    w_rank = Window.orderBy(F.desc("score"), id_col)
-    return (
-        scored.withColumn("rnk", F.row_number().over(w_rank))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            id_col,
-            "score",
-            (F.col("rnk") * 4 <= F.col("n")).alias("kept"),
-        )
+    # exact global rank WITHOUT a corpus-sized single-partition window:
+    # the distributed range-partition + offset-prefix-sum row_number
+    # (operators/ranking.py — the TeraSort shape).  Same rank values as
+    # ROW_NUMBER() OVER (ORDER BY score DESC, id), so the oracle's
+    # window form replays it unchanged; descending score is expressed
+    # as an ascending negated key.
+    from .ranking import global_row_number
+
+    # materialize the doc-count-sized score table first: range
+    # partitioning SAMPLES its input to pick bounds, which would
+    # otherwise re-execute the whole bigram/weight pipeline once for
+    # the sample pass and again for the layout
+    scored = scored.localCheckpoint(eager=True)
+    ranked, n = global_row_number(
+        scored.withColumn("__ns", -F.col("score")), ["__ns", id_col]
+    )
+    return ranked.select(
+        F.col(id_col),
+        "score",
+        (F.col("rn") * 4 <= F.lit(n)).alias("kept"),
     )
 
 
