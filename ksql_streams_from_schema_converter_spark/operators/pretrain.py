@@ -107,6 +107,39 @@ def pack_sequences(
     )
 
 
+def dsir_bucket_weights(counts: DataFrame) -> DataFrame:
+    """Centered integer permille bucket affinities from a smoothed
+    count table ``(b, ct, cc)`` (see :func:`dsir_importance_weights`
+    for the derivation):
+
+        w_b = (ct[b] * TOTAL_C * 1000) div (cc[b] * TOTAL_T) - 1000
+
+    OVERFLOW DISCIPLINE (ADVICE r6, the table_checksum_orders fix
+    applied at the same bug class): ``ct * tot_c * 1000`` multiplies a
+    per-bucket count by a corpus-wide total — at 100 TB both sides are
+    ~corpus-scale, so the BIGINT product wraps (silently, ANSI off)
+    around a few-hundred-GB corpus while DuckDB's HUGEINT promotes and
+    the gate diverges exactly when it matters.  Both cross-products
+    therefore run in DECIMAL(38,0) (good to ~10^38 — ct*tot_c*1000 for
+    a 100-TB corpus of ~10^13 bigrams tops out near 10^29) and the
+    quotient — bounded by ~1000 * max(ct)/min(cc) * tot_c/tot_t, which
+    is permille-of-ratio sized — is cast back to BIGINT.  The oracle
+    mirrors the promotion with HUGEINT (DuckDB's ``//`` on DECIMAL
+    rounds instead of truncating, so decimal is NOT engine-portable
+    there; 128-bit HUGEINT truncates like Spark's decimal ``div``).
+    All operands are positive, so truncation and floor coincide."""
+    totals = counts.agg(
+        F.sum("ct").alias("tot_t"), F.sum("cc").alias("tot_c")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(
+            "cast((cast(ct as decimal(38,0)) * tot_c * 1000)"
+            " div (cast(cc as decimal(38,0)) * tot_t) as bigint) - 1000"
+        ).alias("w"),
+    )
+
+
 def dsir_importance_weights(
     docs: DataFrame,
     target_cond,
@@ -140,8 +173,10 @@ def dsir_importance_weights(
     target-neutral buckets contribute ~0, so a document's score
     measures AFFINITY, not length (uncentered weights are all
     positive and the top quartile degenerates to the longest docs).
-    (At larger corpora move the cross product into DECIMAL(38,0) — the
-    table_checksum_orders discipline — before BIGINT would overflow.)
+    The cross-products run in DECIMAL(38,0) (the table_checksum_orders
+    discipline, ADVICE r6): at ~256 buckets the BIGINT form would
+    silently wrap around a few-hundred-GB corpus — see
+    :func:`dsir_bucket_weights` for the overflow arithmetic.
     The hash is the md5 head (16 bits, mod n_buckets), the same
     engine-portable bucketing every md5-split operator here uses, not
     Spark's Murmur3 (which DuckDB cannot replay).
@@ -183,13 +218,7 @@ def dsir_importance_weights(
             (F.coalesce("__nc", F.lit(0)) + 1).alias("cc"),
         )
     )
-    totals = counts.agg(
-        F.sum("ct").alias("tot_t"), F.sum("cc").alias("tot_c")
-    )
-    weights = counts.crossJoin(F.broadcast(totals)).select(
-        "b",
-        F.expr("(ct * tot_c * 1000) div (cc * tot_t) - 1000").alias("w"),
-    )
+    weights = dsir_bucket_weights(counts)
     scored = (
         occ.join(F.broadcast(weights), "b")
         .groupBy(id_col)

@@ -7850,7 +7850,10 @@ def _pipeline_v3_oracle(k: int = 8, n_buckets: int = 256) -> str:
       FROM spine s LEFT JOIN bcnt ON bcnt.b = s.b
     ),
     btot AS (SELECT sum(ct) AS tot_t, sum(cc) AS tot_c FROM bcounts),
-    wts AS (SELECT b, (ct * tot_c * 1000) // (cc * tot_t) - 1000 AS w
+    -- HUGEINT = the Spark DECIMAL(38,0) promotion (dsir_bucket_weights)
+    wts AS (SELECT b, CAST((CAST(ct AS HUGEINT) * tot_c * 1000)
+                      // (CAST(cc AS HUGEINT) * tot_t) AS BIGINT)
+                      - 1000 AS w
             FROM bcounts, btot),
     dscored AS (
       SELECT doc_id, CAST(sum(w) AS BIGINT) AS dsir_score
@@ -8333,7 +8336,12 @@ def _dsir_oracle(n_buckets: int = 256) -> str:
       FROM spine s LEFT JOIN cnt ON cnt.b = s.b
     ),
     tot AS (SELECT sum(ct) AS tot_t, sum(cc) AS tot_c FROM counts),
-    wts AS (SELECT b, (ct * tot_c * 1000) // (cc * tot_t) - 1000 AS w
+    -- HUGEINT mirrors the Spark side's DECIMAL(38,0) promotion
+    -- (dsir_bucket_weights): 128-bit // truncates exactly like
+    -- Spark's decimal div, while DuckDB's DECIMAL // rounds
+    wts AS (SELECT b, CAST((CAST(ct AS HUGEINT) * tot_c * 1000)
+                      // (CAST(cc AS HUGEINT) * tot_t) AS BIGINT)
+                      - 1000 AS w
             FROM counts, tot),
     scored AS (
       SELECT doc_id, sum(w) AS score FROM occ JOIN wts USING (b)

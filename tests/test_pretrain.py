@@ -354,3 +354,43 @@ def test_pipeline_v3_stage_funnel_is_monotone(spark):
         > sum(r.final_kept for r in rows)
         > 0
     )
+
+
+def test_dsir_weights_survive_bigint_overflow_counts(spark):
+    """ADVICE r6: the weight cross-product (ct * tot_c * 1000) must run
+    in DECIMAL(38,0) — at BIGINT it wraps silently (ANSI off) for
+    corpus-scale counts.  Counts here are sized so the BIGINT product
+    overflows (ct * tot_c * 1000 ~ 3.2e22 >> 2^63 ~ 9.2e18) and the
+    result is checked against exact Python integer arithmetic."""
+    counts = spark.createDataFrame(
+        [
+            (0, 4_000_000_000, 7_000_000_000),
+            (1, 1_000_000_000, 2_000_000_000),
+        ],
+        "b long, ct long, cc long",
+    )
+    out = {r["b"]: r["w"] for r in P.dsir_bucket_weights(counts).collect()}
+    tot_t = 4_000_000_000 + 1_000_000_000
+    tot_c = 7_000_000_000 + 2_000_000_000
+    for b, ct, cc in [(0, 4_000_000_000, 7_000_000_000), (1, 1_000_000_000, 2_000_000_000)]:
+        assert out[b] == (ct * tot_c * 1000) // (cc * tot_t) - 1000
+    # and the DuckDB oracle's HUGEINT mirror truncates to the same values
+    import duckdb
+
+    con = duckdb.connect()
+    oracle = {
+        b: w
+        for b, w in con.execute(
+            """
+            WITH counts(b, ct, cc) AS (VALUES
+              (0, 4000000000::BIGINT, 7000000000::BIGINT),
+              (1, 1000000000::BIGINT, 2000000000::BIGINT)),
+            tot AS (SELECT sum(ct) AS tot_t, sum(cc) AS tot_c FROM counts)
+            SELECT b, CAST((CAST(ct AS HUGEINT) * tot_c * 1000)
+                      // (CAST(cc AS HUGEINT) * tot_t) AS BIGINT) - 1000
+            FROM counts, tot
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert oracle == out
