@@ -154,6 +154,17 @@ def bradley_terry_ratings(wins: DataFrame, n_iter: int = 6) -> DataFrame:
             T.StructField("pi_j", T.LongType()),
         ]
     )
+    # ZERO GUARDS (ADVICE r6), identical on both engines and in the
+    # oracle: (1) each reciprocal term divides by greatest(pi_i+pi_j, 1)
+    # — without it a pair of zero-pi entities is NULL in Spark (ANSI
+    # off) but a division-by-zero ERROR in DuckDB; (2) d is floored at
+    # 1 — with many entities each term (n*1e6) div (pi_i+pi_j) can
+    # truncate to 0 when one pi dominates the renormalized mass, and
+    # d=0 would crash the raw division; (3) rsum is floored at 1 (all-
+    # zero raw is the degenerate composition of (2)); (4) a renormalized
+    # pi is floored at 1 for entities with wtot > 0, so a weak-but-
+    # winning entity can never be truncated into the never-winner class
+    # (pi=0), which would otherwise re-create (1) next round.
     for _ in range(n_iter):
         r_df = spark.createDataFrame(
             [(i, p, p) for i, p in sorted(pi.items())], r_schema
@@ -168,13 +179,21 @@ def bradley_terry_ratings(wins: DataFrame, n_iter: int = 6) -> DataFrame:
             )
             .groupBy("i")
             .agg(
-                F.sum(F.expr(f"(n * {BT_K}) div (pi_i + pi_j)")).alias("d")
+                F.sum(
+                    F.expr(f"(n * {BT_K}) div greatest(pi_i + pi_j, 1)")
+                ).alias("d")
             )
             .collect()
         )
-        raw = {r_["i"]: (wtot[r_["i"]] * BT_K) // r_["d"] for r_ in d_rows}
-        rsum, n_e = sum(raw.values()), len(raw)
-        pi = {i: (v * n_e * BT_SCALE) // rsum for i, v in raw.items()}
+        raw = {
+            r_["i"]: (wtot[r_["i"]] * BT_K) // max(r_["d"], 1)
+            for r_ in d_rows
+        }
+        rsum, n_e = max(sum(raw.values()), 1), len(raw)
+        pi = {
+            i: max((v * n_e * BT_SCALE) // rsum, 1 if wtot[i] > 0 else 0)
+            for i, v in raw.items()
+        }
     g_tot = games.groupBy("i").agg(F.sum("n").alias("games"))
     final = spark.createDataFrame(
         [(i, p) for i, p in sorted(pi.items())],
@@ -220,27 +239,30 @@ def bt_oracle_sql(n_iter: int = 6, pairs_cte: str = "") -> str:
         f"r0 AS MATERIALIZED "
         f"(SELECT i, CAST({BT_SCALE} AS BIGINT) AS pi FROM ents)",
     ]
+    # the greatest() guards are the operator's zero guards (ADVICE r6)
+    # replayed verbatim — see bradley_terry_ratings' round loop
     for t in range(1, n_iter + 1):
         ctes.append(
             f"d{t} AS MATERIALIZED (SELECT g.i, CAST(sum((g.n * {BT_K}) // "
-            f"(ra.pi + rb.pi)) AS BIGINT) AS d FROM g "
+            f"greatest(ra.pi + rb.pi, 1)) AS BIGINT) AS d FROM g "
             f"JOIN r{t - 1} ra ON ra.i = g.i "
             f"JOIN r{t - 1} rb ON rb.i = g.j GROUP BY g.i)"
         )
         ctes.append(
             f"raw{t} AS MATERIALIZED "
-            f"(SELECT d.i, (wi.wtot * {BT_K}) // d.d AS raw "
+            f"(SELECT d.i, (wi.wtot * {BT_K}) // greatest(d.d, 1) AS raw "
             f"FROM d{t} d JOIN wi ON wi.i = d.i)"
         )
         ctes.append(
             f"s{t} AS MATERIALIZED "
-            f"(SELECT CAST(sum(raw) AS BIGINT) AS rsum, "
+            f"(SELECT greatest(CAST(sum(raw) AS BIGINT), 1) AS rsum, "
             f"CAST(count(*) AS BIGINT) AS n_e FROM raw{t})"
         )
         ctes.append(
             f"r{t} AS MATERIALIZED "
-            f"(SELECT i, (raw * n_e * {BT_SCALE}) // rsum AS pi "
-            f"FROM raw{t}, s{t})"
+            f"(SELECT raw{t}.i, greatest((raw * n_e * {BT_SCALE}) // rsum, "
+            f"CASE WHEN wi.wtot > 0 THEN 1 ELSE 0 END) AS pi "
+            f"FROM raw{t} JOIN wi ON wi.i = raw{t}.i, s{t})"
         )
     body = ",\n    ".join(c for c in ctes if c)
     return f"""

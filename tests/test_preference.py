@@ -51,3 +51,64 @@ def test_bt_ratings_order_and_never_winner(spark):
     assert out["A"].wins == 23 and out["A"].games == 25
     # ratings stay on the permille scale (mean-normalized each round)
     assert sum(r.rating for r in out.values()) <= 4 * 1000
+
+
+def test_bt_zero_guards_weak_winner_and_dominance(spark):
+    """ADVICE r6 pathologies: (a) a weak-but-winning entity whose raw
+    rating truncates to 0 must be floored at pi=1, never re-entering
+    the never-winner class; (b) the resulting near-zero pair sums and
+    the dominance-truncated d=0 rounds must not crash either engine;
+    (c) the DuckDB oracle replays the guarded recurrence to identical
+    ratings."""
+    from ksql_streams_from_schema_converter_spark.operators.preference import (
+        bradley_terry_ratings,
+        bt_oracle_sql,
+    )
+
+    # A beats B a million times; B beats C once; C never wins.
+    # Round 1 drives B's raw to 0 (old code: pi_B = 0, then the B+C
+    # pair divides by zero on round 2 — NULL in Spark, error in DuckDB).
+    wins = spark.createDataFrame(
+        [("A", "B", 1_000_000), ("B", "C", 1)],
+        "winner string, loser string, n long",
+    )
+    out = {
+        r["entity"]: r["rating"]
+        for r in bradley_terry_ratings(wins, n_iter=4).collect()
+    }
+    assert out["C"] == 0  # true never-winner: BT MLE is 0
+    assert out["B"] >= 1  # weak winner floored, not zeroed
+    assert out["A"] > out["B"] > out["C"]
+
+    import duckdb
+
+    sql = bt_oracle_sql(
+        n_iter=4,
+        pairs_cte="wins AS (SELECT * FROM (VALUES "
+        "('A', 'B', CAST(1000000 AS BIGINT)), ('B', 'C', CAST(1 AS BIGINT))"
+        ") t(winner, loser, n))",
+    )
+    con = duckdb.connect()
+    oracle = {e: r for e, _, _, r in con.execute(sql).fetchall()}
+    con.close()
+    assert oracle == out
+
+
+def test_bt_dominant_entity_d_truncation_no_crash(spark):
+    """>1000 entities with one dominant winner: after round 1 the
+    dominant pi holds nearly the whole renormalized mass, so every
+    round-2 reciprocal term truncates to 0 and d=0 — the max(d, 1)
+    guard must absorb it (old code: ZeroDivisionError on the driver)."""
+    from ksql_streams_from_schema_converter_spark.operators.preference import (
+        bradley_terry_ratings,
+    )
+
+    wins = spark.createDataFrame(
+        [("top", f"e{i:04d}", 1) for i in range(1200)],
+        "winner string, loser string, n long",
+    )
+    res = bradley_terry_ratings(wins, n_iter=3).collect()
+    by_ent = {r["entity"]: r["rating"] for r in res}
+    assert len(by_ent) == 1201
+    assert by_ent["top"] == max(by_ent.values())
+    assert all(v == 0 for e, v in by_ent.items() if e != "top")
