@@ -91,24 +91,41 @@ def pairwise_wins(
     )
 
 
-def bradley_terry_ratings(wins: DataFrame, n_iter: int = 6) -> DataFrame:
+def bradley_terry_ratings(
+    wins: DataFrame, n_iter: int = 6, entities_threshold: int = 100_000
+) -> DataFrame:
     """Hunter-MM Bradley-Terry fixed point over a (winner, loser, n)
     win-count table, in exact scaled-integer arithmetic (module
     docstring).  Entities that appear only as losers get rating 0 on
     the first round (W_i = 0) — a true statement: BT's MLE for a
     never-winner is 0.
 
-    Iteration discipline (the k-means broadcast-centroids pattern,
-    operators/clustering.py): the pair matrix — the data-sized input —
-    stays distributed and is scanned once per round behind a broadcast
-    of the rating state; the state itself (|entities| rows, bounded
-    the way k is bounded for k-means) is collected per round and the
-    normalization arithmetic runs in exact Python integers — identical
-    values to the SQL form, since truncating ``//`` on positive
-    operands is the same operation, with no per-round checkpoint jobs.
-    For entity counts too large to collect, swap the collect for the
-    eager_release-per-round join form (the PageRank shape) — the
-    update algebra is unchanged.
+    Iteration discipline, two forms behind ``entities_threshold``
+    (VERDICT r6 #3):
+
+    - **collect form** (entity count <= threshold — the leaderboard
+      shape): the pair matrix — the data-sized input — stays
+      distributed and is scanned once per round behind a broadcast of
+      the rating state; the state itself (|entities| rows, bounded the
+      way k is bounded for k-means, operators/clustering.py) is
+      collected per round and the normalization arithmetic runs in
+      exact Python integers — identical values to the SQL form, since
+      truncating ``//`` on positive operands is the same operation,
+      with no per-round checkpoint jobs.
+    - **join form** (entity count > threshold — ratings over users,
+      documents, …): the rating state stays a DataFrame for the whole
+      fit; each round is two equi-joins of the pair matrix against the
+      state, a partial-aggregated d-sum, and a broadcast of the 1-row
+      (rsum, n_e) normalizer, with a per-round eager localCheckpoint
+      truncating the doubled lineage (the PageRank shape,
+      operators/graph.py).  Nothing entity-sized ever reaches the
+      driver.  The update algebra — including every zero guard — is
+      the same recurrence; the normalization products run in
+      DECIMAL(38,0) (the dsir_bucket_weights overflow discipline,
+      since wtot*1e6 and raw*n_e*1000 are corpus-scale cross-products)
+      and truncating decimal ``div`` equals Python ``//`` on positive
+      operands, so both forms are value-identical (equivalence-tested
+      in tests/test_preference.py).
 
     Returns (entity, wins, games, rating) after ``n_iter`` rounds."""
     assert n_iter >= 1
@@ -140,6 +157,17 @@ def bradley_terry_ratings(wins: DataFrame, n_iter: int = 6) -> DataFrame:
             "i", F.coalesce("wtot", F.lit(0)).alias("wtot")
         )
     )
+    g_tot = games.groupBy("i").agg(F.sum("n").alias("games"))
+    # w_full is already materialized, so the dispatch count is free
+    if w_full.count() > entities_threshold:
+        final = _bt_join_rounds(games, w_full, n_iter)
+        return final.join(w_full, "i").join(g_tot, "i").select(
+            F.col("i").alias("entity"),
+            F.col("wtot").alias("wins"),
+            "games",
+            F.col("pi").alias("rating"),
+        )
+
     # bounded collects: |entities| rows each (the trained artifact)
     wtot = {r_["i"]: r_["wtot"] for r_ in w_full.collect()}
     pi = {i: BT_SCALE for i in wtot}
@@ -194,7 +222,6 @@ def bradley_terry_ratings(wins: DataFrame, n_iter: int = 6) -> DataFrame:
             i: max((v * n_e * BT_SCALE) // rsum, 1 if wtot[i] > 0 else 0)
             for i, v in raw.items()
         }
-    g_tot = games.groupBy("i").agg(F.sum("n").alias("games"))
     final = spark.createDataFrame(
         [(i, p) for i, p in sorted(pi.items())],
         T.StructType(
@@ -212,6 +239,69 @@ def bradley_terry_ratings(wins: DataFrame, n_iter: int = 6) -> DataFrame:
             F.col("pi").alias("rating"),
         )
     )
+
+
+def _bt_join_rounds(
+    games: DataFrame, w_full: DataFrame, n_iter: int
+) -> DataFrame:
+    """The MM recurrence with the rating state kept DISTRIBUTED — for
+    entity sets too large to collect (VERDICT r6 #3).  Per round: two
+    equi-joins of the (materialized) pair matrix against the state, a
+    partial-aggregated d-sum, one bounded 1-row broadcast for the
+    normalizer, and an eager localCheckpoint truncating the lineage
+    the state's double reference would otherwise double per round
+    (the PageRank discipline, operators/graph.py).  Identical guarded
+    arithmetic to the collect form: truncating ``div`` on positive
+    DECIMAL(38,0) products == Python ``//`` on exact ints as long as
+    the products fit 38 digits (they do until raw*n_e*1000 ~ 1e38,
+    twenty orders past any real leaderboard).  Returns ``(i, pi)``."""
+    r = w_full.select(
+        "i", F.lit(BT_SCALE).cast("long").alias("pi")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        d = (
+            games.join(
+                r.select("i", F.col("pi").alias("pi_i")), "i"
+            )
+            .join(
+                r.select(F.col("i").alias("j"), F.col("pi").alias("pi_j")),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(f"(n * {BT_K}) div greatest(pi_i + pi_j, 1)")
+                ).alias("d")
+            )
+        )
+        # every entity appears in games (both directions unioned), so
+        # the inner join covers the whole entity set
+        raw = w_full.join(d, "i").select(
+            "i",
+            "wtot",
+            F.expr(
+                f"cast((cast(wtot as decimal(38,0)) * {BT_K})"
+                " div greatest(d, 1) as bigint)"
+            ).alias("raw"),
+        )
+        stats = raw.agg(
+            F.greatest(F.sum("raw"), F.lit(1).cast("long")).alias("rsum"),
+            F.count("*").alias("n_e"),
+        )
+        new_r = raw.crossJoin(F.broadcast(stats)).select(
+            "i",
+            F.greatest(
+                F.expr(
+                    f"cast((cast(raw as decimal(38,0)) * n_e * {BT_SCALE})"
+                    " div rsum as bigint)"
+                ),
+                F.when(F.col("wtot") > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            ).alias("pi"),
+        )
+        r = new_r.localCheckpoint(eager=True)
+    return r
 
 
 def bt_oracle_sql(n_iter: int = 6, pairs_cte: str = "") -> str:

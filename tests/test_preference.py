@@ -112,3 +112,36 @@ def test_bt_dominant_entity_d_truncation_no_crash(spark):
     assert len(by_ent) == 1201
     assert by_ent["top"] == max(by_ent.values())
     assert all(v == 0 for e, v in by_ent.items() if e != "top")
+
+
+def test_bt_join_form_equals_collect_form(spark):
+    """entities_threshold switch (VERDICT r6 #3): the distributed
+    join-form rounds must produce bit-identical ratings to the
+    collect form, on both the regular fixture and the pathological
+    weak-winner one."""
+    from ksql_streams_from_schema_converter_spark.operators.preference import (
+        bradley_terry_ratings,
+    )
+
+    fixtures = [
+        [("A", "B", 3), ("B", "C", 2), ("C", "A", 1), ("A", "C", 4)],
+        [("A", "B", 1_000_000), ("B", "C", 1)],  # weak-winner guards
+        [("top", f"e{i:03d}", 1) for i in range(40)],  # dominance
+    ]
+    for rows in fixtures:
+        wins = spark.createDataFrame(
+            rows, "winner string, loser string, n long"
+        )
+        collect_form = sorted(
+            tuple(r)
+            for r in bradley_terry_ratings(
+                wins, n_iter=4, entities_threshold=100_000
+            ).collect()
+        )
+        join_form = sorted(
+            tuple(r)
+            for r in bradley_terry_ratings(
+                wins, n_iter=4, entities_threshold=0
+            ).collect()
+        )
+        assert join_form == collect_form, rows[:2]
