@@ -30,6 +30,12 @@ same centroids — cell assignment is per-vector and order-independent.
 The driver gate (``ann_incremental_index``) asserts exactly that
 equivalence per query, plus the planted-truth recall verdicts every
 ANN query here carries.
+
+Ingest visibility is MANIFEST-driven (operators/indexstore.py, VERDICT
+r6 #2 / ADVICE r6): cell writes land first, one atomic manifest commit
+publishes them; a torn refresh directory is invisible to search and a
+label-scoped replay overwrites it.  :func:`compact_ivf_index` rewrites
+N ingests into one under the same atomic-swap discipline.
 """
 
 from __future__ import annotations
@@ -39,6 +45,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .indexstore import (
+    commit_ingest,
+    committed_labels,
+    drop_ingest_dirs,
+    next_auto_label,
+    read_ingests,
+    replace_ingests,
+)
 from .similarity import assign_cells, train_ivf_centroids
 
 _CENTROIDS = "centroids"
@@ -46,13 +60,13 @@ _CELLS = "cells"
 _BASE = "base"
 
 
-def _ingest_labels(index_dir: str) -> list[str]:
-    import glob
-
-    return sorted(
-        os.path.basename(d).split("=", 1)[1]
-        for d in glob.glob(os.path.join(index_dir, _CELLS, "ingest=*"))
-    )
+def read_cells(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All committed cell assignments (manifest-scoped — torn ingests
+    are invisible)."""
+    df = read_ingests(spark, index_dir, _CELLS, committed_labels(index_dir))
+    if df is None:
+        raise ValueError(f"empty index (no committed ingests): {index_dir}")
+    return df
 
 
 def build_ivf_index(
@@ -79,6 +93,7 @@ def build_ivf_index(
     ).write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_dir, _CELLS, f"ingest={_BASE}")
     )
+    commit_ingest(index_dir, _BASE)
 
 
 def load_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
@@ -104,12 +119,16 @@ def refresh_ivf_index(
 
     Idempotent-replay contract (the incremental.py ingest discipline):
     each refresh writes its cells under its own ``ingest=<label>``
-    subdirectory with a label-scoped OVERWRITE — an at-least-once
-    caller (foreachBatch) passes a stable label derived from the batch
-    id, and a re-delivered batch rewrites its own subdir instead of
-    double-appending vectors.  Without a label a sequential one is
-    assigned (single-writer batch use)."""
-    label = ingest_label or f"r{len(_ingest_labels(index_dir)):06d}"
+    subdirectory with a label-scoped OVERWRITE, published by ONE
+    atomic manifest commit AFTER the write — an at-least-once caller
+    (foreachBatch) passes a stable label derived from the batch id,
+    and a re-delivered batch — even one that crashed before its
+    commit — rewrites its own subdir instead of double-appending
+    vectors.  Without a label a sequential one is derived from the
+    COMMITTED count (ADVICE r6: a torn auto-labeled attempt never
+    committed, so its retry reuses the same label and overwrites the
+    torn directory instead of appending a ghost beside it)."""
+    label = ingest_label or next_auto_label(index_dir)
     cents = load_centroids(spark, index_dir)
     assign_cells(
         new_emb.select(
@@ -119,6 +138,7 @@ def refresh_ivf_index(
     ).write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_dir, _CELLS, f"ingest={label}")
     )
+    commit_ingest(index_dir, label)
 
 
 def score_assigned(
@@ -183,7 +203,38 @@ def search_ivf_index(
     ``cells/`` scan to those directories."""
     q = assign_queries(spark, index_dir, queries, nprobe)
     probed = sorted({r.qcell for r in q.select("qcell").distinct().collect()})
-    cells = spark.read.parquet(os.path.join(index_dir, _CELLS)).where(
-        F.col("cell").isin(probed)
-    )
+    cells = read_cells(spark, index_dir).where(F.col("cell").isin(probed))
     return score_assigned(cells, q, k, id_col)
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    labels: list[str] | None = None,
+) -> str:
+    """Rewrite N committed cell ingests into ONE (VERDICT r6 #2): at
+    real refresh cadence the per-ingest directories are a small-file
+    problem — every probed cell opens one file per ingest.  Compaction
+    reads the chosen ingests' assignments (centroids are untouched:
+    the quantizer is frozen), rewrites them as a single cell-
+    partitioned ingest, and publishes with one atomic manifest swap;
+    search results are identical before and after.  Torn-compaction
+    discipline as in incremental.compact_lsh_index: the new directory
+    is invisible until the swap, replaced directories are deleted
+    best-effort after (already invisible).  Returns the new label."""
+    committed = committed_labels(index_dir)
+    labels = list(labels) if labels is not None else committed
+    if not labels:
+        raise ValueError("nothing to compact")
+    missing = set(labels) - set(committed)
+    if missing:
+        raise ValueError(f"cannot compact uncommitted ingests: {sorted(missing)}")
+    new_label = next_auto_label(index_dir, prefix="c")
+    cells = read_ingests(spark, index_dir, _CELLS, labels)
+    data_cols = [c for c in cells.columns if c not in ("ingest",)]
+    cells.select(*data_cols).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(index_dir, _CELLS, f"ingest={new_label}"))
+    replace_ingests(index_dir, labels, new_label)
+    drop_ingest_dirs(index_dir, _CELLS, labels)
+    return new_label

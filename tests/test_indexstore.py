@@ -1,0 +1,219 @@
+"""Manifest-tracked index store (operators/indexstore.py): committed-
+only visibility, atomic compaction, and the refresh key-space pruning
+(VERDICT r6 #1/#2, ADVICE r6)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ksql_streams_from_schema_converter_spark.operators import indexstore as S
+from ksql_streams_from_schema_converter_spark.operators.ann_index import (
+    build_ivf_index,
+    compact_ivf_index,
+    refresh_ivf_index,
+    search_ivf_index,
+)
+from ksql_streams_from_schema_converter_spark.operators.incremental import (
+    build_lsh_index,
+    compact_lsh_index,
+    read_verdicts,
+    refresh_against_index,
+)
+
+
+def _corpus(spark, lo, hi):
+    return spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + k) % 50}" for k in range(12)))
+            for i in range(lo, hi)
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _vec(i, dim=8):
+    return [float((i * 31 + d * 7) % 13 - 6) for d in range(dim)]
+
+
+def _emb(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+
+
+def test_torn_uncommitted_ingest_is_invisible(spark, tmp_path):
+    """A directory on disk that never reached its manifest commit —
+    the torn-write shape — must be invisible to every reader, and a
+    fresh auto label must NOT skip past it (ADVICE r6: label from
+    committed count, not directory count)."""
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 40), idx)
+    want = sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+    # plant a ghost: postings + verdicts written, commit never happened
+    ghost = _corpus(spark, 100, 120)
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        lsh_band_rows,
+    )
+
+    lsh_band_rows(ghost).write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(idx, "bands", "ingest=r000001")
+    )
+    ghost.select("doc_id", F.lit(True).alias("kept")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(idx, "docs", "ingest=r000001"))
+    assert S.committed_labels(idx) == ["base"]
+    assert sorted(tuple(r) for r in read_verdicts(spark, idx).collect()) == want
+    # the auto label for the next refresh REUSES the torn slot
+    assert S.next_auto_label(idx) == "r000001"
+    out = refresh_against_index(spark, idx, ghost)
+    assert S.committed_labels(idx) == ["base", "r000001"]
+    assert out.where("phase = 'new'").count() == 20
+
+
+def test_lsh_compaction_preserves_verdicts_and_refresh(spark, tmp_path):
+    """compact N ingests -> 1: verdicts identical before/after, the
+    replaced directories are gone, and a FURTHER refresh composes on
+    the compacted index exactly as on the uncompacted one."""
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 40), idx)
+    refresh_against_index(spark, idx, _corpus(spark, 100, 130))
+    refresh_against_index(spark, idx, _corpus(spark, 200, 230))
+    before = sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+    manifest_before = S.read_manifest(idx)
+    label = compact_lsh_index(spark, idx)
+    after = sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+    assert after == before
+    assert S.committed_labels(idx) == [label]
+    # max_id survives the swap (the monotone guard's input)
+    assert S.committed_max_id(idx) == max(
+        e["max_id"] for e in manifest_before
+    )
+    # replaced directories are physically gone — no small-file residue
+    assert sorted(os.listdir(os.path.join(idx, "bands"))) == [
+        f"ingest={label}"
+    ]
+    out = refresh_against_index(spark, idx, _corpus(spark, 300, 320))
+    assert out.count() == len(before) + 20
+
+
+def test_lsh_torn_compaction_replay_converges(spark, tmp_path):
+    """Crash injected after the compacted data lands but BEFORE the
+    manifest swap: the index must read exactly as uncompacted, and a
+    re-run of the compaction must converge."""
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 40), idx)
+    refresh_against_index(spark, idx, _corpus(spark, 100, 130))
+    before = sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+
+    # simulate the torn attempt: write the compacted dirs by hand with
+    # the label compaction would choose, but never swap the manifest
+    torn_label = S.next_auto_label(idx, prefix="c")
+    postings = S.read_ingests(spark, idx, "bands", S.committed_labels(idx))
+    postings.select("doc_id", "band", "key").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(os.path.join(idx, "bands", f"ingest={torn_label}"))
+    assert sorted(tuple(r) for r in read_verdicts(spark, idx).collect()) == before
+
+    label = compact_lsh_index(spark, idx)
+    assert label == torn_label  # replay overwrote the torn directory
+    assert sorted(tuple(r) for r in read_verdicts(spark, idx).collect()) == before
+
+
+def test_ivf_compaction_search_equivalence_and_torn_replay(spark, tmp_path):
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(_emb(spark, range(0, 200)), idx, n_cells=4)
+    refresh_ivf_index(spark, idx, _emb(spark, range(200, 260)))
+    refresh_ivf_index(spark, idx, _emb(spark, range(260, 300)))
+    queries = _emb(spark, [7, 42]).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    before = sorted(
+        tuple(r)
+        for r in search_ivf_index(spark, idx, queries, k=5, nprobe=2).collect()
+    )
+    # torn attempt: compacted cells land, manifest never swaps
+    torn_label = S.next_auto_label(idx, prefix="c")
+    cells = S.read_ingests(spark, idx, "cells", S.committed_labels(idx))
+    cells.drop("ingest").write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(idx, "cells", f"ingest={torn_label}")
+    )
+    assert (
+        sorted(
+            tuple(r)
+            for r in search_ivf_index(
+                spark, idx, queries, k=5, nprobe=2
+            ).collect()
+        )
+        == before
+    )
+    label = compact_ivf_index(spark, idx)
+    assert label == torn_label
+    assert S.committed_labels(idx) == [label]
+    after = sorted(
+        tuple(r)
+        for r in search_ivf_index(spark, idx, queries, k=5, nprobe=2).collect()
+    )
+    assert after == before
+
+
+def test_refresh_prunes_stored_scan_to_batch_key_space(spark, tmp_path):
+    """VERDICT r6 #1: the stored-postings side of the refresh join
+    must carry the batch's kp set as a PARTITION filter (directory
+    pruning) and the batch's keys as a pushed data filter — the scan
+    reads the batch's touched key-space, not the whole index."""
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        lsh_band_rows,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        _stored_postings,
+        _with_kp,
+        pruned_stored_postings,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 400), idx)
+    new = _corpus(spark, 1000, 1003)  # tiny batch: 3 docs, <=12 keys
+    new_bands = _with_kp(lsh_band_rows(new)).localCheckpoint(eager=True)
+    pruned = pruned_stored_postings(
+        spark, idx, S.committed_labels(idx), new_bands
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "kp" in part, plan  # kp isin reached directory pruning
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "key" in pushed, plan  # key IN-list reached the parquet scan
+    # and the pruned stored read physically opens fewer files than the
+    # full postings directory holds — the executed scan's numFiles
+    # metric, not inputFiles() (which lists the unpruned file index)
+    def files_read(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.length()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numFiles"):
+                total += m.apply("numFiles").value()
+        return total
+
+    full = _stored_postings(spark, idx, S.committed_labels(idx), "doc_id")
+    n_full = files_read(full)
+    n_pruned = files_read(pruned)
+    assert 0 < n_pruned < n_full, (n_pruned, n_full)
+    # semantics preserved: the full refresh still answers correctly
+    out = refresh_against_index(spark, idx, new, append=False)
+    assert out.where("phase = 'new'").count() == 3
+
+
+def test_no_driver_globs_in_index_modules():
+    """ADVICE r6 / VERDICT r6 #2: ingest discovery is manifest-driven —
+    no driver-side directory glob survives in either index module."""
+    import inspect
+
+    from ksql_streams_from_schema_converter_spark.operators import (
+        ann_index,
+        incremental,
+    )
+
+    for mod in (ann_index, incremental):
+        src = inspect.getsource(mod)
+        assert "glob" not in src, mod.__name__
