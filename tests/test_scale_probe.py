@@ -158,3 +158,19 @@ def test_replicas_have_disjoint_token_universes(spark, tmp_path):
     # same doc count per replica
     per_rep = docs.groupBy((F.col("doc_id") >= sp.SPACING)).count().collect()
     assert len({r["count"] for r in per_rep}) == 1
+
+
+def test_refresh_base_axis_is_sublinear_in_index_size(artifact):
+    """VERDICT r6 #1: the refresh-vs-STORED-index-size axis. The batch
+    is fixed while the base grows 64x; with the kp-partition prune and
+    pushed key IN-list the refresh must not track index size — the
+    committed exponent must sit well under the VERDICT's ~0.3 target."""
+    rec = artifact["queries"].get("incremental_refresh_base_axis")
+    if rec is None:
+        import pytest
+
+        pytest.fail(
+            "SCALE_PROBE.json lacks incremental_refresh_base_axis — rerun "
+            "`python scale_probe.py` and commit it"
+        )
+    assert rec["exponent"] <= 0.3, rec["exponent"]
