@@ -654,6 +654,58 @@ def ngram_jaccard_pairs_prefix(
 # exact-substring span removal (Lee et al., ACL 2022)
 # ---------------------------------------------------------------------------
 
+#: double 31-bit polynomial gram fingerprint (VERDICT r6 #8): two
+#: independent Horner hashes over per-token integer hashes, combined
+#: into ONE bigint key.  Primes below 2^31 keep every Horner step
+#: (acc*B + h, acc < M < 2^31, B ~ 2^20) inside BIGINT with exact
+#: identical truncating arithmetic on both engines; the pair pushes
+#: the collision odds to ~n^2 / 2^62 (vacuously small at any corpus
+#: position count that fits an engine).  Tokens are md5-hashed ONCE
+#: (two 8-hex-digit heads), so bytes hashed per document are O(n),
+#: not the O(n*k) of the old per-position md5 over a k-token slice —
+#: and the shuffle key becomes an 8-byte long instead of a 32-char
+#: string.
+SPAN_M1, SPAN_B1 = 2147483647, 1000003  # 2^31 - 1 (prime)
+SPAN_M2, SPAN_B2 = 2147483629, 1000033  # 2^31 - 19 (prime)
+
+
+def _span_token_hashes(toks_col, start: int, modulus: int):
+    """Per-token integer hash: 8 hex chars of md5 (chars ``start`` to
+    ``start+7``) as a bigint, reduced mod ``modulus`` — one md5 per
+    token, shared by every gram that covers it."""
+    return F.transform(
+        toks_col,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), start, 8), 16, 10).cast("bigint"),
+            F.lit(modulus),
+        ),
+    )
+
+
+def _span_horner(h_col: str, i, k: int, b: int, m: int):
+    """Unrolled Horner fold over the k token hashes starting at
+    0-based position ``i``: k fixed element_at steps, no array slice
+    copy.  All operands nonnegative, so pmod == % on both engines."""
+    acc = F.get(F.col(h_col), i)
+    for j in range(1, k):
+        acc = F.pmod(acc * b + F.get(F.col(h_col), i + j), F.lit(m))
+    return acc
+
+
+def span_gram_fingerprints(toks_col: str, k: int):
+    """Array of per-position gram fingerprints for a ``__t`` token
+    array column — the Spark side of the engine-portable scheme the
+    oracle replays with identical integer arithmetic."""
+    return F.when(
+        F.size(toks_col) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - k),
+            lambda i: _span_horner("__h1", i, k, SPAN_B1, SPAN_M1)
+            * F.lit(2147483648)
+            + _span_horner("__h2", i, k, SPAN_B2, SPAN_M2),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
 
 def duplicated_span_removal(
     docs: DataFrame,
@@ -680,7 +732,13 @@ def duplicated_span_removal(
     is linear in corpus token count and equi-partitioned:
 
     - gram generation is map-side (``transform`` over a position
-      ``sequence`` — no explode-then-window);
+      ``sequence`` — no explode-then-window); gram keys are the
+      double-31-bit polynomial fingerprint (:data:`SPAN_M1` block
+      comment): each token is md5-hashed ONCE and every gram is k
+      integer multiply-adds over those hashes, so bytes hashed are
+      O(tokens) instead of the old O(tokens*k) per-position md5 of a
+      k-token slice, and the shuffle key is an 8-byte long, not a
+      32-char hex string (VERDICT r6 #8);
     - repeat detection is ONE shuffle by gram key (count + row_number
       share the same window exchange); hot grams (boilerplate) cost
       O(df) rows in one partition, not O(df^2) — there is no self-join
@@ -704,17 +762,12 @@ def duplicated_span_removal(
             tokens(text_col), F.array().cast("array<string>")
         ).alias("__t"),
     )
-    grams = toks.select(
+    hashed = toks.withColumn(
+        "__h1", _span_token_hashes(F.col("__t"), 1, SPAN_M1)
+    ).withColumn("__h2", _span_token_hashes(F.col("__t"), 9, SPAN_M2))
+    grams = hashed.select(
         F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size("__t") >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__t") - k),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i + 1, k))),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("p", "g"),
+        F.posexplode(span_gram_fingerprints("__t", k)).alias("p", "g"),
     )
     wg = Window.partitionBy("g")
     occ = grams.select(

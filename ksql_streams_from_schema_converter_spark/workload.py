@@ -7756,6 +7756,46 @@ _V3_BUDGET = 5_000
 _V3_MIN_TOK = 10
 
 
+def _span_occ_sql(k: int = 8) -> str:
+    """The ``hs``/``gs``/``occ`` CTE block shared by the span-dedup
+    oracles: per-position gram fingerprints via the same double-31-bit
+    Horner scheme as operators/dedup.span_gram_fingerprints — per-token
+    md5 heads reduced mod the two primes, k unrolled multiply-adds per
+    position, identical truncating integer arithmetic on both engines
+    (all operands nonnegative, so ``%`` == pmod)."""
+    from .operators.dedup import SPAN_B1, SPAN_B2, SPAN_M1, SPAN_M2
+
+    nib = "(strpos('0123456789abcdef', substr(md5(x), {p}, 1)) - 1)"
+    h8a = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8))
+    h8b = " + ".join(f"{nib.format(p=p + 9)} * {16 ** (7 - p)}" for p in range(8))
+
+    def horner(hname: str, b: int, m: int) -> str:
+        e = f"{hname}[i]"
+        for j in range(1, k):
+            e = f"(({e}) * {b} + {hname}[i + {j}]) % {m}"
+        return e
+
+    return f"""hs AS (
+      SELECT doc_id, t,
+             list_transform(t, x -> ({h8a}) % {SPAN_M1}) AS h1,
+             list_transform(t, x -> ({h8b}) % {SPAN_M2}) AS h2
+      FROM toks
+    ),
+    gs AS (
+      SELECT doc_id, t, h1, h2,
+             unnest(CASE WHEN len(t) >= {k}
+                    THEN generate_series(1, len(t) - {k - 1})
+                    ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM hs
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS p,
+             ({horner("h1", SPAN_B1, SPAN_M1)}) * 2147483648
+             + ({horner("h2", SPAN_B2, SPAN_M2)}) AS gr
+      FROM gs
+    )"""
+
+
 def _pipeline_v3_oracle(k: int = 8, n_buckets: int = 256) -> str:
     nib = "(strpos('0123456789abcdef', substr(md5(bg), {p}, 1)) - 1)"
     b16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
@@ -7764,18 +7804,7 @@ def _pipeline_v3_oracle(k: int = 8, n_buckets: int = 256) -> str:
     WITH toks AS (SELECT doc_id,
                          COALESCE({_TOKS}, CAST([] AS VARCHAR[])) AS t
                   FROM documents),
-    gs AS (
-      SELECT doc_id, t,
-             unnest(CASE WHEN len(t) >= {k}
-                    THEN generate_series(1, len(t) - {k - 1})
-                    ELSE CAST([] AS BIGINT[]) END) AS i
-      FROM toks
-    ),
-    occ AS (
-      SELECT doc_id, i - 1 AS p,
-             md5(array_to_string(t[i : i + {k - 1}], ' ')) AS gr
-      FROM gs
-    ),
+    {_span_occ_sql(k)},
     rep AS (
       SELECT doc_id, p,
              count(*) OVER (PARTITION BY gr) AS cnt,
@@ -8377,18 +8406,7 @@ def _span_dedup_oracle(k: int = 8) -> str:
     WITH toks AS (SELECT doc_id,
                          COALESCE({_TOKS}, CAST([] AS VARCHAR[])) AS t
                   FROM documents),
-    gs AS (
-      SELECT doc_id, t,
-             unnest(CASE WHEN len(t) >= {k}
-                    THEN generate_series(1, len(t) - {k - 1})
-                    ELSE CAST([] AS BIGINT[]) END) AS i
-      FROM toks
-    ),
-    occ AS (
-      SELECT doc_id, i - 1 AS p,
-             md5(array_to_string(t[i : i + {k - 1}], ' ')) AS gr
-      FROM gs
-    ),
+    {_span_occ_sql(k)},
     rep AS (
       SELECT doc_id, p,
              count(*) OVER (PARTITION BY gr) AS cnt,
