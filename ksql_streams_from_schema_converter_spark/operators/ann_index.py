@@ -52,6 +52,7 @@ from .indexstore import (
     next_auto_label,
     read_ingests,
     replace_ingests,
+    require_manifested,
 )
 from .similarity import assign_cells, train_ivf_centroids
 
@@ -62,7 +63,9 @@ _BASE = "base"
 
 def read_cells(spark: SparkSession, index_dir: str) -> DataFrame:
     """All committed cell assignments (manifest-scoped — torn ingests
-    are invisible)."""
+    are invisible).  A pre-manifest index fails loudly instead of
+    reading as empty (ADVICE r7)."""
+    require_manifested(index_dir, _CELLS)
     df = read_ingests(spark, index_dir, _CELLS, committed_labels(index_dir))
     if df is None:
         raise ValueError(f"empty index (no committed ingests): {index_dir}")
@@ -76,9 +79,11 @@ def build_ivf_index(
     refine_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> None:
+) -> list[list[float]]:
     """Train the quantizer on the build corpus and persist centroids +
-    cell-partitioned assignments."""
+    cell-partitioned assignments.  Returns the trained centroids so a
+    refresh loop can seed its cache without re-reading them (VERDICT
+    r7 #6)."""
     cents = train_ivf_centroids(emb, n_cells, refine_iters, vec_col, id_col)
     spark = emb.sparkSession
     spark.createDataFrame(
@@ -94,6 +99,7 @@ def build_ivf_index(
         os.path.join(index_dir, _CELLS, f"ingest={_BASE}")
     )
     commit_ingest(index_dir, _BASE)
+    return cents
 
 
 def load_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
@@ -113,7 +119,8 @@ def refresh_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     ingest_label: str | None = None,
-) -> None:
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
     """FAISS ``add()``: assign the new batch to the FROZEN centroids
     and extend the cell store.  Only the new batch is scanned.
 
@@ -127,9 +134,21 @@ def refresh_ivf_index(
     vectors.  Without a label a sequential one is derived from the
     COMMITTED count (ADVICE r6: a torn auto-labeled attempt never
     committed, so its retry reuses the same label and overwrites the
-    torn directory instead of appending a ghost beside it)."""
+    torn directory instead of appending a ghost beside it).
+
+    The quantizer is FROZEN, so a refresh loop (foreachBatch) need not
+    re-read ``centroids/`` per micro-batch (VERDICT r7 #6): pass the
+    list returned by the previous call (or :func:`load_centroids`)
+    back in via ``centroids``; the loaded/passed-through list is
+    returned either way for exactly that caching."""
     label = ingest_label or next_auto_label(index_dir)
-    cents = load_centroids(spark, index_dir)
+    # a pre-manifest index must be adopted BEFORE any refresh — a
+    # refresh that commits would otherwise strand the legacy cells as
+    # forever-invisible strays (ADVICE r7)
+    require_manifested(index_dir, _CELLS, allow={label})
+    cents = (
+        centroids if centroids is not None else load_centroids(spark, index_dir)
+    )
     assign_cells(
         new_emb.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
@@ -139,6 +158,7 @@ def refresh_ivf_index(
         os.path.join(index_dir, _CELLS, f"ingest={label}")
     )
     commit_ingest(index_dir, label)
+    return cents
 
 
 def score_assigned(

@@ -658,9 +658,16 @@ def ngram_jaccard_pairs_prefix(
 #: independent Horner hashes over per-token integer hashes, combined
 #: into ONE bigint key.  Primes below 2^31 keep every Horner step
 #: (acc*B + h, acc < M < 2^31, B ~ 2^20) inside BIGINT with exact
-#: identical truncating arithmetic on both engines; the pair pushes
-#: the collision odds to ~n^2 / 2^62 (vacuously small at any corpus
-#: position count that fits an engine).  Tokens are md5-hashed ONCE
+#: identical truncating arithmetic on both engines.  COLLISION BUDGET
+#: (ADVICE r7): ~62 effective bits means the birthday bound expects a
+#: first collision near 2^31 (~3e9) distinct grams, and ~n^2/2^63
+#: expected collisions beyond — at a 100-TB corpus (~1e13 grams) that
+#: is ~1e7 colliding gram pairs, each able to remove ONE non-duplicate
+#: k-token span: ppm-level over-removal, accepted as the trade for
+#: 8-byte shuffle keys (the same posture as MinHash banding's
+#: false-positive buckets).  If exactness is the contract, carry the
+#: two Horner halves as separate bigint columns (~124 bits) at double
+#: the key width.  Tokens are md5-hashed ONCE
 #: (two 8-hex-digit heads), so bytes hashed per document are O(n),
 #: not the O(n*k) of the old per-position md5 over a k-token slice —
 #: and the shuffle key becomes an 8-byte long instead of a 32-char

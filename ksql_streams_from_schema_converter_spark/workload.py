@@ -1342,14 +1342,23 @@ def streaming_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(part, dst)
             os.utime(dst, (now + 10 * i, now + 10 * i))
 
+        # the quantizer is frozen at build — cache it in the closure so
+        # later micro-batches skip the per-batch centroids read
+        # (VERDICT r7 #6); a restarted driver simply reloads on first use
+        cent_cache: list = []
+
         def refresh_batch(batch_df, batch_id: int) -> None:
             # dispatch on the CHECKPOINTED batch id; ingest labels make
             # at-least-once replay idempotent (incremental.py shape)
             if batch_id == 0:
-                build_ivf_index(batch_df, index_dir, n_cells=16)
+                cent_cache[:] = build_ivf_index(batch_df, index_dir, n_cells=16)
             else:
-                refresh_ivf_index(
-                    spark, index_dir, batch_df, ingest_label=f"b{batch_id}"
+                cent_cache[:] = refresh_ivf_index(
+                    spark,
+                    index_dir,
+                    batch_df,
+                    ingest_label=f"b{batch_id}",
+                    centroids=cent_cache or None,
                 )
 
         q = (

@@ -157,10 +157,11 @@ def test_ivf_compaction_search_equivalence_and_torn_replay(spark, tmp_path):
 
 
 def test_refresh_prunes_stored_scan_to_batch_key_space(spark, tmp_path):
-    """VERDICT r6 #1: the stored-postings side of the refresh join
-    must carry the batch's kp set as a PARTITION filter (directory
-    pruning) and the batch's keys as a pushed data filter — the scan
-    reads the batch's touched key-space, not the whole index."""
+    """VERDICT r6 #1: on a kp-partitioned (corpus-scale layout) index
+    the stored-postings side of the refresh join must carry the
+    batch's kp set as a PARTITION filter (directory pruning) and the
+    batch's keys as a pushed data filter — the scan reads the batch's
+    touched key-space, not the whole index."""
     from ksql_streams_from_schema_converter_spark.operators.dedup import (
         lsh_band_rows,
     )
@@ -171,7 +172,7 @@ def test_refresh_prunes_stored_scan_to_batch_key_space(spark, tmp_path):
     )
 
     idx = str(tmp_path / "idx")
-    build_lsh_index(_corpus(spark, 0, 400), idx)
+    build_lsh_index(_corpus(spark, 0, 400), idx, kp_split=True)
     new = _corpus(spark, 1000, 1003)  # tiny batch: 3 docs, <=12 keys
     new_bands = _with_kp(lsh_band_rows(new)).localCheckpoint(eager=True)
     pruned = pruned_stored_postings(
@@ -202,6 +203,129 @@ def test_refresh_prunes_stored_scan_to_batch_key_space(spark, tmp_path):
     # semantics preserved: the full refresh still answers correctly
     out = refresh_against_index(spark, idx, new, append=False)
     assert out.where("phase = 'new'").count() == 3
+
+
+def test_adaptive_kp_layout_small_ingests_are_band_only(spark, tmp_path):
+    """VERDICT r7 #1: a micro-batch ingest must NOT pay the 256-way kp
+    directory split (bands×256 near-empty files per ingest was the r7
+    bench regression) — below KP_SPLIT_MIN_ROWS the postings partition
+    by band alone, the layout is recorded per-ingest in the manifest,
+    and mixed-layout indexes read correctly."""
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        pruned_stored_postings,
+        _with_kp,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        lsh_band_rows,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 40), idx)  # auto: small -> band-only
+    base_dir = os.path.join(idx, "bands", "ingest=base")
+    band_dirs = [d for d in os.listdir(base_dir) if d.startswith("band=")]
+    assert band_dirs, os.listdir(base_dir)
+    # no kp= sub-directories anywhere under a band-only ingest
+    for b in band_dirs:
+        assert not any(
+            e.startswith("kp=") for e in os.listdir(os.path.join(base_dir, b))
+        )
+    entry = {e["label"]: e for e in S.read_manifest(idx)}["base"]
+    assert entry["kp_split"] is False and entry["rows"] > 0
+    # a MIXED-layout index: force the second ingest to kp-split, then
+    # verify the pruned read unions both layouts and verdicts stay exact
+    from ksql_streams_from_schema_converter_spark.operators import incremental as I
+
+    old = I.KP_SPLIT_MIN_ROWS
+    I.KP_SPLIT_MIN_ROWS = 1
+    try:
+        refresh_against_index(spark, idx, _corpus(spark, 100, 130))
+    finally:
+        I.KP_SPLIT_MIN_ROWS = old
+    entries = {e["label"]: e for e in S.read_manifest(idx)}
+    assert entries["r000001"]["kp_split"] is True
+    new = _corpus(spark, 1000, 1003)
+    new_bands = _with_kp(lsh_band_rows(new)).localCheckpoint(eager=True)
+    pruned = pruned_stored_postings(
+        spark, idx, S.committed_labels(idx), new_bands
+    )
+    assert set(pruned.columns) == {"doc_id", "band", "kp", "key"}
+    out = refresh_against_index(spark, idx, new)
+    assert out.where("phase = 'new'").count() == 3
+
+
+def test_compaction_rebucks_to_kp_when_combined_size_crosses(spark, tmp_path):
+    """Compaction re-decides the layout on the COMBINED row count:
+    small band-only ingests graduate to the kp split when the sum
+    crosses the threshold (forced here by monkeypatching the
+    constant), and verdicts survive the re-bucket."""
+    from ksql_streams_from_schema_converter_spark.operators import incremental as I
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 40), idx)
+    refresh_against_index(spark, idx, _corpus(spark, 100, 130))
+    before = sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+    old = I.KP_SPLIT_MIN_ROWS
+    I.KP_SPLIT_MIN_ROWS = 1  # combined count always crosses
+    try:
+        label = compact_lsh_index(spark, idx)
+    finally:
+        I.KP_SPLIT_MIN_ROWS = old
+    entry = {e["label"]: e for e in S.read_manifest(idx)}[label]
+    assert entry["kp_split"] is True
+    comp_dir = os.path.join(idx, "bands", f"ingest={label}", "band=0")
+    assert any(e.startswith("kp=") for e in os.listdir(comp_dir))
+    assert (
+        sorted(tuple(r) for r in read_verdicts(spark, idx).collect()) == before
+    )
+    # and a further refresh composes on the re-bucketed index
+    out = refresh_against_index(spark, idx, _corpus(spark, 300, 310))
+    assert out.where("phase = 'new'").count() == 10
+
+
+def test_unmanifested_legacy_index_fails_loudly_and_adopts(spark, tmp_path):
+    """ADVICE r7: a pre-manifest index (data dirs, no manifest.json)
+    must raise a dedicated error on read/refresh — never silently read
+    as empty — and adopt_unmanifested_index() migrates it one-shot."""
+    import pytest
+
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        lsh_band_rows,
+    )
+
+    idx = str(tmp_path / "legacy")
+    docs = _corpus(spark, 0, 40)
+    # the pre-r7 layout: band-partitioned postings + verdicts, NO manifest
+    lsh_band_rows(docs).write.partitionBy("band").parquet(
+        os.path.join(idx, "bands", "ingest=base")
+    )
+    docs.select("doc_id", F.lit(True).alias("kept")).write.parquet(
+        os.path.join(idx, "docs", "ingest=base")
+    )
+    with pytest.raises(S.UnmanifestedIndexError, match="adopt"):
+        read_verdicts(spark, idx)
+    with pytest.raises(S.UnmanifestedIndexError, match="adopt"):
+        refresh_against_index(spark, idx, _corpus(spark, 100, 110))
+    adopted = S.adopt_unmanifested_index(idx, ("bands", "docs"), max_id=39)
+    assert adopted == ["base"]
+    assert read_verdicts(spark, idx).count() == 40
+    # adopted legacy postings read as band-only (kp recomputed) and a
+    # refresh composes on top
+    out = refresh_against_index(spark, idx, _corpus(spark, 100, 110))
+    assert out.count() == 50
+    # second adoption refuses (manifest now exists)
+    with pytest.raises(ValueError, match="already has a manifest"):
+        S.adopt_unmanifested_index(idx, ("bands", "docs"))
+
+
+def test_corrupt_manifest_is_a_hard_error(tmp_path):
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    with open(os.path.join(idx, "manifest.json"), "w") as fh:
+        fh.write('{"ingests": [truncated')
+    import pytest
+
+    with pytest.raises(ValueError, match="corrupt index manifest"):
+        S.read_manifest(idx)
 
 
 def test_no_driver_globs_in_index_modules():
