@@ -113,6 +113,14 @@ def _write_manifest(index_dir: str, entries: list[dict]) -> None:
         pass
 
 
+def write_manifest_entries(index_dir: str, entries: list[dict]) -> None:
+    """Low-level atomic manifest rewrite (fsync + rename) for callers
+    with entry shapes beyond the ingest ones — e.g. merge.py's
+    versioned bucket state.  Each entry must carry a unique
+    ``label``."""
+    _write_manifest(index_dir, entries)
+
+
 def commit_ingest(index_dir: str, label: str, max_id=None, **meta) -> None:
     """Make ``label`` visible (idempotent: a replayed commit of the
     same label replaces its entry, never duplicates it).  Extra

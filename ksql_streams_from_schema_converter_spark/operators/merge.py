@@ -32,18 +32,32 @@ late out-of-order event can never resurrect a deleted key) and readers
 filter them — pass ``drop_where`` to :func:`read_state`.
 
 Driver-side work is metadata only: one ``collect()`` of ≤ num_buckets
-distinct bucket ids per merge, and directory listings (the metadata a
-table format would keep in its commit log).
+distinct bucket ids per merge, plus ONE small manifest file
+(VERDICT r7 #5 — formerly directory globs, which cost O(versions ×
+buckets) filesystem calls and are not object-store portable).  The
+manifest is the indexstore.py discipline applied to versions: data
+writes land first, one atomic fsync+rename publishes
+``{"label": "v-<n>", "version": n, "buckets": [...]}``; a merge
+killed before its commit leaves a TORN directory no reader resolves,
+and the replay overwrites it wholesale and re-publishes.  A state
+table persisted by the pre-manifest layout raises
+:class:`~.indexstore.UnmanifestedIndexError` — migrate once with
+:func:`adopt_unmanifested_state`.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .indexstore import (
+    UnmanifestedIndexError,
+    read_manifest,
+    write_manifest_entries,
+)
 
 _BUCKET = "__bucket"
 _PRIO = "__prio"
@@ -54,42 +68,75 @@ def bucket_expr(key_cols: list[str], num_buckets: int) -> Column:
     return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
 
 
-def _versions_on_disk(target_dir: str) -> list[int]:
-    """COMMITTED versions only: a version directory counts once its
-    ``_SUCCESS`` marker exists.  Spark's file committer writes the
-    marker strictly after every task's part files are moved into
-    place, so it is the version's publish point — a merge killed
-    mid-write (part files present, no marker) leaves a TORN directory
-    that readers must never resolve (tests/test_merge.py torn-write
-    injection).  The replay of that version overwrites the torn
-    directory wholesale and re-publishes."""
-    out = []
-    for d in glob.glob(os.path.join(target_dir, "v-*")):
-        m = re.fullmatch(r"v-(\d+)", os.path.basename(d))
-        if m and os.path.exists(os.path.join(d, "_SUCCESS")):
-            out.append(int(m.group(1)))
-    return sorted(out)
-
-
-def _bucket_dirs(target_dir: str, version: int) -> dict[int, str]:
-    out = {}
-    for d in glob.glob(os.path.join(target_dir, f"v-{version}", f"{_BUCKET}=*")):
-        out[int(os.path.basename(d).split("=")[1])] = d
-    return out
+def _committed_versions(
+    target_dir: str, allow_version: int | None = None
+) -> dict[int, list[int]]:
+    """COMMITTED versions → their bucket ids, from the manifest (the
+    single source of truth; directories not in it — torn writes — are
+    invisible).  Raises loudly for a pre-manifest state table instead
+    of silently reading it as empty; ``allow_version`` exempts an
+    in-flight merge's own directory so a replayed FIRST version that
+    tore before its commit still converges."""
+    entries = read_manifest(target_dir)
+    if not entries:
+        if os.path.isdir(target_dir) and any(
+            re.fullmatch(r"v-\d+", n) and n != f"v-{allow_version}"
+            for n in os.listdir(target_dir)
+        ):
+            raise UnmanifestedIndexError(
+                f"state table {target_dir} has v-* directories but no "
+                "manifest — a pre-manifest layout. Run "
+                "adopt_unmanifested_state() once to migrate it."
+            )
+        return {}
+    return {e["version"]: e["buckets"] for e in entries}
 
 
 def resolve_bucket_paths(
-    target_dir: str, max_version: int | None = None
+    target_dir: str,
+    max_version: int | None = None,
+    allow_version: int | None = None,
 ) -> dict[int, str]:
     """Per bucket, the newest version directory ≤ ``max_version`` (or
-    newest overall) that contains it — the reader's snapshot resolution.
-    Pure directory-listing metadata work, O(versions × buckets)."""
+    newest overall) that contains it — the reader's snapshot
+    resolution.  Pure manifest metadata, zero directory listings."""
     resolved: dict[int, str] = {}
-    for v in _versions_on_disk(target_dir):
+    for v, buckets in sorted(
+        _committed_versions(target_dir, allow_version).items()
+    ):
         if max_version is not None and v > max_version:
             continue
-        resolved.update(_bucket_dirs(target_dir, v))  # later versions win
+        for b in buckets:  # later versions win
+            resolved[b] = os.path.join(target_dir, f"v-{v}", f"{_BUCKET}={b}")
     return resolved
+
+
+def adopt_unmanifested_state(target_dir: str) -> list[int]:
+    """ONE-SHOT migration for a state table persisted by pre-manifest
+    code (VERDICT r7 #5): list each ``v-*`` directory that reached its
+    old publish point (the ``_SUCCESS`` marker) with its bucket
+    subdirectories, and write the manifest.  Returns adopted versions."""
+    if read_manifest(target_dir):
+        raise ValueError(f"{target_dir} already has a manifest — nothing to adopt")
+    entries = []
+    for name in sorted(os.listdir(target_dir)):
+        m = re.fullmatch(r"v-(\d+)", name)
+        vdir = os.path.join(target_dir, name)
+        if not m or not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            continue
+        buckets = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(vdir)
+            if d.startswith(f"{_BUCKET}=")
+        )
+        entries.append(
+            {"label": name, "version": int(m.group(1)), "buckets": buckets}
+        )
+    if not entries:
+        raise ValueError(f"{target_dir} has no published v-* directories to adopt")
+    entries.sort(key=lambda e: e["version"])
+    write_manifest_entries(target_dir, entries)
+    return [e["version"] for e in entries]
 
 
 def read_state(
@@ -129,16 +176,35 @@ def vacuum_versions(target_dir: str, keep_latest: int = 1) -> list[str]:
 
     deleted: list[str] = []
     newer_count: dict[int, int] = {}
-    for v in sorted(_versions_on_disk(target_dir), reverse=True):
-        for b, path in _bucket_dirs(target_dir, v).items():
+    versions = _committed_versions(target_dir)
+    keep: dict[int, list[int]] = {}
+    for v in sorted(versions, reverse=True):
+        kept_buckets = []
+        for b in versions[v]:
             if newer_count.get(b, 0) >= keep_latest:
-                shutil.rmtree(path)
-                deleted.append(path)
+                deleted.append(
+                    os.path.join(target_dir, f"v-{v}", f"{_BUCKET}={b}")
+                )
             else:
                 newer_count[b] = newer_count.get(b, 0) + 1
-        vdir = os.path.join(target_dir, f"v-{v}")
-        if not _bucket_dirs(target_dir, v):  # only marker files left
-            shutil.rmtree(vdir)
+                kept_buckets.append(b)
+        if kept_buckets:
+            keep[v] = kept_buckets
+    # publish the shrunken bucket lists FIRST (atomic swap — a reader
+    # that raced the vacuum never resolves a deleted path), THEN drop
+    # the now-invisible directories
+    write_manifest_entries(
+        target_dir,
+        [
+            {"label": f"v-{v}", "version": v, "buckets": keep[v]}
+            for v in sorted(keep)
+        ],
+    )
+    for path in deleted:
+        shutil.rmtree(path, ignore_errors=True)
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(target_dir, f"v-{v}"), ignore_errors=True)
     return sorted(deleted)
 
 
@@ -194,8 +260,12 @@ def _merge_touched(
     target_dir, version, order_col, num_buckets,
 ) -> list[int]:
 
-    # per-bucket prior snapshot from versions STRICTLY below this one
-    prior_by_bucket = resolve_bucket_paths(target_dir, max_version=version - 1)
+    # per-bucket prior snapshot from versions STRICTLY below this one;
+    # this merge's own (possibly torn) directory is exempt from the
+    # pre-manifest check so an at-least-once replay converges
+    prior_by_bucket = resolve_bucket_paths(
+        target_dir, max_version=version - 1, allow_version=version
+    )
     prior_paths = [prior_by_bucket[b] for b in touched if b in prior_by_bucket]
     cur = src.withColumn(_PRIO, F.lit(1))
     if prior_paths:
@@ -224,4 +294,14 @@ def _merge_touched(
         .partitionBy(_BUCKET)
         .parquet(os.path.join(target_dir, f"v-{version}"))
     )
+    # THE publish point (VERDICT r7 #5): data first, one atomic
+    # manifest commit after.  A crash before this line leaves a torn
+    # v-dir no reader resolves; the replayed version re-lands its
+    # directory and replaces its own entry (label-keyed, idempotent).
+    entries = [e for e in read_manifest(target_dir) if e["version"] != version]
+    entries.append(
+        {"label": f"v-{version}", "version": version, "buckets": touched}
+    )
+    entries.sort(key=lambda e: e["version"])
+    write_manifest_entries(target_dir, entries)
     return touched

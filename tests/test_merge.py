@@ -223,10 +223,18 @@ def test_torn_write_invisible_then_replay_converges(spark, tmp_path):
     merge_into(base, torn, key="k", version=0, num_buckets=8)
     merge_into(batch, torn, key="k", version=1, num_buckets=8)
     v0_rows = _rows(read_state(spark, torn, max_version=0))
-    # ...then the crash is injected: the publish marker never made it
-    # (part files present = the torn state a kill between task commit
-    # and job commit leaves), and one bucket is also half-missing
-    os.remove(os.path.join(torn, "v-1", "_SUCCESS"))
+    # ...then the crash is injected: roll the manifest back to the
+    # pre-commit state (part files present, publish never happened —
+    # the torn state a kill between data write and manifest commit
+    # leaves), with one bucket also half-missing
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        read_manifest,
+        write_manifest_entries,
+    )
+
+    write_manifest_entries(
+        torn, [e for e in read_manifest(torn) if e["version"] != 1]
+    )
     some_bucket = sorted(glob.glob(os.path.join(torn, "v-1", "__bucket=*")))[0]
     shutil.rmtree(some_bucket)
 
@@ -240,3 +248,38 @@ def test_torn_write_invisible_then_replay_converges(spark, tmp_path):
     # v0 inputs only and republishes — state equals the clean run
     merge_into(batch, torn, key="k", version=1, num_buckets=8)
     assert _rows(read_state(spark, torn)) == want
+
+
+def test_unmanifested_legacy_state_fails_loudly_and_adopts(spark, tmp_path):
+    """VERDICT r7 #5 / ADVICE r7: a state table written by the
+    pre-manifest (glob + _SUCCESS) layout must raise on read — never
+    silently resolve as empty — and adopt_unmanifested_state()
+    migrates it one-shot, after which reads and further merges work."""
+    import pytest
+
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        UnmanifestedIndexError,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.merge import (
+        adopt_unmanifested_state,
+    )
+
+    tgt = str(tmp_path / "legacy")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    merge_into(base, tgt, key="k", version=0, num_buckets=8)
+    want = _rows(read_state(spark, tgt))
+    os.remove(os.path.join(tgt, "manifest.json"))  # the legacy shape
+    with pytest.raises(UnmanifestedIndexError, match="adopt"):
+        read_state(spark, tgt)
+    assert adopt_unmanifested_state(tgt) == [0]
+    assert _rows(read_state(spark, tgt)) == want
+    merge_into(
+        spark.createDataFrame([(7, 777)], "k long, v long"),
+        tgt, key="k", version=1, num_buckets=8,
+    )
+    got = {r.k: r.v for r in read_state(spark, tgt).collect()}
+    assert got[7] == 777 and got[8] == 1
+    with pytest.raises(ValueError, match="already has a manifest"):
+        adopt_unmanifested_state(tgt)
