@@ -1291,6 +1291,90 @@ def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+@query("ann_incremental_pq", _ANN_INC_ORACLE)
+def ann_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN against a persisted IVF-PQ index (VERDICT r7
+    #2, operators/ann_index.py IVFADC section): same train-once/
+    add-forever refresh shape as ann_incremental_index, but the
+    persisted cells store 8-BIT PQ CODES (m bytes per vector — the
+    100-TB layout where a flat cell store would BE the corpus) and
+    search scores candidates by asymmetric distance against the PQ
+    reconstruction.  Gate: planted-truth recall verdicts (PQ recall <
+    1 by design, so the planted-copy bar is what's assertable) PLUS
+    ``incremental_matches_scratch`` — both quantizers are frozen at
+    build, so the incrementally-extended coded index must be
+    row-identical to a monolithic encode-everything control."""
+    import shutil
+    import tempfile
+
+    from .operators.ann_index import (
+        assign_queries,
+        build_ivf_pq_index,
+        refresh_ivf_pq_index,
+        score_assigned_pq,
+        search_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = S.planted_corpus(emb, _KNN_QUERY_IDS, copies=5)
+    old = corpus.where(F.col("vec_id") % 5 != 3)
+    new = corpus.where(F.col("vec_id") % 5 == 3)
+    queries = corpus.where(F.col("vec_id").isin(_KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_index_")
+    try:
+        cents, books = build_ivf_pq_index(old, index_dir, n_cells=16, m=8, ksub=16)
+        refresh_ivf_pq_index(spark, index_dir, new, centroids=cents, codebooks=books)
+        inc = search_ivf_pq_index(
+            spark, index_dir, queries, k=5, nprobe=3
+        ).localCheckpoint(eager=True)
+        # monolithic control: encode the WHOLE corpus against the same
+        # frozen quantizers in one pass, score identically
+        from .operators.ann_index import _pq_coded
+
+        coded_all = _pq_coded(
+            S.assign_cells(
+                corpus.select(
+                    "vec_id", F.col("embedding").cast("array<double>").alias("v")
+                ),
+                cents,
+            ),
+            books,
+        )
+        q = assign_queries(spark, index_dir, queries, nprobe=3)
+        scratch = score_assigned_pq(coded_all, q, books, k=5).localCheckpoint(
+            eager=True
+        )
+        diff = (
+            inc.exceptAll(scratch)
+            .unionByName(scratch.exceptAll(inc))
+            .select("query_id")
+            .distinct()
+            .withColumn("__bad", F.lit(True))
+        )
+        return (
+            S.recall_verdicts(
+                inc, emb, _KNN_QUERY_IDS, k=5, copies=5, min_query_hits=3
+            )
+            .join(diff, "query_id", "left")
+            .select(
+                "query_id",
+                "topk_full",
+                "query_recall_ok",
+                "overall_recall_ok",
+                "ids_disjoint",
+                F.coalesce(~F.col("__bad"), F.lit(True)).alias(
+                    "incremental_matches_scratch"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 @query("streaming_ann_refresh", _ANN_INC_ORACLE)
 def streaming_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IVF index driven as a STREAMING corpus-refresh
