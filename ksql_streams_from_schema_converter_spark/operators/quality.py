@@ -1,0 +1,246 @@
+"""Learned quality classifier over hashed text features (VERDICT r6
+#6 / r7 #3) — the missing LEARNED filter stage of the pretraining
+recipe (the CCNet/GPT-3/LLaMA data pipelines all gate documents with a
+linear classifier trained on weak labels; the heuristic Gopher/C4
+gates in operators/text.py are its complement, not its substitute).
+
+Model: a **batch perceptron** over hashed unigram features, in exact
+integer arithmetic.
+
+- Features: the whitespace tokens of ``lower(text)`` hashed into
+  ``n_buckets`` buckets (md5-head mod — the same engine-portable hash
+  family as dsir/span fingerprints) with integer COUNT values (counts,
+  not binary presence, so length- and frequency-shaped quality rules
+  are in the hypothesis space), plus a constant bias bucket
+  ``b = n_buckets`` with value 1 on every document.  Hashed features
+  are the fasttext/Vowpal trick that bounds the model at any
+  vocabulary: the weight vector is ``n_buckets + 1`` integers no
+  matter how many distinct tokens 100 TB holds.
+- Weak labels: ±1 from document METADATA (the caller passes any
+  boolean Column — e.g. ``n_chars >= 250``), the weak-supervision
+  shape of real quality classifiers (label by a trusted-source rule,
+  learn to predict it from content).
+- Update: per round, ALL misclassified documents (``y * margin <= 0``
+  under the previous round's weights) contribute ``y × count`` to each
+  of their feature buckets at once; the summed per-bucket delta is
+  scaled by :data:`FP_SCALE` and divided by ``|mistakes| × round``
+  (sign-preserving truncating integer division — exact on both
+  engines): the NORMALIZED batch perceptron with a 1/t learning-rate
+  decay, in fixed-point integer arithmetic.  The set-based batch form
+  — not the sequential perceptron — is chosen precisely so each round
+  is a pure function of (features, labels, previous weights) and a SQL
+  oracle can replay the training round-for-round (sequential updates
+  are row-order-dependent and unfalsifiable by a set-based oracle);
+  the 1/(k·t) normalization is what makes the batch form settle
+  instead of oscillating with corpus-sized steps (measured: raw batch
+  steps cycle between all-keep and all-drop on the length-rule task).
+- Selection: the POCKET rule (Gallant, IEEE Trans. NN 1990) — the
+  returned weights are the round state with the fewest TRAINING
+  errors, ties to the earliest round.  On non-separable data the
+  perceptron's final iterate has no optimality guarantee; the pocket
+  does (it converges to the minimum-error linear rule in probability).
+  Error counts per round are exact integers, so the pocket argmin is
+  SQL-replayable like everything else.
+
+Iteration discipline = the k-means/Bradley-Terry broadcast-state shape
+(operators/clustering.py, operators/preference.py): the corpus-sized
+feature table stays distributed and is scanned twice per round behind
+a broadcast of the weight state; the state itself (n_buckets + 1
+integers) is the ONLY thing collected — bounded like k centroids,
+never corpus-sized.  All arithmetic is int64 (counts × small ints),
+so Spark and DuckDB agree bit-for-bit and the driver hash gate proves
+the training, not just the application.
+
+Scale: one shuffle per round pair (margin groupBy doc, update groupBy
+bucket), both partial-aggregated map-side; the feature table is
+localCheckpointed once so tokenization/hashing runs once per fit, not
+per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import WS_CLASS
+
+#: default hashed-feature space (buckets 0..N-1; bucket N is the bias)
+N_BUCKETS = 256
+#: default training rounds — each is one decayed batch-perceptron step
+N_ROUNDS = 16
+#: fixed-point weight scale: updates carry FP_SCALE/(k*t) so small
+#: per-bucket signals survive the integer truncation
+FP_SCALE = 1_000
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, b, c)`` count-valued feature rows: hashed unigram counts
+    plus the bias bucket ``n_buckets`` with count 1 (present on every
+    document, so even an empty text has a margin and a learnable
+    prior)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), f"[{WS_CLASS}]+"),
+        lambda t: t != "",
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    feat = (
+        docs.select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .select(F.col(id_col), bucket.alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
+    bias = docs.select(
+        F.col(id_col),
+        F.lit(n_buckets).cast("long").alias("b"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    return feat.unionByName(bias)
+
+
+def _weight_array(weights: dict[int, int]):
+    """The weight state as a constant array column, encoded as ONE
+    string literal split+cast in-plan (constant-folded once): a
+    257-node literal array costs ~0.5 s of per-round analysis/codegen
+    on the driver — measured 2-3× the whole round — while a single
+    string node is free.  The state still rides inside the plan, so a
+    round needs no extra join or createDataFrame round-trip."""
+    packed = ",".join(str(weights[b]) for b in sorted(weights))
+    return F.split(F.lit(packed), ",").cast("array<long>")
+
+
+def _margin_expr(weights: dict[int, int]):
+    """Per-row margin contribution ``c * w[b]`` under the constant
+    weight state (buckets are 0-based; element_at is 1-based)."""
+    return F.col("c") * F.element_at(
+        _weight_array(weights), F.col("b").cast("int") + 1
+    )
+
+
+def _margins(
+    feats: DataFrame, weights: dict[int, int], id_col: str
+) -> DataFrame:
+    """Per-document integer margin under the weight state."""
+    return feats.groupBy(id_col).agg(
+        F.sum(_margin_expr(weights)).alias("__m")
+    )
+
+
+def train_quality_perceptron(
+    docs: DataFrame,
+    label: Column,
+    n_rounds: int = N_ROUNDS,
+    n_buckets: int = N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[int, int]:
+    """Fit the batch perceptron (module docstring): ``label`` is the
+    weak-supervision boolean (True → +1).  Returns the final weight
+    state as a dict over ALL buckets 0..n_buckets (bias included,
+    untouched buckets 0) — bounded driver state, the k-means-centroid
+    shape."""
+    from pyspark.sql import Window
+
+    assert n_rounds >= 1
+    # labels ride WITH the features (one join, once), and the table is
+    # pre-partitioned by document so each round's per-doc margin window
+    # runs shuffle-free over the checkpointed partitions
+    labels = docs.select(
+        F.col(id_col),
+        F.when(label, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("__y"),
+    )
+    feats = (
+        hashed_features(docs, n_buckets, text_col, id_col)
+        .join(labels, id_col)
+        .repartition(8, id_col)
+        .localCheckpoint(eager=True)
+    )
+    wdoc = Window.partitionBy(id_col)
+
+    def _mistake_agg(weights):
+        """ONE job per round: per-doc margins as a window over the
+        doc-partitioned feature table (no shuffle), then the per-bucket
+        misclassified delta sums, with the mistake count riding along
+        (every doc carries the bias bucket, so the bias row's
+        distinct-doc count IS |mistakes|)."""
+        m = F.sum(_margin_expr(weights)).over(wdoc)
+        return (
+            feats.withColumn("__m", m)
+            .where(F.col("__y") * F.col("__m") <= 0)
+            .groupBy("b")
+            # feature rows are UNIQUE on (doc, bucket) by construction,
+            # so the per-bucket row count IS the distinct-doc count —
+            # no expensive distinct aggregation path
+            .agg(
+                F.sum(F.col("__y") * F.col("c")).alias("__s"),
+                F.count("*").alias("__k"),
+            )
+            .collect()
+        )
+
+    w = {b: 0 for b in range(n_buckets + 1)}
+    pocket: tuple[int, int, dict[int, int]] | None = None  # (err, t, w)
+    for t in range(1, n_rounds + 1):
+        upd = _mistake_agg(w)
+        err = max((r["__k"] for r in upd), default=0)
+        if pocket is None or err < pocket[0]:
+            pocket = (err, t, dict(w))
+        if err == 0:
+            break  # linearly separated — converged
+        den = err * t  # 1/(k*t): mistake-normalized, harmonically decayed
+        moved = False
+        for r in upd:
+            # sign-preserving truncating division — Python // floors,
+            # so route through abs() to match SQL integer div
+            s = r["__s"] * FP_SCALE
+            dw = (abs(s) // den) * (1 if s >= 0 else -1)
+            if dw:
+                w[r["b"]] += dw
+                moved = True
+        if not moved:
+            break  # fixed point: every decayed delta truncated to 0
+    else:
+        # loop ran all rounds: the final iterate is also a candidate
+        final = _mistake_agg(w)
+        err = max((r["__k"] for r in final), default=0)
+        if err < pocket[0]:
+            pocket = (err, n_rounds + 1, dict(w))
+    return pocket[2]
+
+
+def weights_table(spark, weights: dict[int, int]) -> DataFrame:
+    """The weight state as a ``(b, w)`` DataFrame (the persistable /
+    hash-gateable artifact)."""
+    return spark.createDataFrame(
+        sorted(weights.items()), "b long, w long"
+    )
+
+
+def apply_quality_classifier(
+    docs: DataFrame,
+    weights: dict[int, int],
+    n_buckets: int = N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document under a trained weight state:
+    ``(id, score, keep)`` with ``keep = score > 0``.  One broadcast
+    join + one partial-aggregated groupBy — the filter stage a 100-TB
+    pretraining pipeline runs per candidate document."""
+    feats = hashed_features(docs, n_buckets, text_col, id_col)
+    return (
+        docs.select(id_col)
+        .join(_margins(feats, weights, id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__m"), F.lit(0)).alias("score"),
+            (F.coalesce(F.col("__m"), F.lit(0)) > 0).alias("keep"),
+        )
+    )

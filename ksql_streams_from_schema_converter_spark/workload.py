@@ -7889,15 +7889,109 @@ def _span_occ_sql(k: int = 8) -> str:
     )"""
 
 
-def _pipeline_v3_oracle(k: int = 8, n_buckets: int = 256) -> str:
+def _quality_cls_sql(
+    n_buckets: int = 256, n_rounds: int = 16, fp_scale: int = 1_000
+) -> str:
+    """CTE chain replaying operators/quality.py's pocket batch
+    perceptron round-for-round (unrolled — each round is a pure
+    function of the previous weight state, which is what makes the
+    training SQL-replayable): hashed unigram-count features + bias
+    bucket, weak labels from metadata, per-round mistake-normalized
+    1/t-decayed fixed-point updates, and the pocket argmin over the
+    per-round training-error counts (ties to the earliest round).
+    Ends with ``qwfin`` (the pocket weights) and ``qmfin`` (per-doc
+    margins under them)."""
+    # MATERIALIZED state CTEs: the round chain references each previous
+    # round twice — default CTE inlining would expand qfeat 2^rounds
+    # times (measured: fd exhaustion at 10 rounds); materialization
+    # makes the oracle evaluate each round once, like the engine does
+    parts = [
+        f"""qtoks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    qfeat AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                  % {n_buckets} AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM qtoks WHERE tok <> '' GROUP BY 1, 2
+      UNION ALL SELECT doc_id, {n_buckets} AS b, 1 AS c FROM documents
+    ),
+    qlab AS (SELECT doc_id,
+                    CASE WHEN n_chars >= 250 THEN 1 ELSE -1 END AS y
+             FROM documents),
+    qw0 AS (SELECT unnest(generate_series(0, {n_buckets})) AS b,
+                   CAST(0 AS BIGINT) AS w)"""
+    ]
+    # round r: qm{r} = margins under w_{r-1}; qe{r} = its error count
+    # (the pocket criterion); qu{r} = the decayed fixed-point update
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""qm{r} AS MATERIALIZED (SELECT f.doc_id,
+                     CAST(sum(f.c * qw{r - 1}.w) AS BIGINT) AS m
+              FROM qfeat f JOIN qw{r - 1} USING (b) GROUP BY f.doc_id),
+    qe{r} AS (SELECT count(*) AS e FROM qlab JOIN qm{r} USING (doc_id)
+              WHERE y * m <= 0),
+    qu{r} AS (SELECT b,
+                     CAST(((abs(s) * {fp_scale}) // (e * {r}))
+                          * (CASE WHEN s >= 0 THEN 1
+                                  ELSE -1 END) AS BIGINT) AS dw
+              FROM (SELECT b, CAST(sum(y * c) AS BIGINT) AS s
+                    FROM qfeat JOIN qlab USING (doc_id)
+                               JOIN qm{r} USING (doc_id)
+                    WHERE y * m <= 0 GROUP BY b), qe{r}
+              WHERE e > 0),
+    qw{r} AS MATERIALIZED (SELECT qw{r - 1}.b,
+                     qw{r - 1}.w + COALESCE(qu{r}.dw, 0) AS w
+              FROM qw{r - 1} LEFT JOIN qu{r} USING (b))"""
+        )
+    fin = n_rounds + 1
+    errs = " UNION ALL ".join(
+        f"SELECT {r} AS r, e FROM qe{r}" for r in range(1, fin + 1)
+    )
+    wsel = "\n      UNION ALL ".join(
+        f"SELECT b, w FROM qw{r - 1}, qbest WHERE qbest.r = {r}"
+        for r in range(1, fin + 1)
+    )
+    msel = "\n      UNION ALL ".join(
+        f"SELECT doc_id, m FROM qm{r}, qbest WHERE qbest.r = {r}"
+        for r in range(1, fin + 1)
+    )
+    parts.append(
+        f"""qm{fin} AS MATERIALIZED (SELECT f.doc_id,
+                     CAST(sum(f.c * qw{n_rounds}.w) AS BIGINT) AS m
+              FROM qfeat f JOIN qw{n_rounds} USING (b) GROUP BY f.doc_id),
+    qe{fin} AS (SELECT count(*) AS e FROM qlab JOIN qm{fin} USING (doc_id)
+              WHERE y * m <= 0),
+    qerr AS ({errs}),
+    qbest AS (SELECT r FROM qerr ORDER BY e, r LIMIT 1),
+    qwfin AS ({wsel}),
+    qmfin AS ({msel})"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _pipeline_v3_oracle(
+    k: int = 8,
+    n_buckets: int = 256,
+    quality_cte: str | None = None,
+    passed_quality_sql: str | None = None,
+    extra_cte: str = "",
+) -> str:
+    """The v3 composition oracle; v4 reuses it with the heuristic
+    quality gate swapped for the learned classifier (``quality_cte`` /
+    ``passed_quality_sql`` overrides, classifier CTEs via
+    ``extra_cte``)."""
     nib = "(strpos('0123456789abcdef', substr(md5(bg), {p}, 1)) - 1)"
     b16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
     ws = f"string_split_regex(trim(lower(clean_text)), '[{_WS}]+')"
+    if quality_cte is None:
+        quality_cte = f"SELECT * FROM cleaned WHERE n_kept >= {_V3_MIN_TOK}"
+    if passed_quality_sql is None:
+        passed_quality_sql = f"c.n_kept >= {_V3_MIN_TOK}"
     return f"""
     WITH toks AS (SELECT doc_id,
                          COALESCE({_TOKS}, CAST([] AS VARCHAR[])) AS t
                   FROM documents),
-    {_span_occ_sql(k)},
+    {extra_cte}{_span_occ_sql(k)},
     rep AS (
       SELECT doc_id, p,
              count(*) OVER (PARTITION BY gr) AS cnt,
@@ -7952,7 +8046,7 @@ def _pipeline_v3_oracle(k: int = 8, n_buckets: int = 256) -> str:
       LEFT JOIN agg a ON a.doc_id = tk.doc_id
       LEFT JOIN cleantxt c ON c.doc_id = tk.doc_id
     ),
-    quality AS (SELECT * FROM cleaned WHERE n_kept >= {_V3_MIN_TOK}),
+    quality AS ({quality_cte}),
     bg AS (
       SELECT doc_id, (lang = 'en') AS tgt,
              unnest(CASE WHEN len({ws}) >= 2 THEN
@@ -8019,7 +8113,7 @@ def _pipeline_v3_oracle(k: int = 8, n_buckets: int = 256) -> str:
             FROM ordered o JOIN alloc al USING (domain))
     SELECT c.doc_id, c.source,
            c.n_removed, c.n_kept,
-           c.n_kept >= {_V3_MIN_TOK} AS passed_quality,
+           {passed_quality_sql} AS passed_quality,
            dsel.dsir_score,
            COALESCE(dsel.dsir_kept, FALSE) AS dsir_kept,
            COALESCE(mix.mix_kept, FALSE) AS final_kept
@@ -8089,6 +8183,151 @@ def pretrain_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_removed",
             "n_kept",
             "passed_quality",
+            "dsir_score",
+            F.coalesce("__dk", F.lit(False)).alias("dsir_kept"),
+            F.coalesce("__mk", F.lit(False)).alias("final_kept"),
+        )
+    )
+
+
+#: the weak-supervision rule the quality classifier learns to predict
+#: from hashed text features (metadata-only, the CCNet/GPT-3 posture:
+#: label by a trusted rule, learn to generalize it to content).  The
+#: synthetic corpus shares one token vocabulary across langs, so the
+#: content-learnable metadata rule here is the Gopher-style length
+#: gate; count-valued features put it squarely in the perceptron's
+#: hypothesis space.
+def _quality_weak_label():
+    return F.col("n_chars") >= 250
+
+
+@query(
+    "quality_classifier_train",
+    f"""
+    WITH {_quality_cls_sql()}
+    SELECT b, w FROM qwfin
+    """,
+)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of the learned quality classifier (VERDICT
+    r7 #3, operators/quality.py): batch perceptron over hashed unigram
+    features, weak labels from document metadata, 16 broadcast-state
+    rounds in exact integer arithmetic.  Output = the final weight
+    vector (257 rows).  The oracle replays the training UNROLLED
+    round-for-round — each round is a pure function of the previous
+    weight state — so the hash gate proves the FIT, not just a score
+    application."""
+    from .operators.quality import train_quality_perceptron, weights_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = train_quality_perceptron(docs, _quality_weak_label())
+    return weights_table(spark, w)
+
+
+@query(
+    "quality_classifier_apply",
+    f"""
+    WITH {_quality_cls_sql()}
+    SELECT d.doc_id,
+           COALESCE(m.m, 0) AS score,
+           COALESCE(m.m, 0) > 0 AS keep
+    FROM documents d LEFT JOIN qmfin m USING (doc_id)
+    """,
+)
+def quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained classifier as a FILTER stage: per-document integer
+    margin and keep verdict under the pocket weights — one broadcast
+    join + one partial-aggregated groupBy over the corpus, the shape a
+    100-TB candidate pool is actually gated with."""
+    from .operators.quality import (
+        apply_quality_classifier,
+        train_quality_perceptron,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = train_quality_perceptron(docs, _quality_weak_label())
+    return apply_quality_classifier(docs, w)
+
+
+@query(
+    "pretrain_pipeline_v4",
+    _pipeline_v3_oracle(
+        quality_cte=(
+            "SELECT c.* FROM cleaned c JOIN qmfin ON qmfin.doc_id = c.doc_id "
+            "WHERE qmfin.m > 0"
+        ),
+        passed_quality_sql="COALESCE(qm.m, 0) > 0",
+        extra_cte=_quality_cls_sql() + ",\n    ",
+    ).replace(
+        "FROM cleaned c\n    LEFT JOIN dsel",
+        "FROM cleaned c\n    LEFT JOIN qmfin qm ON qm.doc_id = c.doc_id\n"
+        "    LEFT JOIN dsel",
+    ),
+)
+def pretrain_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pretrain_pipeline_v3 with the heuristic token-count quality gate
+    swapped for the LEARNED classifier (VERDICT r7 #3): span removal →
+    perceptron quality filter (trained in-pipeline on metadata weak
+    labels, applied to every cleaned document) → DSIR selection →
+    domain-mixture budgeting, all under ONE hash gate whose oracle
+    replays the complete composition INCLUDING the unrolled training
+    rounds.  Same output shape as v3; ``passed_quality`` is now the
+    classifier verdict."""
+    from .operators.dedup import duplicated_span_removal
+    from .operators.pretrain import (
+        domain_mixture_allocation,
+        dsir_importance_weights,
+    )
+    from .operators.quality import (
+        apply_quality_classifier,
+        train_quality_perceptron,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = duplicated_span_removal(docs, k=8, emit_clean_text=True)
+    meta = docs.select("doc_id", "source", "lang")
+    cleaned = meta.join(clean, "doc_id")
+    w = train_quality_perceptron(docs, _quality_weak_label())
+    verdicts = apply_quality_classifier(docs, w).localCheckpoint(eager=True)
+    quality = cleaned.join(
+        verdicts.where("keep").select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+    dsel = dsir_importance_weights(
+        quality, F.col("lang") == "en", text_col="clean_text"
+    )
+    mix_in = quality.join(
+        dsel.where("kept").select("doc_id"), "doc_id"
+    ).select("doc_id", "source", "clean_text")
+    mix = domain_mixture_allocation(
+        mix_in, _V3_BUDGET, text_col="clean_text", domain_col="source"
+    )
+    return (
+        cleaned.select("doc_id", "source", "n_removed", "n_kept")
+        .join(
+            verdicts.select("doc_id", F.col("keep").alias("passed_quality")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            dsel.select(
+                "doc_id",
+                F.col("score").alias("dsir_score"),
+                F.col("kept").alias("__dk"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            mix.select("doc_id", F.col("kept").alias("__mk")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_removed",
+            "n_kept",
+            F.coalesce("passed_quality", F.lit(False)).alias("passed_quality"),
             "dsir_score",
             F.coalesce("__dk", F.lit(False)).alias("dsir_kept"),
             F.coalesce("__mk", F.lit(False)).alias("final_kept"),

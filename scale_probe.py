@@ -102,6 +102,12 @@ DEFAULT_QUERIES = (
     # only base-proportional residue is parquet footer/stat pruning
     # work, which is metadata-sized)
     "incremental_refresh_base_axis",
+    # VERDICT r7 #7 — the compaction path at scale: base + 8 micro-
+    # refresh ingests compacted into one (untimed), then a fixed-batch
+    # refresh is timed against the compacted index.  Post-compaction
+    # refresh must cost single-ingest levels and stay flat in the
+    # stored-base axis
+    "incremental_compacted_refresh",
 )
 #: key / FK columns shifted per replica (referential integrity holds
 #: within a replica; replicas never cross-reference)
@@ -232,12 +238,80 @@ def _refresh_base_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compact_index_dir(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "__lsh_compact_probe_index_v1")
+
+
+def _setup_compacted_refresh(spark: SparkSession, sf_dir: str) -> None:
+    """UNTIMED setup for the compaction family (VERDICT r7 #7): build
+    the scale-k base index, run EIGHT micro-refreshes (the ingest-per-
+    batch accumulation a real refresh cadence produces), then compact
+    everything into one ingest.  Idempotent — a committed compaction
+    label marks completion."""
+    from pyspark.sql import functions as F  # noqa: F811 (closure import)
+
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        build_lsh_index,
+        compact_lsh_index,
+        refresh_against_index,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        committed_labels,
+    )
+
+    idx = _compact_index_dir(sf_dir)
+    if any(lb.startswith("c") for lb in committed_labels(idx)):
+        return
+    docs = load_table(spark, sf_dir, "documents")
+    build_lsh_index(docs, idx)
+    for j in range(8):
+        batch = docs.where(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100 * SPACING + j * 1000)
+        )
+        refresh_against_index(
+            spark, idx, batch, ingest_label=f"p{j}", full_output=False
+        )
+    compact_lsh_index(spark, idx)
+
+
+def _compacted_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMED body: one more fixed-batch refresh against the COMPACTED
+    index — the steady-state cost after compaction folded 9 ingest
+    directories (base + 8 micro-refreshes) into one.  The claim under
+    test: post-compaction refresh cost equals single-ingest refresh
+    cost and stays flat in the stored-base axis (the 9-way directory
+    accumulation is gone; tests/test_indexstore.py asserts the
+    file-count drop and search/verdict equivalence directly)."""
+    from pyspark.sql import functions as F  # noqa: F811 (closure import)
+
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        refresh_against_index,
+    )
+
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(200 * SPACING))
+    )
+    return refresh_against_index(
+        spark,
+        _compact_index_dir(sf_dir),
+        batch,
+        ingest_label="probe",
+        full_output=False,
+    )
+
+
 #: probe families that are not WORKLOAD queries: name -> (untimed
 #: per-scale setup, timed query body)
 SPECIAL_QUERIES = {
     "incremental_refresh_base_axis": (
         _setup_refresh_base_axis,
         _refresh_base_axis,
+    ),
+    "incremental_compacted_refresh": (
+        _setup_compacted_refresh,
+        _compacted_refresh,
     ),
 }
 

@@ -282,6 +282,62 @@ def test_compaction_rebucks_to_kp_when_combined_size_crosses(spark, tmp_path):
     assert out.where("phase = 'new'").count() == 10
 
 
+def test_compaction_drops_refresh_io_to_single_ingest(spark, tmp_path):
+    """VERDICT r7 #7: after refresh cadence accumulates N ingest
+    directories, compaction must return the NEXT refresh's stored-side
+    scan to single-ingest file counts — and search/verdict results
+    must be identical before and after (equivalence, not just cost)."""
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        lsh_band_rows,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        _with_kp,
+        pruned_stored_postings,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 200), idx)
+    for j in range(6):
+        refresh_against_index(
+            spark, idx, _corpus(spark, 1000 + j * 100, 1020 + j * 100)
+        )
+    before_verdicts = sorted(
+        tuple(r) for r in read_verdicts(spark, idx).collect()
+    )
+
+    probe = _corpus(spark, 9000, 9010)
+    probe_bands = _with_kp(lsh_band_rows(probe)).localCheckpoint(eager=True)
+
+    def files_read(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.length()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numFiles"):
+                total += m.apply("numFiles").value()
+        return total
+
+    n_before = files_read(
+        pruned_stored_postings(spark, idx, S.committed_labels(idx), probe_bands)
+    )
+    label = compact_lsh_index(spark, idx)
+    n_after = files_read(
+        pruned_stored_postings(spark, idx, S.committed_labels(idx), probe_bands)
+    )
+    # 7 ingests (base + 6 refreshes) -> 1: the stored-side scan opens a
+    # fraction of the files, and exactly one ingest directory remains
+    assert n_after < n_before / 2, (n_before, n_after)
+    assert sorted(os.listdir(os.path.join(idx, "bands"))) == [f"ingest={label}"]
+    assert (
+        sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+        == before_verdicts
+    )
+    # and the next refresh composes on the compacted index
+    out = refresh_against_index(spark, idx, probe)
+    assert out.where("phase = 'new'").count() == 10
+
+
 def test_unmanifested_legacy_index_fails_loudly_and_adopts(spark, tmp_path):
     """ADVICE r7: a pre-manifest index (data dirs, no manifest.json)
     must raise a dedicated error on read/refresh — never silently read

@@ -174,3 +174,20 @@ def test_refresh_base_axis_is_sublinear_in_index_size(artifact):
             "`python scale_probe.py` and commit it"
         )
     assert rec["exponent"] <= 0.3, rec["exponent"]
+
+
+def test_compacted_refresh_is_sublinear_in_base_size(artifact):
+    """VERDICT r7 #7: after compaction folds base + 8 micro-refresh
+    ingests into one, a further fixed-batch refresh must stay flat in
+    the stored-base axis exactly like the uncompacted base-axis family
+    — compaction must not trade the small-file problem for a pruning
+    regression."""
+    rec = artifact["queries"].get("incremental_compacted_refresh")
+    if rec is None:
+        import pytest
+
+        pytest.fail(
+            "SCALE_PROBE.json lacks incremental_compacted_refresh — rerun "
+            "`python scale_probe.py` and commit it"
+        )
+    assert rec["exponent"] <= 0.3, rec["exponent"]
