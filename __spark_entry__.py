@@ -68,21 +68,20 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: driver row is r02 fill the remaining 44 slots first (VERDICT r5
 #: #2 — after r6, no query's newest driver row should be older
 #: than r3).
+#: r8: the 4 NEW queries (IVF-PQ persisted index, learned quality
+#: classifier train/apply, pipeline v4), plus every query whose code
+#: path changed this round — the adaptive-kp / single-collect refresh
+#: rework (both incremental-dedup gates), the centroid-cached ANN
+#: refresh pair, and the manifest-published MERGE state table.
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-    "dsir_importance_selection",
-    "dedup_span_exact_substr",
-    "domain_mixture_allocation",
-    "bradley_terry_brand_ratings",
-    "ann_incremental_index",
-    "streaming_ann_refresh",
-    "pretrain_pipeline_v3",
-    "grpo_group_advantage",
+    "ann_incremental_pq",
+    "quality_classifier_train",
+    "quality_classifier_apply",
+    "pretrain_pipeline_v4",
     "dedup_incremental_index",
     "streaming_incremental_dedup",
-    "table_checksum_orders",
-    "cogroup_reconcile_orders",
+    "ann_incremental_index",
+    "streaming_ann_refresh",
     "merge_into_orders",
     "streaming_foreachbatch_upsert",
 )
