@@ -119,6 +119,18 @@ def main() -> None:
             "not plan regressions (plans unchanged; see SCALE_PROBE.json "
             "for scale behavior)"
         ),
+        "methodology_note_r8": (
+            "the r7 kp-layout regression is reversed (adaptive per-ingest "
+            "bucketing + single-collect pruning): dedup_incremental_index "
+            "25.5->~3.8s, streaming_incremental_dedup 29.7->~6.0s, "
+            "streaming_ann_refresh 8.3->~6.2s at sf0.1. The 4 queries new "
+            "in r8 (ann_incremental_pq, quality_classifier_train/_apply, "
+            "pretrain_pipeline_v4) add ~26s of total runtime: classifier "
+            "training is 17 inherently-sequential distributed rounds "
+            "(~0.3s fixed job overhead each at sf0.1 — data-independent, "
+            "amortizes at scale), and v4 composes that training into the "
+            "span-removal/DSIR/mixture pipeline"
+        ),
         "methodology_note_r6b": (
             "dsir_importance_selection / pretrain_pipeline_v3 grew ~2s "
             "over their first r6 record: the top-quartile keep moved "
