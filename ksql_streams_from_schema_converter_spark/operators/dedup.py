@@ -833,3 +833,64 @@ def duplicated_span_removal(
         # fingerprint-only gate stays narrow
         cols.append(clean_str.alias("clean_text"))
     return toks.join(doc_spans, id_col, "left").select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (CCNet, Wenzek et al., LREC 2020 §3.1)
+# ---------------------------------------------------------------------------
+
+
+def corpus_line_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deduplicate LINES across the whole corpus (CCNet's paragraph
+    dedup — the pass that removes boilerplate headers/footers shared
+    by millions of pages, reference repo has no analog; per-document
+    line rules live in text.c4_clean): every line keeps exactly its
+    FIRST corpus-wide occurrence, ordered by (doc_id, position) — a
+    deterministic total order, so the kept set is unique and the
+    DuckDB oracle replays it exactly.
+
+    Returns one row per document: ``(id, n_lines, n_dropped,
+    clean_text)`` with the surviving lines re-joined in position
+    order.
+
+    Scale: ONE shuffle keyed by the normalized line fingerprint (the
+    md5 collapses arbitrarily long lines to 32 bytes before the
+    exchange) + one doc-keyed rebuild shuffle.  The first-occurrence
+    window sorts only within each fingerprint's occurrence list; a
+    boilerplate line shared by millions of documents makes that one
+    key hot — the classic CCNet skew, bounded here because the window
+    emits a row per occurrence without collecting the group, and the
+    partition sort is O(occ log occ) disk-backed.  (A count-then-keep
+    formulation — drop EVERY occurrence of a duplicated line — would
+    avoid the sort entirely but changes semantics; CCNet keeps one.)"""
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.md5(F.trim(F.lower(F.col("line")))))
+    w = Window.partitionBy("key").orderBy(id_col, "pos")
+    marked = lines.withColumn("__rk", F.row_number().over(w))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("__rk") > 1).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rk") == 1,
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )

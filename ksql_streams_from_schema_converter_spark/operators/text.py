@@ -446,3 +446,48 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.col(id_col),
         F.round((length_ok * 0.4 + stop_ok * 0.3 + len_ok * 0.3), 4).alias("quality"),
     )
+
+
+def unigram_surprisal_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-shaped LM quality signal (Wenzek et al., LREC 2020 §3.3)
+    without an external language model: train the unigram LM ON the
+    corpus (token occurrence counts) and score every document by its
+    total integer surprisal
+
+        surprisal(doc) = Σ_occurrences bitlen(T div c(tok))
+
+    where ``T`` is the corpus token count and ``c(tok)`` the token's
+    count — ``bitlen`` (= ⌊log2⌋ + 1 via base-2 string length, exact
+    and identical on both engines) stands in for the float ``-log p``
+    a real LM emits, keeping the whole score in BIGINT so the driver
+    hash gate can check the values, not just the ordering.  Common
+    tokens contribute small surprisal, rare ones large — low-scoring
+    documents are the fluent "head", high-scoring the noisy "tail",
+    exactly the signal CCNet buckets on.
+
+    Scale: one token-keyed count shuffle (map-side combined), a 1-row
+    total broadcast, one token-keyed score join, one doc-keyed sum —
+    every stage partial-aggregates; nothing vocabulary-sized reaches
+    the driver.  Documents with no tokens drop out (no LM evidence),
+    as in the SQL formulation."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").alias("T"))
+    sp = cnt.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.length(F.conv(F.expr("T div c").cast("string"), 10, 2))
+        .cast("long")
+        .alias("s"),
+    )
+    return (
+        toks.join(sp, "tok")
+        .groupBy(id_col)
+        .agg(F.sum("s").alias("surprisal"))
+    )

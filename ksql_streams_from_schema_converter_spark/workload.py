@@ -5382,6 +5382,84 @@ def c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_line_dedup",
+    f"""
+    WITH {_LINE_CORPUS_SQL.strip()},
+    lines AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+      FROM line_corpus
+    ),
+    marked AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY md5(trim(lower(line)))
+                                ORDER BY doc_id, pos) AS rk
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (rk > 1) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN rk = 1 THEN line END,
+                               chr(10) ORDER BY pos), '') AS clean_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def corpus_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (CCNet §3.1 — operators/dedup.py
+    corpus_line_dedup): every line keeps exactly its FIRST corpus-wide
+    occurrence by (doc_id, position), the pass that strips boilerplate
+    shared across millions of pages BEFORE near-dup runs.  One shuffle
+    keyed by the 32-byte line fingerprint + one doc-keyed rebuild; the
+    oracle replays the same total order."""
+    from .operators.dedup import corpus_line_dedup
+
+    return corpus_line_dedup(line_corpus(spark, sf_dir))
+
+
+@query(
+    "unigram_surprisal_buckets",
+    f"""
+    WITH t2 AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    toks AS (SELECT doc_id, tok FROM t2 WHERE tok <> ''),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS T FROM cnt),
+    sp AS (SELECT tok, CAST(length(bin(CAST(T // c AS BIGINT))) AS BIGINT) AS s
+           FROM cnt, tot),
+    ds AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS surprisal
+           FROM toks JOIN sp USING (tok) GROUP BY doc_id)
+    SELECT doc_id, surprisal,
+           CASE ntile(3) OVER (ORDER BY surprisal, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM ds
+    """,
+)
+def unigram_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (operators/text.py
+    unigram_surprisal_scores): corpus-trained unigram LM, exact BIGINT
+    surprisal per document (bitlen of inverse token probability — no
+    float -log p, so the hash gate checks VALUES), then head/middle/
+    tail thirds via the distributed exact NTILE
+    (operators/ranking.global_ntile — range partition + offset
+    prefix-sum, never a single-reducer window)."""
+    from .operators.ranking import global_ntile
+    from .operators.text import unigram_surprisal_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_surprisal_scores(docs)
+    binned = global_ntile(scores, ["surprisal", "doc_id"], 3, out_col="__b")
+    return binned.select(
+        "doc_id",
+        "surprisal",
+        F.when(F.col("__b") == 1, F.lit("head"))
+        .when(F.col("__b") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+@query(
     "substring_dup_stats",
     f"""
     WITH {_CORPUS_CTE.strip()},
