@@ -63,3 +63,32 @@ def test_surprisal_drops_empty_documents(spark):
     )
     got = {r.doc_id for r in unigram_surprisal_scores(docs).collect()}
     assert got == {1}
+
+
+def _plan(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_ccnet_op_plan_shapes(spark):
+    """Plan audit: no cartesian products anywhere; the only nested-loop
+    joins in the surprisal plan are the 1-row corpus-total broadcast
+    (scale-independent by construction); line dedup is pure
+    window+aggregate — zero joins at all."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 7} line{i % 3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    p1 = _plan(corpus_line_dedup(docs))
+    assert "CartesianProduct" not in p1 and "NestedLoop" not in p1
+    assert "Join" not in p1  # window + groupBy only
+    p2 = _plan(unigram_surprisal_scores(docs))
+    assert "CartesianProduct" not in p2
+    # the corpus-total attach is a broadcast of ONE row — bounded at
+    # any corpus size; everything else must be hash-join/aggregate
+    assert p2.count("BroadcastNestedLoopJoin") <= 2
