@@ -394,3 +394,47 @@ def test_dsir_weights_survive_bigint_overflow_counts(spark):
     }
     con.close()
     assert oracle == out
+
+
+def test_pipeline_v5_ccnet_funnel_is_monotone(spark):
+    """CCNet composition (VERDICT r8 #2): each stage only narrows —
+    scored ⊆ passed_lang ⊆ all docs, final_kept = head+middle of the
+    scored set (exactly the non-tail two-thirds), and a doc that
+    failed the language gate carries no surprisal or bucket."""
+    from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
+
+    fn, _ = WORKLOAD["pretrain_pipeline_v5"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        if not r.passed_lang:
+            assert r.surprisal is None and r.bucket is None
+            assert not r.final_kept
+        if r.final_kept:
+            assert r.passed_lang and r.bucket in ("head", "middle")
+        if r.bucket == "tail":
+            assert not r.final_kept
+    n_docs = len(rows)
+    n_lang = sum(r.passed_lang for r in rows)
+    n_scored = sum(r.surprisal is not None for r in rows)
+    n_kept = sum(r.final_kept for r in rows)
+    # non-degenerate funnel: the gate and the tail-drop both bite
+    assert n_docs > n_lang >= n_scored > n_kept > 0
+    # head+middle vs tail split is the exact NTILE 2/3 (within 1 per
+    # ntile remainder rule)
+    n_tail = sum(r.bucket == "tail" for r in rows)
+    assert n_kept + n_tail == n_scored
+    assert abs(n_kept - 2 * n_tail) <= 2
+
+
+def test_pipeline_v5_line_dedup_feeds_the_gate(spark):
+    """The language gate runs over the DEDUPED text: a document whose
+    every line is boilerplate already seen earlier in the corpus has
+    empty clean_text -> lang 'und' -> gated out, never scored."""
+    from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
+
+    fn, _ = WORKLOAD["pretrain_pipeline_v5"]
+    rows = {r.doc_id: r for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    fully_deduped = [r for r in rows.values() if r.n_dropped == r.n_lines]
+    for r in fully_deduped:
+        assert r.lang_pred == "und" and not r.final_kept
