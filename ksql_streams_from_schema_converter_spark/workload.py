@@ -7927,18 +7927,32 @@ _V3_BUDGET = 5_000
 _V3_MIN_TOK = 10
 
 
-def _span_occ_sql(k: int = 8) -> str:
+def _span_occ_sql(k: int = 8, wide: bool = False) -> str:
     """The ``hs``/``gs``/``occ`` CTE block shared by the span-dedup
     oracles: per-position gram fingerprints via the same double-31-bit
     Horner scheme as operators/dedup.span_gram_fingerprints — per-token
     md5 heads reduced mod the two primes, k unrolled multiply-adds per
     position, identical truncating integer arithmetic on both engines
-    (all operands nonnegative, so ``%`` == pmod)."""
-    from .operators.dedup import SPAN_B1, SPAN_B2, SPAN_M1, SPAN_M2
+    (all operands nonnegative, so ``%`` == pmod).  ``wide`` replays
+    the ~124-bit two-column key (VERDICT r8 #3): a second independent
+    62-bit fingerprint ``gr2`` from md5 chars 17-32 and the M3/M4
+    prime pair."""
+    from .operators.dedup import (
+        SPAN_B1,
+        SPAN_B2,
+        SPAN_B3,
+        SPAN_B4,
+        SPAN_M1,
+        SPAN_M2,
+        SPAN_M3,
+        SPAN_M4,
+    )
 
     nib = "(strpos('0123456789abcdef', substr(md5(x), {p}, 1)) - 1)"
     h8a = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8))
     h8b = " + ".join(f"{nib.format(p=p + 9)} * {16 ** (7 - p)}" for p in range(8))
+    h8c = " + ".join(f"{nib.format(p=p + 17)} * {16 ** (7 - p)}" for p in range(8))
+    h8d = " + ".join(f"{nib.format(p=p + 25)} * {16 ** (7 - p)}" for p in range(8))
 
     def horner(hname: str, b: int, m: int) -> str:
         e = f"{hname}[i]"
@@ -7946,14 +7960,29 @@ def _span_occ_sql(k: int = 8) -> str:
             e = f"(({e}) * {b} + {hname}[i + {j}]) % {m}"
         return e
 
+    wide_hs = (
+        f""",
+             list_transform(t, x -> ({h8c}) % {SPAN_M3}) AS h3,
+             list_transform(t, x -> ({h8d}) % {SPAN_M4}) AS h4"""
+        if wide
+        else ""
+    )
+    wide_gs = ", h3, h4" if wide else ""
+    wide_occ = (
+        f""",
+             ({horner("h3", SPAN_B3, SPAN_M3)}) * 2147483648
+             + ({horner("h4", SPAN_B4, SPAN_M4)}) AS gr2"""
+        if wide
+        else ""
+    )
     return f"""hs AS (
       SELECT doc_id, t,
              list_transform(t, x -> ({h8a}) % {SPAN_M1}) AS h1,
-             list_transform(t, x -> ({h8b}) % {SPAN_M2}) AS h2
+             list_transform(t, x -> ({h8b}) % {SPAN_M2}) AS h2{wide_hs}
       FROM toks
     ),
     gs AS (
-      SELECT doc_id, t, h1, h2,
+      SELECT doc_id, t, h1, h2{wide_gs},
              unnest(CASE WHEN len(t) >= {k}
                     THEN generate_series(1, len(t) - {k - 1})
                     ELSE CAST([] AS BIGINT[]) END) AS i
@@ -7962,7 +7991,7 @@ def _span_occ_sql(k: int = 8) -> str:
     occ AS (
       SELECT doc_id, i - 1 AS p,
              ({horner("h1", SPAN_B1, SPAN_M1)}) * 2147483648
-             + ({horner("h2", SPAN_B2, SPAN_M2)}) AS gr
+             + ({horner("h2", SPAN_B2, SPAN_M2)}) AS gr{wide_occ}
       FROM gs
     )"""
 
@@ -8929,17 +8958,18 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_dedup_oracle(k: int = 8) -> str:
+def _span_dedup_oracle(k: int = 8, wide: bool = False) -> str:
+    part = "gr, gr2" if wide else "gr"
     # COALESCE mirrors the operator's null-text-as-empty-stream totality
     return f"""
     WITH toks AS (SELECT doc_id,
                          COALESCE({_TOKS}, CAST([] AS VARCHAR[])) AS t
                   FROM documents),
-    {_span_occ_sql(k)},
+    {_span_occ_sql(k, wide)},
     rep AS (
       SELECT doc_id, p,
-             count(*) OVER (PARTITION BY gr) AS cnt,
-             row_number() OVER (PARTITION BY gr ORDER BY doc_id, p) AS rn
+             count(*) OVER (PARTITION BY {part}) AS cnt,
+             row_number() OVER (PARTITION BY {part} ORDER BY doc_id, p) AS rn
       FROM occ
     ),
     mk AS (SELECT doc_id, p, p + {k} AS e FROM rep WHERE cnt >= 2 AND rn > 1),
@@ -9058,6 +9088,24 @@ def dedup_span_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import duplicated_span_removal
 
     return duplicated_span_removal(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_span_exact_substr_wide", _span_dedup_oracle(wide=True))
+def dedup_span_exact_substr_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_span_exact_substr under the ~124-bit two-column gram key
+    (VERDICT r8 #3 exactness mode): a second independent 62-bit Horner
+    fingerprint joins the shuffle key, pushing the birthday bound past
+    2^62 distinct grams — no over-removal at any physically realizable
+    corpus size, for 2x the per-gram hashing and a 16-byte key.  The
+    62-bit default remains the documented ppm contract
+    (tests/test_extensions.py span-fingerprint policy); this gate
+    proves the wide path's full pipeline is value-identical where no
+    collision exists, and pins ITS oracle to the widened key."""
+    from .operators.dedup import duplicated_span_removal
+
+    return duplicated_span_removal(
+        load_table(spark, sf_dir, "documents"), wide_keys=True
+    )
 
 
 def _bt_oracle() -> str:

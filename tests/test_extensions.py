@@ -605,6 +605,64 @@ def test_span_removal_within_doc_repeat(spark):
     assert out.n_kept == 10  # 8 (first run) + x + y
 
 
+def test_span_fingerprint_policy_and_wide_mode(spark):
+    """VERDICT r8 #3 — the gram-fingerprint contract, pinned:
+
+    DEFAULT (62-bit single bigint key): accepted over-removal policy.
+    Birthday bound — expected colliding gram PAIRS at n distinct grams
+    is ~n^2 / 2^63; each collision can cut ONE non-duplicate k-token
+    span.  At a 100-TB corpus (~1e13 grams) that is ~5e6 spans of ~8
+    tokens over ~1e13 tokens: ppm-level over-removal, the same posture
+    as MinHash banding's false-positive buckets.
+
+    WIDE (two independent 62-bit keys, ~124 bits): collisions require
+    BOTH fingerprints to agree — expected pairs ~n^2 / 2^125, i.e.
+    < 1e-12 even at 1e13 grams.  Exactness mode for callers whose
+    contract forbids over-removal, at 2x the Horner work.
+
+    Both modes must agree wherever no collision exists (always, at
+    test scale)."""
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        duplicated_span_removal,
+    )
+
+    # the policy arithmetic itself, as executable documentation
+    n_grams = 10**13
+    exp_pairs_62 = n_grams**2 / 2**63
+    k = 8
+    assert exp_pairs_62 * k / n_grams < 1e-5  # <10 ppm over-removal
+    exp_pairs_124 = n_grams**2 / 2**125
+    assert exp_pairs_124 < 1e-11  # effectively exact
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"one two three {boiler} four five six"),
+            (3, "totally unique text with no repeats at all here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    narrow = sorted(
+        duplicated_span_removal(docs, k=8).collect(), key=lambda r: r.doc_id
+    )
+    wide = sorted(
+        duplicated_span_removal(docs, k=8, wide_keys=True).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in narrow] == [tuple(r) for r in wide]
+    # and the wide plan really shuffles the 2-column key
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        duplicated_span_removal(docs, k=8, wide_keys=True).explain("formatted")
+    plan = buf.getvalue()
+    assert "g1" in plan and "g2" in plan
+
+
 def test_span_removal_is_total_over_null_and_empty_text(spark):
     """NULL text is an empty token stream (0 spans, 0 kept, md5('')) —
     the non-total-helper class that bit cogroup's _fmt; unguarded,
