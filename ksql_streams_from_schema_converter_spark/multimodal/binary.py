@@ -235,3 +235,127 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInArrow(extract, schema=FEATURE_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("h0", T.IntegerType()),
+        T.StructField("h1", T.IntegerType()),
+        T.StructField("h2", T.IntegerType()),
+        T.StructField("h3", T.IntegerType()),
+    ]
+)
+
+#: dHash geometry: 8 rows x 9 cols of fake grayscale, 8 comparison
+#: bits per row, banded 2 rows per 16-bit value
+_DHASH_ROWS, _DHASH_COLS = 8, 9
+
+
+def _fake_pixels(payload: bytes) -> list[int]:
+    """STUB: deterministic fake for the decode+resize-to-9x8 step of a
+    real dHash (a deployment does ``PIL.Image.open(...).convert('L')
+    .resize((9, 8))`` here).  Pixel ``j`` is the payload byte at the
+    proportional offset ``(j * len) // 72`` — deterministic, total
+    (empty payload -> all-zero grid), and replayable in SQL over the
+    fixture's ASCII text (``ord(substr(text, (j*strlen)//72 + 1, 1))``),
+    which is what lets the near-dup gate be a value oracle instead of
+    rows-only."""
+    n = len(payload)
+    grid = _DHASH_ROWS * _DHASH_COLS
+    if n == 0:
+        return [0] * grid
+    return [payload[(j * n) // grid] for j in range(grid)]
+
+
+def perceptual_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over binary payloads via
+    Arrow-batched mapInPandas — the image near-dup signature (Krawetz's
+    dHash; the standard pHash-family baseline).  Bit (r, c) = 1 iff
+    fake-pixel[r][c] > fake-pixel[r][c+1]; the 64 bits are emitted as
+    FOUR 16-bit band integers (rows 2i..2i+1 -> ``h{i}``), which (a)
+    dodges BIGINT sign pain on both engines and (b) IS the LSH banding
+    key layout near_dup_pairs shuffles on."""
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def bands(b: bytes) -> tuple[int, int, int, int]:
+            px = _fake_pixels(bytes(b))
+            out = []
+            for i in range(4):
+                v = 0
+                for k in range(16):
+                    r, c = 2 * i + k // 8, k % 8
+                    bit = 1 if px[r * 9 + c] > px[r * 9 + c + 1] else 0
+                    v = (v << 1) | bit
+                out.append(v)
+            return tuple(out)
+
+        for pdf in batches:
+            hs = [bands(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "h0": pd.Series([h[0] for h in hs], index=pdf.index, dtype="int32"),
+                    "h1": pd.Series([h[1] for h in hs], index=pdf.index, dtype="int32"),
+                    "h2": pd.Series([h[2] for h in hs], index=pdf.index, dtype="int32"),
+                    "h3": pd.Series([h[3] for h in hs], index=pdf.index, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(dhash, schema=DHASH_SCHEMA)
+
+
+def near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Hamming-banded near-duplicate pairs over dHash signatures — the
+    same LSH discipline as dedup.py's MinHash banding, NEVER all-pairs:
+    the 64-bit hash is already split into 4 disjoint 16-bit bands, and
+    candidates are generated by exact-match joins on (band_idx, value)
+    buckets.  By pigeonhole, any pair within Hamming distance 3 leaves
+    at least one of the 4 bands untouched, so banding + verify is
+    EXACT for ``max_hamming <= 3`` (the brute-force oracle proves it);
+    the verify step re-checks the distance so >3-bit bucket collisions
+    are dropped.
+
+    Scale: one shuffle keyed by the 16-bit bucket per band; hot buckets
+    (e.g. flat images hashing to 0) cost O(bucket^2) pairs, the
+    standard LSH trade bounded by the 4x16 geometry, and the candidate
+    join is AQE-skew-splittable.  Everything after the signature UDF is
+    native Catalyst (bitwiseXOR + bit_count)."""
+    bands = hashes.select(
+        F.col(id_col),
+        F.posexplode(F.array("h0", "h1", "h2", "h3")).alias("band", "v"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"__a{i}") for i in range(4)],
+    )
+    hb = hashes.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"__b{i}") for i in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}")))
+        for i in range(4)
+    ).cast("long")
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

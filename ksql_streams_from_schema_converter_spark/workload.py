@@ -1686,6 +1686,94 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_fake_media(docs), n_frames=8)
 
 
+def _mm_band_expr(i: int) -> str:
+    """DuckDB expression for dHash band ``i`` over the 72-pixel list
+    ``px`` — the exact bit layout of multimodal/binary.perceptual_dhash
+    (rows 2i..2i+1, MSB-first within the 16-bit band)."""
+    terms = []
+    for k in range(16):
+        r, c = 2 * i + k // 8, k % 8
+        lt, rt = r * 9 + c + 1, r * 9 + c + 2  # 1-based list indexes
+        terms.append(
+            f"CASE WHEN px[{lt}] > px[{rt}] THEN {1 << (15 - k)} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _mm_near_dup_oracle() -> str:
+    """Brute-force all-pairs mirror of the banded near-dup: banding
+    with 4 disjoint 16-bit bands finds EVERY pair within Hamming
+    distance 3 (pigeonhole — <=3 flipped bits leave >=1 band intact),
+    so the exhaustive join over the same dHash values is value-equal
+    to the bucketed plan.  The oracle being all-pairs while the engine
+    is bucketed is the point: it PROVES the banding loses nothing."""
+    bands = ", ".join(
+        f"({_mm_band_expr(i)}) AS h{i}" for i in range(4)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(CAST(a.h{i} AS BIGINT), CAST(b.h{i} AS BIGINT)))"
+        for i in range(4)
+    )
+    return f"""
+    WITH mm AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 30000 AS doc_id,
+             substr(text, 1, strlen(text) // 2) || '~' ||
+             substr(text, strlen(text) // 2 + 2) AS text
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id + 40000 AS doc_id, text FROM documents WHERE doc_id < 25
+    ),
+    p AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 71), j ->
+               ord(substr(text,
+                          CAST((j * strlen(text)) // 72 AS BIGINT) + 1,
+                          1))) AS px
+      FROM mm
+    ),
+    h AS (SELECT doc_id, {bands} FROM p)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE {ham} <= 3
+    """
+
+
+@query("multimodal_near_dup", _mm_near_dup_oracle())
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over binary media payloads
+    (VERDICT r8 #4): dHash signatures via Arrow-batched mapInPandas
+    (decode stubbed deterministically — multimodal/binary._fake_pixels),
+    then Hamming-banded candidate pairs (4x16-bit exact-match buckets,
+    the dedup.py LSH discipline — never all-pairs) and a native
+    bitwiseXOR+bit_count verify at distance <= 3.  Planted media: for
+    doc_id < 25, one near-identical payload (a single mid-payload byte
+    swapped to '~', flipping <= 2 dHash bits) and one exact copy — the
+    gate proves both are caught with exact Hamming distances.  The
+    DuckDB oracle is brute-force all-pairs over the same signatures,
+    proving the bucketed plan loses no pair within the radius."""
+    from .multimodal import attach_fake_media, near_dup_pairs, perceptual_dhash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = (F.length("text") / 2).cast("int")
+    near = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), F.lit(1), m),
+            F.lit("~"),
+            F.substring(F.col("text"), m + 2, F.length("text")),
+        ).alias("text"),
+    )
+    exact = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 40000).alias("doc_id"), "text"
+    )
+    corpus = docs.union(near).union(exact)
+    hashes = perceptual_dhash(attach_fake_media(corpus))
+    return near_dup_pairs(hashes, max_hamming=3)
+
+
 @query(
     "streaming_events_hourly",
     """

@@ -309,6 +309,54 @@ def test_multimodal_resize_payload_bytes(spark):
         assert r.meta_height == -(-src.meta_height // stride)
 
 
+def test_multimodal_near_dup_planted_payloads(spark):
+    """VERDICT r8 #4: perceptual dHash + Hamming-banded pairing finds
+    planted exact and near-identical payloads; the candidate plan is
+    BUCKETED (join keyed on (band, value)), never a cartesian
+    all-pairs."""
+    import contextlib
+    import io
+
+    from ksql_streams_from_schema_converter_spark.multimodal import (
+        near_dup_pairs,
+        perceptual_dhash,
+    )
+    from ksql_streams_from_schema_converter_spark.multimodal.binary import (
+        _fake_pixels,
+    )
+
+    base = bytes(range(40, 200, 2))  # 80 distinct bytes, rich gradient
+    near = bytearray(base)
+    near[40] = 255  # one "pixel" byte flipped -> <=2 dHash bits
+    far = bytes(reversed(base))  # gradient inverted -> far in dHash space
+    media = spark.createDataFrame(
+        [
+            (1, "image/fake", base, 80, 60),
+            (2, "image/fake", bytes(near), 80, 60),
+            (3, "image/fake", base, 80, 60),  # exact copy of 1
+            (4, "image/fake", far, 80, 60),
+        ],
+        "doc_id long, media_type string, payload binary, meta_width int, meta_height int",
+    )
+    hashes = perceptual_dhash(media)
+    pairs = near_dup_pairs(hashes, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 3)] == 0  # exact copy
+    assert (1, 2) in got and 0 < got[(1, 2)] <= 2  # the planted near-dup
+    assert (2, 3) in got
+    assert not any(4 in p for p in got)  # inverted gradient is far
+    # sanity: the near payload really flipped at least one dHash bit
+    assert _fake_pixels(base) != _fake_pixels(bytes(near))
+    # bucketed-plan guard: candidate generation is an equi-join on the
+    # (band, value) bucket — no cartesian/broadcast-nested-loop pairing
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multimodal_frame_sample_reassembles(spark):
     import hashlib
 
