@@ -244,3 +244,60 @@ def apply_quality_classifier(
             (F.coalesce(F.col("__m"), F.lit(0)) > 0).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted classifier lifecycle (VERDICT r8 #5)
+# ---------------------------------------------------------------------------
+
+#: data subdirectories of a quality store (indexstore-managed): model
+#: weight versions, per-batch verdict tables, and the accumulated
+#: training corpus the scheduled retrains read
+WEIGHTS_SUB, VERDICTS_SUB, DOCS_SUB = "weights", "verdicts", "docs"
+
+
+def save_quality_weights(
+    spark, store_dir: str, weights: dict[int, int], seq: int
+) -> str:
+    """Persist a trained weight state as model version ``m{seq}``
+    through the indexstore manifest (operators/indexstore.py — the
+    LSH/ANN index commit discipline): parquet data FIRST, atomic
+    manifest commit LAST, so a crash between the two leaves the store
+    exactly as it was and a label-scoped replay overwrites the torn
+    directory and commits once.  Idempotent: re-saving the same seq
+    replaces both data and entry.  Returns the label."""
+    import os
+
+    from .indexstore import commit_ingest, ingest_paths
+
+    label = f"m{seq}"
+    path = ingest_paths(store_dir, WEIGHTS_SUB, [label])[0]
+    weights_table(spark, weights).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    os.makedirs(store_dir, exist_ok=True)
+    commit_ingest(store_dir, label, max_id=None, kind="weights", seq=seq)
+    return label
+
+
+def load_quality_weights(
+    spark, store_dir: str, seq: int | None = None
+) -> tuple[dict[int, int], str]:
+    """Read a committed model version (highest ``seq`` when None) —
+    manifest-scoped, so torn saves are invisible; the collect is the
+    bounded n_buckets+1 rows (the k-means-centroid shape)."""
+    from .indexstore import read_ingests, read_manifest
+
+    entries = [
+        e for e in read_manifest(store_dir) if e.get("kind") == "weights"
+    ]
+    if seq is not None:
+        entries = [e for e in entries if e.get("seq") == seq]
+    if not entries:
+        raise ValueError(
+            f"quality store {store_dir} has no committed model"
+            + (f" with seq={seq}" if seq is not None else "")
+        )
+    best = max(entries, key=lambda e: e["seq"])
+    rows = read_ingests(spark, store_dir, WEIGHTS_SUB, [best["label"]]).collect()
+    return {r["b"]: r["w"] for r in rows}, best["label"]

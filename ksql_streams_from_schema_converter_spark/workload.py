@@ -8085,7 +8085,11 @@ def _span_occ_sql(k: int = 8, wide: bool = False) -> str:
 
 
 def _quality_cls_sql(
-    n_buckets: int = 256, n_rounds: int = 16, fp_scale: int = 1_000
+    n_buckets: int = 256,
+    n_rounds: int = 16,
+    fp_scale: int = 1_000,
+    src: str = "documents",
+    p: str = "q",
 ) -> str:
     """CTE chain replaying operators/quality.py's pocket batch
     perceptron round-for-round (unrolled — each round is a pure
@@ -8094,72 +8098,77 @@ def _quality_cls_sql(
     bucket, weak labels from metadata, per-round mistake-normalized
     1/t-decayed fixed-point updates, and the pocket argmin over the
     per-round training-error counts (ties to the earliest round).
-    Ends with ``qwfin`` (the pocket weights) and ``qmfin`` (per-doc
-    margins under them)."""
+    Ends with ``{p}wfin`` (the pocket weights) and ``{p}mfin`` (per-doc
+    margins under them).  ``src`` is the training relation (any
+    documents-shaped subquery) and ``p`` the CTE name prefix, so one
+    query can unroll SEVERAL independent trainings (the streaming
+    retrain lifecycle)."""
+    toks = _TOKS  # tokenizer over src's text column
     # MATERIALIZED state CTEs: the round chain references each previous
-    # round twice — default CTE inlining would expand qfeat 2^rounds
-    # times (measured: fd exhaustion at 10 rounds); materialization
-    # makes the oracle evaluate each round once, like the engine does
+    # round twice — default CTE inlining would expand the features
+    # 2^rounds times (measured: fd exhaustion at 10 rounds);
+    # materialization makes the oracle evaluate each round once, like
+    # the engine does
     parts = [
-        f"""qtoks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
-    qfeat AS MATERIALIZED (
+        f"""{p}toks AS (SELECT doc_id, unnest({toks}) AS tok FROM {src}),
+    {p}feat AS MATERIALIZED (
       SELECT doc_id,
              CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
                   % {n_buckets} AS BIGINT) AS b,
              CAST(count(*) AS BIGINT) AS c
-      FROM qtoks WHERE tok <> '' GROUP BY 1, 2
-      UNION ALL SELECT doc_id, {n_buckets} AS b, 1 AS c FROM documents
+      FROM {p}toks WHERE tok <> '' GROUP BY 1, 2
+      UNION ALL SELECT doc_id, {n_buckets} AS b, 1 AS c FROM {src}
     ),
-    qlab AS (SELECT doc_id,
+    {p}lab AS (SELECT doc_id,
                     CASE WHEN n_chars >= 250 THEN 1 ELSE -1 END AS y
-             FROM documents),
-    qw0 AS (SELECT unnest(generate_series(0, {n_buckets})) AS b,
+             FROM {src}),
+    {p}w0 AS (SELECT unnest(generate_series(0, {n_buckets})) AS b,
                    CAST(0 AS BIGINT) AS w)"""
     ]
-    # round r: qm{r} = margins under w_{r-1}; qe{r} = its error count
-    # (the pocket criterion); qu{r} = the decayed fixed-point update
+    # round r: {p}m{r} = margins under w_{r-1}; {p}e{r} = its error
+    # count (the pocket criterion); {p}u{r} = the decayed update
     for r in range(1, n_rounds + 1):
         parts.append(
-            f"""qm{r} AS MATERIALIZED (SELECT f.doc_id,
-                     CAST(sum(f.c * qw{r - 1}.w) AS BIGINT) AS m
-              FROM qfeat f JOIN qw{r - 1} USING (b) GROUP BY f.doc_id),
-    qe{r} AS (SELECT count(*) AS e FROM qlab JOIN qm{r} USING (doc_id)
+            f"""{p}m{r} AS MATERIALIZED (SELECT f.doc_id,
+                     CAST(sum(f.c * {p}w{r - 1}.w) AS BIGINT) AS m
+              FROM {p}feat f JOIN {p}w{r - 1} USING (b) GROUP BY f.doc_id),
+    {p}e{r} AS (SELECT count(*) AS e FROM {p}lab JOIN {p}m{r} USING (doc_id)
               WHERE y * m <= 0),
-    qu{r} AS (SELECT b,
+    {p}u{r} AS (SELECT b,
                      CAST(((abs(s) * {fp_scale}) // (e * {r}))
                           * (CASE WHEN s >= 0 THEN 1
                                   ELSE -1 END) AS BIGINT) AS dw
               FROM (SELECT b, CAST(sum(y * c) AS BIGINT) AS s
-                    FROM qfeat JOIN qlab USING (doc_id)
-                               JOIN qm{r} USING (doc_id)
-                    WHERE y * m <= 0 GROUP BY b), qe{r}
+                    FROM {p}feat JOIN {p}lab USING (doc_id)
+                               JOIN {p}m{r} USING (doc_id)
+                    WHERE y * m <= 0 GROUP BY b), {p}e{r}
               WHERE e > 0),
-    qw{r} AS MATERIALIZED (SELECT qw{r - 1}.b,
-                     qw{r - 1}.w + COALESCE(qu{r}.dw, 0) AS w
-              FROM qw{r - 1} LEFT JOIN qu{r} USING (b))"""
+    {p}w{r} AS MATERIALIZED (SELECT {p}w{r - 1}.b,
+                     {p}w{r - 1}.w + COALESCE({p}u{r}.dw, 0) AS w
+              FROM {p}w{r - 1} LEFT JOIN {p}u{r} USING (b))"""
         )
     fin = n_rounds + 1
     errs = " UNION ALL ".join(
-        f"SELECT {r} AS r, e FROM qe{r}" for r in range(1, fin + 1)
+        f"SELECT {r} AS r, e FROM {p}e{r}" for r in range(1, fin + 1)
     )
     wsel = "\n      UNION ALL ".join(
-        f"SELECT b, w FROM qw{r - 1}, qbest WHERE qbest.r = {r}"
+        f"SELECT b, w FROM {p}w{r - 1}, {p}best WHERE {p}best.r = {r}"
         for r in range(1, fin + 1)
     )
     msel = "\n      UNION ALL ".join(
-        f"SELECT doc_id, m FROM qm{r}, qbest WHERE qbest.r = {r}"
+        f"SELECT doc_id, m FROM {p}m{r}, {p}best WHERE {p}best.r = {r}"
         for r in range(1, fin + 1)
     )
     parts.append(
-        f"""qm{fin} AS MATERIALIZED (SELECT f.doc_id,
-                     CAST(sum(f.c * qw{n_rounds}.w) AS BIGINT) AS m
-              FROM qfeat f JOIN qw{n_rounds} USING (b) GROUP BY f.doc_id),
-    qe{fin} AS (SELECT count(*) AS e FROM qlab JOIN qm{fin} USING (doc_id)
+        f"""{p}m{fin} AS MATERIALIZED (SELECT f.doc_id,
+                     CAST(sum(f.c * {p}w{n_rounds}.w) AS BIGINT) AS m
+              FROM {p}feat f JOIN {p}w{n_rounds} USING (b) GROUP BY f.doc_id),
+    {p}e{fin} AS (SELECT count(*) AS e FROM {p}lab JOIN {p}m{fin} USING (doc_id)
               WHERE y * m <= 0),
-    qerr AS ({errs}),
-    qbest AS (SELECT r FROM qerr ORDER BY e, r LIMIT 1),
-    qwfin AS ({wsel}),
-    qmfin AS ({msel})"""
+    {p}err AS ({errs}),
+    {p}best AS (SELECT r FROM {p}err ORDER BY e, r LIMIT 1),
+    {p}wfin AS ({wsel}),
+    {p}mfin AS ({msel})"""
     )
     return ",\n    ".join(parts)
 
@@ -8442,6 +8451,138 @@ def quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = train_quality_perceptron(docs, _quality_weak_label())
     return apply_quality_classifier(docs, w)
+
+
+@query(
+    "streaming_quality_gate",
+    f"""
+    WITH {_quality_cls_sql(src="(SELECT * FROM documents WHERE doc_id % 3 = 0)", p="ga")},
+    {_quality_cls_sql(src="(SELECT * FROM documents WHERE doc_id % 3 < 2)", p="gb")},
+    gtoks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    gfeat AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                  % 256 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM gtoks WHERE tok <> '' GROUP BY 1, 2
+      UNION ALL SELECT doc_id, 256 AS b, 1 AS c FROM documents
+    ),
+    sa AS (SELECT f.doc_id, CAST(sum(f.c * w.w) AS BIGINT) AS score
+           FROM gfeat f JOIN gawfin w USING (b)
+           WHERE f.doc_id % 3 < 2 GROUP BY f.doc_id),
+    sb AS (SELECT f.doc_id, CAST(sum(f.c * w.w) AS BIGINT) AS score
+           FROM gfeat f JOIN gbwfin w USING (b)
+           WHERE f.doc_id % 3 = 2 GROUP BY f.doc_id)
+    SELECT doc_id, score, score > 0 AS keep, 'm0' AS model FROM sa
+    UNION ALL
+    SELECT doc_id, score, score > 0 AS keep, 'm1' AS model FROM sb
+    """,
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned quality classifier as a STREAMING lifecycle (VERDICT
+    r8 #5): documents arrive as three id-deterministic files
+    (doc_id % 3), a foreachBatch stream scores every batch under the
+    deterministic model version for that batch (batch k -> m{{k//2}},
+    never "latest" — so an at-least-once redelivery re-scores under
+    the SAME weights), persists verdicts and the accumulated training
+    corpus through the indexstore manifest (data first, atomic commit
+    last — the merge_into/ANN-refresh contract), and RETRAINS on a
+    schedule: batch 0 bootstraps m0 on itself, every 2nd batch refits
+    m{{(k+1)//2}} on the full corpus so far.  All labels (d/v/m) are
+    batch-id-derived, so torn or replayed batches overwrite their own
+    ingests and converge.  The oracle unrolls BOTH trainings
+    round-for-round (m0 on the first batch, m1 on batches 0-1) and
+    re-scores every document under the scheduled model — the hash gate
+    proves the whole lifecycle: bootstrap, apply, persisted retrain,
+    and which model gated which batch."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .operators.indexstore import (
+        commit_ingest,
+        ingest_paths,
+        read_ingests,
+        read_manifest,
+    )
+    from .operators.quality import (
+        DOCS_SUB,
+        VERDICTS_SUB,
+        apply_quality_classifier,
+        load_quality_weights,
+        save_quality_weights,
+        train_quality_perceptron,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="qgate_stream_")
+    stream_dir = os.path.join(work, "in")
+    store = os.path.join(work, "store")
+    os.makedirs(stream_dir)
+    try:
+        now = _time.time()
+        for i in range(3):
+            tmp = os.path.join(work, f"tmp_b{i}")
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"b{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        def gate_batch(batch_df, batch_id: int) -> None:
+            label_col = F.col("n_chars") >= 250
+            # the batch joins the persisted training corpus (idempotent
+            # label-scoped overwrite, manifest commit AFTER the data)
+            dpath = ingest_paths(store, DOCS_SUB, [f"d{batch_id}"])[0]
+            batch_df.write.mode("overwrite").parquet(dpath)
+            commit_ingest(store, f"d{batch_id}", kind="docs", seq=batch_id)
+            if batch_id == 0:  # bootstrap m0 on the first batch
+                w0 = train_quality_perceptron(
+                    spark.read.parquet(dpath), label_col
+                )
+                save_quality_weights(spark, store, w0, seq=0)
+            # score under THIS batch's scheduled model version
+            w, label = load_quality_weights(spark, store, seq=batch_id // 2)
+            v = apply_quality_classifier(batch_df, w).withColumn(
+                "model", F.lit(label)
+            )
+            vpath = ingest_paths(store, VERDICTS_SUB, [f"v{batch_id}"])[0]
+            v.write.mode("overwrite").parquet(vpath)
+            commit_ingest(store, f"v{batch_id}", kind="verdicts", seq=batch_id)
+            if batch_id % 2 == 1:  # scheduled retrain on the full corpus
+                dl = [
+                    e["label"]
+                    for e in read_manifest(store)
+                    if e.get("kind") == "docs" and e["seq"] <= batch_id
+                ]
+                corpus = read_ingests(spark, store, DOCS_SUB, dl)
+                w2 = train_quality_perceptron(corpus, label_col)
+                save_quality_weights(spark, store, w2, seq=(batch_id + 1) // 2)
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, what="quality gate stream")
+        vl = [
+            e["label"]
+            for e in read_manifest(store)
+            if e.get("kind") == "verdicts"
+        ]
+        return (
+            read_ingests(spark, store, VERDICTS_SUB, vl)
+            .select("doc_id", "score", "keep", "model")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
