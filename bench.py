@@ -63,6 +63,12 @@ def main() -> None:
     # 5-8 s, re-run 1.4-1.7 s). The second run reuses the persisted
     # inputs but re-executes the full plan (noop sink defeats no
     # result caching).
+    # VERDICT r8 #7: iterative frontier loops are ~a dozen sequential
+    # sub-second jobs, so one scheduling hiccup anywhere in the chain
+    # moves the total as much as a sub-2s query's single job — the same
+    # noise class the <2s median rule exists for.  Queries named here
+    # report the median of 3 regardless of magnitude.
+    _MEDIAN3 = {"bfs_hops_from_supplier1", "bfs_landmark_distances"}
     timings: dict[str, object] = {}
     both_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -81,7 +87,7 @@ def main() -> None:
             # (VERDICT r5 What's-wrong #2): take a 3rd run and report
             # the MEDIAN for those; min-of-2 stays the signal for the
             # heavier queries where the plan dominates.
-            if min(runs) < 2.0:
+            if min(runs) < 2.0 or name in _MEDIAN3:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -118,6 +124,20 @@ def main() -> None:
             "deltas on those queries are the methodology correction, "
             "not plan regressions (plans unchanged; see SCALE_PROBE.json "
             "for scale behavior)"
+        ),
+        "methodology_note_r9": (
+            "bfs variance (VERDICT r8 #7): bfs_hops_multi no longer "
+            "re-materializes the visited set every level (it is a lazy "
+            "union over the already-checkpointed frontiers), halving the "
+            "loop's job count, and the two bfs queries now report "
+            "median-of-3 — an iterative chain of ~a dozen sub-second "
+            "jobs is scheduling-noise-dominated exactly like the <2s "
+            "class. 4 queries new in r9 (pretrain_pipeline_v5, "
+            "dedup_span_exact_substr_wide, multimodal_near_dup, "
+            "streaming_quality_gate) add runtime: the quality-gate "
+            "lifecycle runs TWO 17-round classifier fits (bootstrap + "
+            "scheduled retrain) inside its stream, and the wide span "
+            "variant doubles the per-gram Horner work by design"
         ),
         "methodology_note_r8": (
             "the r7 kp-layout regression is reversed (adaptive per-ingest "
