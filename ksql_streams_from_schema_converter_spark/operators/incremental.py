@@ -240,8 +240,10 @@ def pruned_stored_postings(
     ONE bounded driver collect (VERDICT r7 #4): the distinct keys
     (capped at ``key_pushdown_cap`` + 1) are collected once and the kp
     set is derived from them driver-side (:func:`_kp_of`); only a
-    giant over-cap refresh falls back to collecting the kp set itself
-    (≤ 256 values)."""
+    giant over-cap refresh falls back to a SECOND bounded collect of
+    the distinct kp set itself (≤ 256 values) — two collects total on
+    that branch, pinned with a losslessness check by
+    tests/test_indexstore.py (ADVICE r8)."""
     stored = _stored_postings(spark, index_dir, labels, id_col)
     if stored is None:
         return None

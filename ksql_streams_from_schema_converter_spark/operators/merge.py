@@ -79,14 +79,38 @@ def _committed_versions(
     tore before its commit still converges."""
     entries = read_manifest(target_dir)
     if not entries:
-        if os.path.isdir(target_dir) and any(
-            re.fullmatch(r"v-\d+", n) and n != f"v-{allow_version}"
-            for n in os.listdir(target_dir)
-        ):
+        stray = (
+            sorted(
+                n
+                for n in os.listdir(target_dir)
+                if re.fullmatch(r"v-\d+", n) and n != f"v-{allow_version}"
+            )
+            if os.path.isdir(target_dir)
+            else []
+        )
+        if stray == ["v-0"]:
+            # ADVICE r8: a lone v-0 is indistinguishable from a FIRST
+            # merge that crashed between the Spark job commit (which
+            # writes _SUCCESS) and the manifest publish — adopting that
+            # torn directory would publish a version the commit
+            # discipline never blessed.  Replay converges either way,
+            # so steer the operator to the replay first.
             raise UnmanifestedIndexError(
-                f"state table {target_dir} has v-* directories but no "
-                "manifest — a pre-manifest layout. Run "
-                "adopt_unmanifested_state() once to migrate it."
+                f"state table {target_dir} has only v-0 and no manifest. "
+                "Most likely this is a torn FIRST merge (crashed after "
+                "the data write, before the manifest publish): REPLAY "
+                "the original merge_into() call — it overwrites v-0 and "
+                "publishes atomically. Only if this table genuinely "
+                "predates the manifest layout (written by pre-r8 code) "
+                "run adopt_unmanifested_state() once instead."
+            )
+        if stray:
+            raise UnmanifestedIndexError(
+                f"state table {target_dir} has {len(stray)} v-* "
+                f"directories ({stray[0]}..{stray[-1]}) but no manifest "
+                "— a pre-manifest layout (multiple versions cannot be a "
+                "single torn merge). Run adopt_unmanifested_state() "
+                "once to migrate it."
             )
         return {}
     return {e["version"]: e["buckets"] for e in entries}
@@ -115,7 +139,17 @@ def adopt_unmanifested_state(target_dir: str) -> list[int]:
     """ONE-SHOT migration for a state table persisted by pre-manifest
     code (VERDICT r7 #5): list each ``v-*`` directory that reached its
     old publish point (the ``_SUCCESS`` marker) with its bucket
-    subdirectories, and write the manifest.  Returns adopted versions."""
+    subdirectories, and write the manifest.  Returns adopted versions.
+
+    NOT for torn first merges (ADVICE r8): ``_SUCCESS`` only proves the
+    Spark job finished, not that the new commit discipline blessed the
+    version — a first ``merge_into`` that crashed between the data
+    write and the manifest publish leaves a lone ``v-0`` this helper
+    would happily adopt out-of-band.  If the table has ONLY ``v-0``,
+    replay the original merge instead (it overwrites the torn directory
+    and publishes atomically); adopt only tables that genuinely predate
+    the manifest layout — which, having seen >=1 old-style publish
+    each run, virtually always carry multiple versions."""
     if read_manifest(target_dir):
         raise ValueError(f"{target_dir} already has a manifest — nothing to adopt")
     entries = []

@@ -207,6 +207,12 @@ def _setup_refresh_base_axis(spark: SparkSession, sf_dir: str) -> None:
     if "base" in committed_labels(idx):
         return
     build_lsh_index(load_table(spark, sf_dir, "documents"), idx)
+    # pre-commit the 'probe' ingest once, UNTIMED (ADVICE r8): the
+    # timed body overwrites this label, so with it already committed
+    # every repetition performs the identical label-scoped overwrite
+    # against the identical committed set — repetition 1 no longer
+    # differs from 2+ by a first-time directory create + manifest grow
+    _refresh_base_axis(spark, sf_dir)
 
 
 def _refresh_base_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +278,11 @@ def _setup_compacted_refresh(spark: SparkSession, sf_dir: str) -> None:
             spark, idx, batch, ingest_label=f"p{j}", full_output=False
         )
     compact_lsh_index(spark, idx)
+    # pre-commit the timed body's 'probe' label once, untimed (ADVICE
+    # r8): repetitions then all see the same committed ingest set
+    # (compacted + probe) and perform the same overwrite, instead of
+    # the first repetition refreshing a probe-less index
+    _compacted_refresh(spark, sf_dir)
 
 
 def _compacted_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -319,6 +319,69 @@ def test_refresh_pruning_does_one_bounded_collect(spark, tmp_path, monkeypatch):
     assert pruned.count() >= 0  # the pruned plan still executes
 
 
+def test_refresh_pruning_over_cap_branch_is_bounded_and_lossless(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8: the over-cap fallback (batch key count exceeds the
+    pushdown cap) was unpinned exactly where refreshes are largest.
+    Contract asserted here: that branch performs exactly TWO driver
+    collects — the capped key sample (cap+1 rows) plus the distinct kp
+    set (<= 256 values), both bounded — and its kp-only pruning keeps
+    EVERY stored row that could join the batch (lossless relative to
+    the exact-key filter)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        lsh_band_rows,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        _stored_postings,
+        pruned_stored_postings,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 100), idx)
+    new_bands = lsh_band_rows(_corpus(spark, 1000, 1040)).localCheckpoint(
+        eager=True
+    )
+    n_batch_keys = new_bands.select("key").distinct().count()
+    cap = 3
+    assert n_batch_keys > cap  # the over-cap branch really triggers
+    calls = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    pruned = pruned_stored_postings(
+        spark,
+        idx,
+        S.committed_labels(idx),
+        new_bands,
+        key_pushdown_cap=cap,
+    )
+    assert len(calls) == 2, (
+        f"{len(calls)} driver collects in the over-cap pruning path "
+        "(contract: capped key sample + kp distinct)"
+    )
+    monkeypatch.undo()
+    # losslessness: every stored row whose key appears in the batch
+    # must survive the kp-only pruning
+    batch_keys = {r.key for r in new_bands.select("key").distinct().collect()}
+    stored = _stored_postings(spark, idx, S.committed_labels(idx), "doc_id")
+    must_keep = sorted(
+        tuple(r)
+        for r in stored.collect()
+        if r.key in batch_keys
+    )
+    kept = sorted(
+        tuple(r) for r in pruned.collect() if r.key in batch_keys
+    )
+    assert kept == must_keep
+
+
 def test_compaction_drops_refresh_io_to_single_ingest(spark, tmp_path):
     """VERDICT r7 #7: after refresh cadence accumulates N ingest
     directories, compaction must return the NEXT refresh's stored-side

@@ -271,8 +271,17 @@ def test_unmanifested_legacy_state_fails_loudly_and_adopts(spark, tmp_path):
     merge_into(base, tgt, key="k", version=0, num_buckets=8)
     want = _rows(read_state(spark, tgt))
     os.remove(os.path.join(tgt, "manifest.json"))  # the legacy shape
-    with pytest.raises(UnmanifestedIndexError, match="adopt"):
+    # ADVICE r8: a LONE v-0 is most likely a torn first merge — the
+    # error must steer the operator to replaying the merge, and only
+    # secondarily to adoption
+    with pytest.raises(UnmanifestedIndexError, match="REPLAY"):
         read_state(spark, tgt)
+    # with multiple versions the table is unambiguously pre-manifest:
+    # the error steers straight to adoption, no replay advice
+    os.makedirs(os.path.join(tgt, "v-1"), exist_ok=True)
+    with pytest.raises(UnmanifestedIndexError, match="pre-manifest"):
+        read_state(spark, tgt)
+    os.rmdir(os.path.join(tgt, "v-1"))
     assert adopt_unmanifested_state(tgt) == [0]
     assert _rows(read_state(spark, tgt)) == want
     merge_into(
