@@ -68,22 +68,28 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: driver row is r02 fill the remaining 44 slots first (VERDICT r5
 #: #2 — after r6, no query's newest driver row should be older
 #: than r3).
-#: r8: the 4 NEW queries (IVF-PQ persisted index, learned quality
-#: classifier train/apply, pipeline v4), plus every query whose code
-#: path changed this round — the adaptive-kp / single-collect refresh
-#: rework (both incremental-dedup gates), the centroid-cached ANN
-#: refresh pair, and the manifest-published MERGE state table.
+#: r9: the 4 NEW queries (CCNet end-to-end pipeline v5, the wide-key
+#: span-dedup variant, perceptual-hash multimodal near-dup, the
+#: streaming learned-quality lifecycle), plus every query whose code
+#: path changed this round — corpus_line_dedup (row_number window →
+#: min(struct) partial agg + join-back), unigram_surprisal_buckets
+#: (pre-aggregated score join), dedup_span_exact_substr (fingerprint
+#: plumbing refactor), the two BFS queries (visited-set checkpoint
+#: removed), and pipelines v3/v4 (they compose the changed span
+#: operator).  The remaining ~39 slots rotate to the 24 queries whose
+#: newest driver row is r4, then the stalest r5 rows.
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
-    "ann_incremental_pq",
-    "quality_classifier_train",
-    "quality_classifier_apply",
+    "pretrain_pipeline_v5",
+    "dedup_span_exact_substr_wide",
+    "multimodal_near_dup",
+    "streaming_quality_gate",
+    "corpus_line_dedup",
+    "unigram_surprisal_buckets",
+    "dedup_span_exact_substr",
+    "bfs_hops_from_supplier1",
+    "bfs_landmark_distances",
+    "pretrain_pipeline_v3",
     "pretrain_pipeline_v4",
-    "dedup_incremental_index",
-    "streaming_incremental_dedup",
-    "ann_incremental_index",
-    "streaming_ann_refresh",
-    "merge_into_orders",
-    "streaming_foreachbatch_upsert",
 )
 
 _WINDOW_SIZE = 50

@@ -108,6 +108,15 @@ DEFAULT_QUERIES = (
     # refresh must cost single-ingest levels and stay flat in the
     # stored-base axis
     "incremental_compacted_refresh",
+    # VERDICT r8 #1 — corpus-wide line dedup under GUARANTEED key skew:
+    # replica token-suffixing keeps content lines replica-disjoint
+    # (group sizes constant) but blank lines are identical across
+    # replicas, so the hottest key grows ~k by construction.  The
+    # min(struct) partial-agg + join-back formulation must absorb it
+    # map-side and stay ~linear; the old fingerprint-partitioned
+    # row_number window would concentrate the blank-line key on one
+    # task
+    "corpus_line_dedup",
 )
 #: key / FK columns shifted per replica (referential integrity holds
 #: within a replica; replicas never cross-reference)
