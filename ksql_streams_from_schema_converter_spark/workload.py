@@ -8456,8 +8456,8 @@ def quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_quality_gate",
     f"""
-    WITH {_quality_cls_sql(src="(SELECT * FROM documents WHERE doc_id % 3 = 0)", p="ga")},
-    {_quality_cls_sql(src="(SELECT * FROM documents WHERE doc_id % 3 < 2)", p="gb")},
+    WITH {_quality_cls_sql(n_rounds=8, src="(SELECT * FROM documents WHERE doc_id % 3 = 0)", p="ga")},
+    {_quality_cls_sql(n_rounds=8, src="(SELECT * FROM documents WHERE doc_id % 3 < 2)", p="gb")},
     gtoks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
     gfeat AS MATERIALIZED (
       SELECT doc_id,
@@ -8539,8 +8539,11 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df.write.mode("overwrite").parquet(dpath)
             commit_ingest(store, f"d{batch_id}", kind="docs", seq=batch_id)
             if batch_id == 0:  # bootstrap m0 on the first batch
+                # 8 rounds: the lifecycle gate proves the persist/
+                # schedule/replay machinery; the full 16-round fit is
+                # quality_classifier_train's job
                 w0 = train_quality_perceptron(
-                    spark.read.parquet(dpath), label_col
+                    spark.read.parquet(dpath), label_col, n_rounds=8
                 )
                 save_quality_weights(spark, store, w0, seq=0)
             # score under THIS batch's scheduled model version
@@ -8558,7 +8561,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if e.get("kind") == "docs" and e["seq"] <= batch_id
                 ]
                 corpus = read_ingests(spark, store, DOCS_SUB, dl)
-                w2 = train_quality_perceptron(corpus, label_col)
+                w2 = train_quality_perceptron(corpus, label_col, n_rounds=8)
                 save_quality_weights(spark, store, w2, seq=(batch_id + 1) // 2)
 
         q = (
