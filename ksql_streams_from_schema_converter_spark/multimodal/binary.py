@@ -278,20 +278,8 @@ def perceptual_dhash(media: DataFrame) -> DataFrame:
     key layout near_dup_pairs shuffles on."""
 
     def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def bands(b: bytes) -> tuple[int, int, int, int]:
-            px = _fake_pixels(bytes(b))
-            out = []
-            for i in range(4):
-                v = 0
-                for k in range(16):
-                    r, c = 2 * i + k // 8, k % 8
-                    bit = 1 if px[r * 9 + c] > px[r * 9 + c + 1] else 0
-                    v = (v << 1) | bit
-                out.append(v)
-            return tuple(out)
-
         for pdf in batches:
-            hs = [bands(b) for b in pdf["payload"]]
+            hs = [_dhash_bands(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -358,4 +346,127 @@ def near_dup_pairs(
         .join(hb, "id_b")
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _dhash_bands(payload: bytes) -> tuple[int, int, int, int]:
+    """The 64-bit dHash of one payload as 4x16-bit band integers —
+    shared by the whole-payload and per-frame signature paths."""
+    px = _fake_pixels(payload)
+    out = []
+    for i in range(4):
+        v = 0
+        for k in range(16):
+            r, c = 2 * i + k // 8, k % 8
+            bit = 1 if px[r * 9 + c] > px[r * 9 + c + 1] else 0
+            v = (v << 1) | bit
+        out.append(v)
+    return tuple(out)
+
+
+FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("h0", T.IntegerType()),
+        T.StructField("h1", T.IntegerType()),
+        T.StructField("h2", T.IntegerType()),
+        T.StructField("h3", T.IntegerType()),
+    ]
+)
+
+
+def frame_dhash(media: DataFrame, n_frames: int = 8) -> DataFrame:
+    """Per-frame perceptual dHash (the video twin of
+    :func:`perceptual_dhash`): each payload is sliced into
+    ``n_frames`` near-equal chunks with :func:`sample_frames`'s exact
+    byte spans (frame ``i`` = bytes ``[i*L//n, (i+1)*L//n)``), each
+    non-empty chunk gets the 4-band difference hash — one Arrow batch
+    pass, 1 row in → up to ``n_frames`` rows out."""
+
+    def hash_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"], strict=True):
+                data = bytes(b)
+                n = len(data)
+                for i in range(n_frames):
+                    chunk = data[i * n // n_frames : (i + 1) * n // n_frames]
+                    if not chunk:
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hs.append(_dhash_bands(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "h0": pd.Series([h[0] for h in hs], dtype="int32"),
+                    "h1": pd.Series([h[1] for h in hs], dtype="int32"),
+                    "h2": pd.Series([h[2] for h in hs], dtype="int32"),
+                    "h3": pd.Series([h[3] for h in hs], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(hash_frames, schema=FRAME_DHASH_SCHEMA)
+
+
+def frame_near_dup_pairs(
+    fhashes: DataFrame,
+    max_hamming: int = 3,
+    min_frames: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video-level near-duplicate pairs from per-frame dHashes:
+    candidates come from exact-match ``(frame_idx, band, value)``
+    buckets — temporal alignment is IN the bucket key, so frame 3 of
+    one video only ever meets frame 3 of another (the aligned-near-dup
+    contract; never all-pairs), the same 4x16 pigeonhole making
+    Hamming <= 3 exact per frame.  Verified pairs aggregate to
+    ``(id_a, id_b, n_close_frames)`` and a pair is a near-dup when at
+    least ``min_frames`` aligned frames are close — whole-video
+    re-encodes and single-frame edits both land above any sane
+    threshold, disjoint content lands at 0."""
+    bands = fhashes.select(
+        F.col(id_col),
+        "frame_idx",
+        F.posexplode(F.array("h0", "h1", "h2", "h3")).alias("band", "v"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.frame_idx").alias("frame_idx"),
+        )
+        .distinct()
+    )
+    ha = fhashes.select(
+        F.col(id_col).alias("id_a"),
+        "frame_idx",
+        *[F.col(f"h{i}").alias(f"__a{i}") for i in range(4)],
+    )
+    hb = fhashes.select(
+        F.col(id_col).alias("id_b"),
+        "frame_idx",
+        *[F.col(f"h{i}").alias(f"__b{i}") for i in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}")))
+        for i in range(4)
+    )
+    return (
+        cand.join(ha, ["id_a", "frame_idx"])
+        .join(hb, ["id_b", "frame_idx"])
+        .where(ham <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_close_frames"))
+        .where(F.col("n_close_frames") >= min_frames)
     )

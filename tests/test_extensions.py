@@ -357,6 +357,48 @@ def test_multimodal_near_dup_planted_payloads(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_multimodal_frame_near_dup_alignment(spark):
+    """Frame-level near-dup: an exact re-encode matches on all frames,
+    a one-frame edit on all-but-one (still above threshold), disjoint
+    content on none — and candidates only ever pair ALIGNED frames
+    (the (frame_idx, band, value) bucket key), bucketed plan, no
+    cartesian."""
+    import contextlib
+    import io
+
+    from ksql_streams_from_schema_converter_spark.multimodal import (
+        frame_dhash,
+        frame_near_dup_pairs,
+    )
+
+    base = bytes(range(0, 240))  # 240 bytes -> 8 frames of 30
+    edited = bytearray(base)
+    edited[100] = 255  # inside frame 3 only
+    far = bytes(reversed(base))
+    media = spark.createDataFrame(
+        [
+            (1, "video/fake", base, 240, 1),
+            (2, "video/fake", bytes(edited), 240, 1),
+            (3, "video/fake", base, 240, 1),
+            (4, "video/fake", far, 240, 1),
+        ],
+        "doc_id long, media_type string, payload binary, meta_width int, meta_height int",
+    )
+    fh = frame_dhash(media, n_frames=8)
+    assert fh.count() == 32  # 4 docs x 8 non-empty frames
+    pairs = frame_near_dup_pairs(fh, max_hamming=3, min_frames=4)
+    got = {(r.id_a, r.id_b): r.n_close_frames for r in pairs.collect()}
+    assert got[(1, 3)] == 8  # exact re-encode: every frame aligned-close
+    assert got[(1, 2)] >= 7  # one edited frame can at most drop one
+    assert not any(4 in p for p in got)  # reversed content: no pair
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multimodal_frame_sample_reassembles(spark):
     import hashlib
 
