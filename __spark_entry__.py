@@ -82,6 +82,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "pretrain_pipeline_v5",
     "dedup_span_exact_substr_wide",
     "multimodal_near_dup",
+    "multimodal_frame_near_dup",
     "streaming_quality_gate",
     "corpus_line_dedup",
     "unigram_surprisal_buckets",
