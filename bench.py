@@ -129,15 +129,22 @@ def main() -> None:
             "bfs variance (VERDICT r8 #7): bfs_hops_multi no longer "
             "re-materializes the visited set every level (it is a lazy "
             "union over the already-checkpointed frontiers), halving the "
-            "loop's job count, and the two bfs queries now report "
-            "median-of-3 — an iterative chain of ~a dozen sub-second "
-            "jobs is scheduling-noise-dominated exactly like the <2s "
-            "class. 4 queries new in r9 (pretrain_pipeline_v5, "
+            "loop's job count (3.77->2.07s), and the two bfs queries now "
+            "report median-of-3 — an iterative chain of ~a dozen "
+            "sub-second jobs is scheduling-noise-dominated exactly like "
+            "the <2s class. corpus_line_dedup 0.71->1.35s is the "
+            "VERDICT r8 #1 skew-proof rewrite: the row_number window "
+            "became a partial-aggregating min + join-back, which costs "
+            "one extra small-scale join but absorbs the guaranteed hot "
+            "keys map-side (SCALE_PROBE exponent 0.583 with blank-line "
+            "skew growing ~k by construction) — the 100-TB plan, paid "
+            "at 60 MB. The 5 queries new in r9 (pretrain_pipeline_v5, "
             "dedup_span_exact_substr_wide, multimodal_near_dup, "
-            "streaming_quality_gate) add runtime: the quality-gate "
-            "lifecycle runs TWO 17-round classifier fits (bootstrap + "
-            "scheduled retrain) inside its stream, and the wide span "
-            "variant doubles the per-gram Horner work by design"
+            "multimodal_frame_near_dup, streaming_quality_gate) add "
+            "~27s: the quality-gate lifecycle runs two 9-round "
+            "classifier fits plus 3 manifest-committed scoring batches "
+            "inside its stream, and the wide span variant doubles the "
+            "per-gram Horner work by design"
         ),
         "methodology_note_r8": (
             "the r7 kp-layout regression is reversed (adaptive per-ingest "
