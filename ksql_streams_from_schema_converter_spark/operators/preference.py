@@ -361,3 +361,67 @@ def bt_oracle_sql(n_iter: int = 6, pairs_cte: str = "") -> str:
     SELECT r.i AS entity, wi.wtot AS wins, gt.games, r.pi AS rating
     FROM r{n_iter} r JOIN wi ON wi.i = r.i JOIN gt ON gt.i = r.i
     """
+
+
+def dpo_pairs(
+    responses: DataFrame,
+    group_col: str,
+    id_col: str,
+    reward_col: str,
+    min_margin: int = 0,
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction (Rafailov et al., NeurIPS
+    2023 consume exactly this shape): per prompt group, elect the
+    CHOSEN response (highest reward) and the REJECTED response (lowest
+    reward) and emit one ``(group, chosen_id, rejected_id, margin)``
+    pair, keeping groups whose margin exceeds ``min_margin`` (a zero
+    margin means no preference signal — groups with one response or
+    all-equal rewards drop out).
+
+    Election is ``max/min(struct(reward, ±id))`` — ONE partial-
+    aggregating groupBy (the corpus-line-dedup discipline: a skewed
+    prompt with millions of responses collapses to one partial
+    extremum per map task; no window, no per-group sort).  Ties break
+    deterministically: both elections prefer the LOWEST id among
+    their tied rows (chosen via the negated id inside the max), so
+    chosen_id != rejected_id whenever the margin test passes and the
+    whole table is value-hash-gateable.
+
+    Scale: one shuffle keyed by the group, output one row per group —
+    the smallest of the preference-prep family (pairwise_wins fans out
+    per-pair; this folds to extrema)."""
+    g, i, r = F.col(group_col), F.col(id_col), F.col(reward_col)
+    # lowest id among max-reward rows: negate the id inside the max
+    chosen = F.max(F.struct(r.alias("r"), (-i).alias("ni")))
+    rejected = F.min(F.struct(r.alias("r"), i.alias("i")))
+    out = (
+        responses.groupBy(g.alias("grp"))
+        .agg(chosen.alias("__c"), rejected.alias("__r"))
+        .select(
+            F.col("grp").alias(group_col),
+            (-F.col("__c.ni")).alias("chosen_id"),
+            F.col("__r.i").alias("rejected_id"),
+            (F.col("__c.r") - F.col("__r.r")).alias("margin"),
+        )
+        .where(F.col("margin") > min_margin)
+    )
+    return out
+
+
+def dpo_oracle_sql(responses_cte: str, group_col: str, min_margin: int = 0) -> str:
+    """DuckDB replay of :func:`dpo_pairs` over a ``responses`` CTE with
+    columns (``group_col``, id, reward): identical extremum election
+    with the same deterministic tie-breaks."""
+    return f"""
+    WITH responses AS ({responses_cte}),
+    agg AS (
+      SELECT {group_col},
+             max({{'r': reward, 'ni': -id}}) AS c,
+             min({{'r': reward, 'i': id}}) AS rj,
+             max(reward) - min(reward) AS margin
+      FROM responses GROUP BY {group_col}
+    )
+    SELECT {group_col}, -(c.ni) AS chosen_id, (rj).i AS rejected_id,
+           CAST(margin AS BIGINT) AS margin
+    FROM agg WHERE margin > {min_margin}
+    """

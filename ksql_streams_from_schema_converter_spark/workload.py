@@ -9461,6 +9461,38 @@ def bradley_terry_brand_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry_ratings(wins, n_iter=6)
 
 
+def _dpo_oracle() -> str:
+    from .operators.preference import dpo_oracle_sql
+
+    return dpo_oracle_sql(
+        "SELECT l_orderkey, l_linenumber AS id, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS reward FROM lineitem",
+        "l_orderkey",
+    )
+
+
+@query("dpo_preference_pairs", _dpo_oracle())
+def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction (operators/preference.dpo_pairs;
+    Rafailov et al. 2023) — the third leg of the RLHF data-prep family
+    beside Bradley-Terry and GRPO: per prompt group (order), elect the
+    chosen (max reward, lowest id on ties) and rejected (min reward,
+    highest id) responses via ONE partial-aggregating max/min(struct)
+    groupBy — the corpus-line-dedup skew discipline, no window, no
+    per-group sort, output one row per group.  Rewards are exact
+    integer cents so the margins hash."""
+    from .operators.preference import dpo_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("id"),
+        # the parquet column is DOUBLE: round before the cast (Spark
+        # cast truncates, DuckDB cast rounds — the r1 divergence class)
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("reward"),
+    )
+    return dpo_pairs(li, "l_orderkey", "id", "reward")
+
+
 def _bpe_oracle() -> str:
     from .operators.bpe import bpe_oracle_sql
 

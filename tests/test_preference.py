@@ -145,3 +145,39 @@ def test_bt_join_form_equals_collect_form(spark):
             ).collect()
         )
         assert join_form == collect_form, rows[:2]
+
+
+def test_dpo_pairs_elects_extrema_with_deterministic_ties(spark):
+    """DPO pair construction: chosen = max reward (lowest id on ties),
+    rejected = min reward (also lowest id on ties), zero-margin
+    groups drop, and the plan is one partial-aggregating groupBy — no window."""
+    import contextlib
+    import io
+
+    from ksql_streams_from_schema_converter_spark.operators.preference import (
+        dpo_pairs,
+    )
+
+    rows = [
+        # group 1: clear winner/loser
+        (1, 1, 10), (1, 2, 30), (1, 3, 5),
+        # group 2: tie at the top (ids 4,5) and bottom (ids 6,7)
+        (2, 4, 50), (2, 5, 50), (2, 6, 1), (2, 7, 1),
+        # group 3: all equal -> no signal, drops
+        (3, 8, 9), (3, 9, 9),
+        # group 4: single response -> margin 0, drops
+        (4, 10, 99),
+    ]
+    df = spark.createDataFrame(rows, "grp long, id long, reward long")
+    out = {r.grp: r for r in dpo_pairs(df, "grp", "id", "reward").collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].chosen_id, out[1].rejected_id, out[1].margin) == (2, 3, 25)
+    # ties: both elections take the LOWEST id among the tied rows —
+    # deterministic, and distinct whenever margin > 0 (the tied sets
+    # are at different rewards)
+    assert (out[2].chosen_id, out[2].rejected_id, out[2].margin) == (4, 6, 49)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dpo_pairs(df, "grp", "id", "reward").explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan and "partial_max" in plan
