@@ -85,6 +85,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "multimodal_frame_near_dup",
     "streaming_quality_gate",
     "dpo_preference_pairs",
+    "dedup_index_retraction",
     "corpus_line_dedup",
     "unigram_surprisal_buckets",
     "dedup_span_exact_substr",

@@ -105,7 +105,6 @@ from pyspark.sql import functions as F
 from .dedup import lsh_band_rows
 from .indexstore import (
     commit_ingest,
-    committed_labels,
     committed_max_id,
     drop_ingest_dirs,
     next_auto_label,
@@ -118,6 +117,7 @@ from .indexstore import (
 _BANDS = "bands"
 _DOCS = "docs"
 _BASE = "base"
+_TOMBS = "tombstones"
 #: default cap on the number of distinct batch keys pushed as an IN
 #: filter into the stored-postings scan (each key is a short string;
 #: 20k of them is a ~1 MB predicate — driver- and plan-safe)
@@ -183,6 +183,90 @@ def _verdicts(docs: DataFrame, dropped: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, (~F.col("__x")).alias("kept"))
 
 
+def data_labels(index_dir: str) -> list[str]:
+    """Committed POSTING/VERDICT ingest labels — manifest entries that
+    are not tombstones.  Every bands/docs read path lists from here so
+    a tombstone commit can never be misread as a data directory."""
+    return [
+        e["label"]
+        for e in read_manifest(index_dir)
+        if e.get("kind") != "tombstone"
+    ]
+
+
+def _tombstone_labels(index_dir: str) -> list[str]:
+    return [
+        e["label"]
+        for e in read_manifest(index_dir)
+        if e.get("kind") == "tombstone"
+    ]
+
+
+def _tombstoned_ids(
+    spark: SparkSession, index_dir: str, id_col: str
+) -> DataFrame | None:
+    """All retracted ids across committed tombstone ingests (None when
+    the index has none — the common case pays zero reads: the check is
+    manifest metadata already in memory)."""
+    labels = _tombstone_labels(index_dir)
+    if not labels:
+        return None
+    df = read_ingests(spark, index_dir, _TOMBS, labels)
+    return df.select(id_col).distinct()
+
+
+def _minus_tombstones(
+    spark: SparkSession, index_dir: str, df: DataFrame | None, id_col: str
+) -> DataFrame | None:
+    """Filter retracted ids out of a bands/docs read — a broadcast
+    left-anti join against the (small) tombstone set; identity when no
+    tombstones exist."""
+    if df is None:
+        return None
+    tomb = _tombstoned_ids(spark, index_dir, id_col)
+    if tomb is None:
+        return df
+    return df.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def retract_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    id_col: str = "doc_id",
+    label: str | None = None,
+) -> str:
+    """GDPR-style removal from the persisted LSH index: after this
+    commit, the retracted documents are gone from every read —
+    :func:`read_verdicts` no longer returns them and future refreshes
+    no longer match against their postings (a new document identical
+    to a retracted one is KEPT: the content no longer exists in the
+    corpus).  Documents dropped BEFORE the retraction because they
+    duplicated a now-retracted doc STAY dropped — the index is
+    append-only history and retroactive re-election would require
+    re-deduping the corpus, which is a rebuild, not a retraction (the
+    same posture as the monotone-ingest contract).
+
+    Mechanics follow the ingest discipline: the id list lands as a
+    tombstone ingest (``tombstones/ingest=<label>``), published by one
+    atomic manifest commit carrying ``kind="tombstone"`` — torn writes
+    invisible, label-scoped replay idempotent.  Reads subtract the
+    tombstone set via a broadcast anti-join (tombstones are id lists —
+    KBs at any corpus size); a FULL compaction makes the removal
+    physical and clears the tombstones.  Returns the label."""
+    require_manifested(index_dir, _DOCS)
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    label = label or next_auto_label(index_dir, prefix="t")
+    ids.select(id_col).distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, _TOMBS, f"ingest={label}"))
+    commit_ingest(index_dir, label, max_id=None, kind="tombstone")
+    return label
+
+
 def _split_labels_by_layout(
     index_dir: str, labels: list[str]
 ) -> tuple[list[str], list[str]]:
@@ -215,7 +299,9 @@ def _stored_postings(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # retracted documents' postings must never match a future batch
+    # (retract_from_index contract)
+    return _minus_tombstones(spark, index_dir, out, id_col)
 
 
 def pruned_stored_postings(
@@ -270,13 +356,16 @@ def read_verdicts(
     spark: SparkSession, index_dir: str, id_col: str = "doc_id"
 ) -> DataFrame:
     """The full committed verdict table ``(id, kept)`` — manifest-
-    scoped, so torn ingests are invisible.  A pre-manifest index
-    fails loudly instead of reading as empty (ADVICE r7)."""
+    scoped, so torn ingests are invisible; retracted ids are subtracted
+    (:func:`retract_from_index`).  A pre-manifest index fails loudly
+    instead of reading as empty (ADVICE r7)."""
     require_manifested(index_dir, _DOCS)
-    df = read_ingests(spark, index_dir, _DOCS, committed_labels(index_dir))
+    df = read_ingests(spark, index_dir, _DOCS, data_labels(index_dir))
     if df is None:
         raise ValueError(f"empty index (no committed ingests): {index_dir}")
-    return df.select(id_col, "kept")
+    return _minus_tombstones(spark, index_dir, df, id_col).select(
+        id_col, "kept"
+    )
 
 
 def build_lsh_index(
@@ -353,8 +442,7 @@ def refresh_against_index(
     # a pre-manifest index must not read as empty (ADVICE r7); the
     # in-flight label is exempt so a torn FIRST ingest's replay works
     require_manifested(index_dir, _BANDS, allow={label})
-    committed = committed_labels(index_dir)
-    prior_labels = [lb for lb in committed if lb != label]
+    prior_labels = [lb for lb in data_labels(index_dir) if lb != label]
     new_bands = lsh_band_rows(
         new_docs, text_col, id_col, num_hashes, bands
     ).localCheckpoint(eager=True)
@@ -451,7 +539,7 @@ def compact_lsh_index(
     compaction reference the replaced files and must be re-read (or
     checkpointed first), standard parquet-rewrite semantics.  Returns
     the new label."""
-    committed = committed_labels(index_dir)
+    committed = data_labels(index_dir)
     labels = list(labels) if labels is not None else committed
     if not labels:
         raise ValueError("nothing to compact")
@@ -459,6 +547,15 @@ def compact_lsh_index(
     if missing:
         raise ValueError(f"cannot compact uncommitted ingests: {sorted(missing)}")
     new_label = next_auto_label(index_dir, prefix="c")
+    # a FULL compaction makes retraction physical: tombstoned rows are
+    # already filtered by the reads below, and with every data ingest
+    # rewritten no stored row can still carry a retracted id — the
+    # tombstone entries are swapped out in the SAME manifest commit.
+    # A subset compaction keeps them (other ingests may still hold
+    # retracted rows).
+    tomb_labels = (
+        _tombstone_labels(index_dir) if set(labels) == set(committed) else []
+    )
     # mixed-layout read, with the kp split RE-DECIDED on the combined
     # row count — compaction is where a run of small band-only ingests
     # graduates to the 256-way layout (module docstring).  The count
@@ -469,12 +566,23 @@ def compact_lsh_index(
     postings = _stored_postings(spark, index_dir, labels, id_col).select(
         id_col, "band", "key"
     )
+    # with tombstones anywhere, the manifest row counts overcount the
+    # filtered read — recount (retraction is rare; the common path
+    # stays O(1) metadata)
     n_rows = (
-        sum(counts) if all(c is not None for c in counts) else postings.count()
+        sum(counts)
+        if all(c is not None for c in counts)
+        and not _tombstone_labels(index_dir)
+        else postings.count()
     )
     kp_split = n_rows >= KP_SPLIT_MIN_ROWS
     _write_postings(postings, index_dir, new_label, kp_split)
-    verdicts = read_ingests(spark, index_dir, _DOCS, labels)
+    verdicts = _minus_tombstones(
+        spark,
+        index_dir,
+        read_ingests(spark, index_dir, _DOCS, labels),
+        id_col,
+    )
     verdicts.select(id_col, "kept").write.mode("overwrite").parquet(
         os.path.join(index_dir, _DOCS, f"ingest={new_label}")
     )
@@ -484,7 +592,7 @@ def compact_lsh_index(
     maxes = [e["max_id"] for e in replaced if e.get("max_id") is not None]
     replace_ingests(
         index_dir,
-        labels,
+        labels + tomb_labels,
         new_label,
         max_id=max(maxes) if maxes else None,
         kp_split=kp_split,
@@ -492,4 +600,5 @@ def compact_lsh_index(
     )
     drop_ingest_dirs(index_dir, _BANDS, labels)
     drop_ingest_dirs(index_dir, _DOCS, labels)
+    drop_ingest_dirs(index_dir, _TOMBS, tomb_labels)
     return new_label

@@ -9597,6 +9597,100 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_index_retraction",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_oracle_exprs(8)} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_oracle(8, 4)}),
+    d0 AS (
+      SELECT DISTINCT r.doc_id
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+      WHERE r.doc_id < 10000
+    ),
+    d1 AS (
+      SELECT DISTINCT r.doc_id
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+      WHERE r.doc_id >= 10000 AND r.doc_id < 20000 AND l.doc_id < 20000
+    ),
+    d2 AS (
+      SELECT DISTINCT r.doc_id
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+      WHERE r.doc_id >= 20000 AND l.doc_id >= 25
+    )
+    SELECT c.doc_id,
+           CASE WHEN c.doc_id < 10000 THEN 'base'
+                WHEN c.doc_id < 20000 THEN 'near' ELSE 'exact' END AS stage,
+           CASE WHEN c.doc_id < 10000 THEN d0.doc_id IS NULL
+                WHEN c.doc_id < 20000 THEN d1.doc_id IS NULL
+                ELSE d2.doc_id IS NULL END AS kept
+    FROM corpus c
+    LEFT JOIN d0 ON d0.doc_id = c.doc_id
+    LEFT JOIN d1 ON d1.doc_id = c.doc_id
+    LEFT JOIN d2 ON d2.doc_id = c.doc_id
+    WHERE NOT (c.doc_id < 25)
+    """,
+)
+def dedup_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style retraction from the persisted LSH index
+    (operators/incremental.retract_from_index): build on the base,
+    refresh with the near-dup batch, RETRACT the first 25 base
+    documents (the planted duplicates' originals), then refresh with
+    the exact-copy batch.  Contract proven by the sequenced-replay
+    oracle: retracted ids vanish from the verdict table; the exact
+    copies are deduped against the index WITHOUT the retracted
+    postings (a copy whose only earlier twin was retracted is KEPT —
+    the content no longer exists in the corpus); near-dups dropped
+    BEFORE the retraction stay dropped (append-only history — a
+    retroactive re-election would be a rebuild).  Tombstones are a
+    KB-sized id list applied as a broadcast anti-join on every read;
+    a full compaction makes the removal physical."""
+    import shutil
+    import tempfile
+
+    from .operators.incremental import (
+        build_lsh_index,
+        read_verdicts,
+        refresh_against_index,
+        retract_from_index,
+    )
+
+    corpus = dedup_corpus(spark, sf_dir)
+    base = corpus.where(F.col("doc_id") < 10000)
+    near = corpus.where(
+        (F.col("doc_id") >= 10000) & (F.col("doc_id") < 20000)
+    )
+    exact = corpus.where(F.col("doc_id") >= 20000)
+    index_dir = tempfile.mkdtemp(prefix="lsh_retract_")
+    try:
+        build_lsh_index(base, index_dir)
+        refresh_against_index(spark, index_dir, near, full_output=False)
+        retract_from_index(spark, index_dir, range(25))
+        refresh_against_index(spark, index_dir, exact, full_output=False)
+        return (
+            read_verdicts(spark, index_dir)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") < 10000, F.lit("base"))
+                .when(F.col("doc_id") < 20000, F.lit("near"))
+                .otherwise(F.lit("exact"))
+                .alias("stage"),
+                "kept",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+@query(
     "streaming_incremental_dedup",
     f"""
     WITH {_CORPUS_CTE.strip()},

@@ -497,3 +497,98 @@ def test_no_driver_globs_in_index_modules():
     for mod in (ann_index, incremental):
         src = inspect.getsource(mod)
         assert "glob" not in src, mod.__name__
+
+
+def test_retraction_semantics_end_to_end(spark, tmp_path):
+    """retract_from_index contract: retracted ids vanish from
+    read_verdicts; a NEW document identical to a retracted one is KEPT
+    (the content no longer exists); documents dropped BEFORE the
+    retraction stay dropped (append-only history); retraction replay
+    is idempotent; a FULL compaction makes the removal physical and
+    clears the tombstones."""
+    import glob
+
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        _stored_postings,
+        data_labels,
+        retract_from_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    # content-DISJOINT docs (unlike _corpus's cyclic vocab): a copy can
+    # only ever match its own original, so the keep/drop expectations
+    # below are unambiguous
+    base = spark.createDataFrame(
+        [
+            (i, " ".join(f"d{i}w{k}" for k in range(12)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    build_lsh_index(base, idx)
+    # batch 1: exact copies of docs 0..4 -> all dropped against base
+    dup1 = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    refresh_against_index(spark, idx, dup1, full_output=False)
+    v1 = {r.doc_id: r.kept for r in read_verdicts(spark, idx).collect()}
+    assert all(not v1[100 + i] for i in range(5))
+
+    # retract the originals 0..4 (and their copies 100..104: content
+    # removal means every stored instance of it)
+    t1 = retract_from_index(
+        spark, idx, list(range(5)) + list(range(100, 105))
+    )
+    v2 = {r.doc_id: r.kept for r in read_verdicts(spark, idx).collect()}
+    assert not any(i in v2 for i in range(5))
+    assert not any(100 + i in v2 for i in range(5))
+    # every non-retracted verdict is exactly what it was
+    assert v2 == {i: k for i, k in v1.items() if i not in {*range(5), *range(100, 105)}}
+
+    # batch 2: fresh copies of the retracted content -> KEPT now
+    dup2 = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 200).alias("doc_id"), "text"
+    )
+    refresh_against_index(spark, idx, dup2, full_output=False)
+    v3 = {r.doc_id: r.kept for r in read_verdicts(spark, idx).collect()}
+    assert all(v3[200 + i] for i in range(5))
+    # ...but a copy of NON-retracted content still drops
+    dup3 = base.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 8)).select(
+        (F.col("doc_id") + 300).alias("doc_id"), "text"
+    )
+    refresh_against_index(spark, idx, dup3, full_output=False)
+    v4 = {r.doc_id: r.kept for r in read_verdicts(spark, idx).collect()}
+    assert all(not v4[300 + i] for i in range(5, 8))
+
+    # idempotent replay: re-committing the SAME label replaces its
+    # entry (one tombstone ingest, not two) and reads are unchanged
+    v_before_replay = sorted(
+        tuple(r) for r in read_verdicts(spark, idx).collect()
+    )
+    t1b = retract_from_index(
+        spark, idx, list(range(5)) + list(range(100, 105)), label=t1
+    )
+    assert t1b == t1
+    entries = [
+        e for e in S.read_manifest(idx) if e.get("kind") == "tombstone"
+    ]
+    assert [e["label"] for e in entries] == [t1]
+    assert (
+        sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+        == v_before_replay
+    )
+
+    # FULL compaction: physical removal + tombstones cleared
+    before = sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+    compact_lsh_index(spark, idx)
+    assert [
+        e for e in S.read_manifest(idx) if e.get("kind") == "tombstone"
+    ] == []
+    after = sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+    assert after == before
+    stored = _stored_postings(spark, idx, data_labels(idx), "doc_id")
+    ids_in_postings = {
+        r.doc_id for r in stored.select("doc_id").distinct().collect()
+    }
+    assert not ids_in_postings & ({*range(5)} | {*range(100, 105)})
+    assert not glob.glob(os.path.join(idx, "tombstones", "ingest=*"))
