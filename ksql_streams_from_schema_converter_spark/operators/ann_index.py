@@ -46,13 +46,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .indexstore import (
+    TOMBSTONES,
     commit_ingest,
-    committed_labels,
+    data_labels,
     drop_ingest_dirs,
     next_auto_label,
     read_ingests,
     replace_ingests,
     require_manifested,
+    retract_ids,
+    subtract_tombstones,
+    tombstone_labels,
 )
 from .similarity import assign_cells, train_ivf_centroids
 
@@ -62,15 +66,42 @@ _CELLS = "cells"
 _BASE = "base"
 
 
-def read_cells(spark: SparkSession, index_dir: str) -> DataFrame:
+def read_cells(
+    spark: SparkSession, index_dir: str, id_col: str = "vec_id"
+) -> DataFrame:
     """All committed cell assignments (manifest-scoped — torn ingests
-    are invisible).  A pre-manifest index fails loudly instead of
-    reading as empty (ADVICE r7)."""
+    are invisible); retracted vectors are subtracted
+    (:func:`retract_from_ann_index`).  A pre-manifest index fails
+    loudly instead of reading as empty (ADVICE r7)."""
     require_manifested(index_dir, _CELLS)
-    df = read_ingests(spark, index_dir, _CELLS, committed_labels(index_dir))
+    df = read_ingests(spark, index_dir, _CELLS, data_labels(index_dir))
     if df is None:
         raise ValueError(f"empty index (no committed ingests): {index_dir}")
-    return df
+    return subtract_tombstones(spark, index_dir, df, id_col)
+
+
+def retract_from_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    id_col: str = "vec_id",
+    label: str | None = None,
+) -> str:
+    """GDPR-style removal from the persisted IVF / IVF-PQ index: after
+    this commit the retracted vectors are gone from every search —
+    the same tombstone discipline as incremental.retract_from_index
+    (indexstore.retract_ids): a KB-sized id list committed atomically
+    with ``kind="tombstone"``, subtracted from every cells read by a
+    broadcast anti-join, made physical by the next FULL compaction.
+    The frozen quantizer (centroids/codebooks) is untouched — it is a
+    statistical artifact, not per-vector data, the same posture as a
+    trained tokenizer surviving document deletion."""
+    require_manifested(index_dir, _CELLS)
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    return retract_ids(spark, index_dir, ids, id_col, label)
 
 
 def build_ivf_index(
@@ -243,21 +274,32 @@ def compact_ivf_index(
     discipline as in incremental.compact_lsh_index: the new directory
     is invisible until the swap, replaced directories are deleted
     best-effort after (already invisible).  Returns the new label."""
-    committed = committed_labels(index_dir)
+    committed = data_labels(index_dir)
     labels = list(labels) if labels is not None else committed
     if not labels:
         raise ValueError("nothing to compact")
     missing = set(labels) - set(committed)
     if missing:
         raise ValueError(f"cannot compact uncommitted ingests: {sorted(missing)}")
+    # a FULL compaction makes retraction physical and clears the
+    # tombstones in the same manifest swap (incremental.py discipline)
+    tomb_labels = (
+        tombstone_labels(index_dir) if set(labels) == set(committed) else []
+    )
     new_label = next_auto_label(index_dir, prefix="c")
-    cells = read_ingests(spark, index_dir, _CELLS, labels)
+    cells = subtract_tombstones(
+        spark,
+        index_dir,
+        read_ingests(spark, index_dir, _CELLS, labels),
+        "vec_id",
+    )
     data_cols = [c for c in cells.columns if c not in ("ingest",)]
     cells.select(*data_cols).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(os.path.join(index_dir, _CELLS, f"ingest={new_label}"))
-    replace_ingests(index_dir, labels, new_label)
+    replace_ingests(index_dir, labels + tomb_labels, new_label)
     drop_ingest_dirs(index_dir, _CELLS, labels)
+    drop_ingest_dirs(index_dir, TOMBSTONES, tomb_labels)
     return new_label
 
 

@@ -106,18 +106,22 @@ from .dedup import lsh_band_rows
 from .indexstore import (
     commit_ingest,
     committed_max_id,
+    data_labels,
     drop_ingest_dirs,
     next_auto_label,
     read_ingests,
     read_manifest,
     replace_ingests,
     require_manifested,
+    retract_ids,
+    subtract_tombstones,
+    tombstone_labels,
 )
+from .indexstore import TOMBSTONES as _TOMBS
 
 _BANDS = "bands"
 _DOCS = "docs"
 _BASE = "base"
-_TOMBS = "tombstones"
 #: default cap on the number of distinct batch keys pushed as an IN
 #: filter into the stored-postings scan (each key is a short string;
 #: 20k of them is a ~1 MB predicate — driver- and plan-safe)
@@ -183,52 +187,6 @@ def _verdicts(docs: DataFrame, dropped: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, (~F.col("__x")).alias("kept"))
 
 
-def data_labels(index_dir: str) -> list[str]:
-    """Committed POSTING/VERDICT ingest labels — manifest entries that
-    are not tombstones.  Every bands/docs read path lists from here so
-    a tombstone commit can never be misread as a data directory."""
-    return [
-        e["label"]
-        for e in read_manifest(index_dir)
-        if e.get("kind") != "tombstone"
-    ]
-
-
-def _tombstone_labels(index_dir: str) -> list[str]:
-    return [
-        e["label"]
-        for e in read_manifest(index_dir)
-        if e.get("kind") == "tombstone"
-    ]
-
-
-def _tombstoned_ids(
-    spark: SparkSession, index_dir: str, id_col: str
-) -> DataFrame | None:
-    """All retracted ids across committed tombstone ingests (None when
-    the index has none — the common case pays zero reads: the check is
-    manifest metadata already in memory)."""
-    labels = _tombstone_labels(index_dir)
-    if not labels:
-        return None
-    df = read_ingests(spark, index_dir, _TOMBS, labels)
-    return df.select(id_col).distinct()
-
-
-def _minus_tombstones(
-    spark: SparkSession, index_dir: str, df: DataFrame | None, id_col: str
-) -> DataFrame | None:
-    """Filter retracted ids out of a bands/docs read — a broadcast
-    left-anti join against the (small) tombstone set; identity when no
-    tombstones exist."""
-    if df is None:
-        return None
-    tomb = _tombstoned_ids(spark, index_dir, id_col)
-    if tomb is None:
-        return df
-    return df.join(F.broadcast(tomb), id_col, "left_anti")
-
-
 def retract_from_index(
     spark: SparkSession,
     index_dir: str,
@@ -259,12 +217,7 @@ def retract_from_index(
         ids = spark.createDataFrame(
             [(int(i),) for i in ids], f"{id_col} long"
         )
-    label = label or next_auto_label(index_dir, prefix="t")
-    ids.select(id_col).distinct().coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, _TOMBS, f"ingest={label}"))
-    commit_ingest(index_dir, label, max_id=None, kind="tombstone")
-    return label
+    return retract_ids(spark, index_dir, ids, id_col, label)
 
 
 def _split_labels_by_layout(
@@ -301,7 +254,7 @@ def _stored_postings(
         out = out.unionByName(p)
     # retracted documents' postings must never match a future batch
     # (retract_from_index contract)
-    return _minus_tombstones(spark, index_dir, out, id_col)
+    return subtract_tombstones(spark, index_dir, out, id_col)
 
 
 def pruned_stored_postings(
@@ -363,7 +316,7 @@ def read_verdicts(
     df = read_ingests(spark, index_dir, _DOCS, data_labels(index_dir))
     if df is None:
         raise ValueError(f"empty index (no committed ingests): {index_dir}")
-    return _minus_tombstones(spark, index_dir, df, id_col).select(
+    return subtract_tombstones(spark, index_dir, df, id_col).select(
         id_col, "kept"
     )
 
@@ -554,7 +507,7 @@ def compact_lsh_index(
     # A subset compaction keeps them (other ingests may still hold
     # retracted rows).
     tomb_labels = (
-        _tombstone_labels(index_dir) if set(labels) == set(committed) else []
+        tombstone_labels(index_dir) if set(labels) == set(committed) else []
     )
     # mixed-layout read, with the kp split RE-DECIDED on the combined
     # row count — compaction is where a run of small band-only ingests
@@ -572,12 +525,12 @@ def compact_lsh_index(
     n_rows = (
         sum(counts)
         if all(c is not None for c in counts)
-        and not _tombstone_labels(index_dir)
+        and not tombstone_labels(index_dir)
         else postings.count()
     )
     kp_split = n_rows >= KP_SPLIT_MIN_ROWS
     _write_postings(postings, index_dir, new_label, kp_split)
-    verdicts = _minus_tombstones(
+    verdicts = subtract_tombstones(
         spark,
         index_dir,
         read_ingests(spark, index_dir, _DOCS, labels),

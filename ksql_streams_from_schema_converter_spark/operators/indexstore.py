@@ -255,3 +255,73 @@ def drop_ingest_dirs(index_dir: str, sub: str, labels: list[str]) -> None:
 
     for p in ingest_paths(index_dir, sub, labels):
         shutil.rmtree(p, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# retraction (GDPR removal) — shared tombstone discipline
+# ---------------------------------------------------------------------------
+
+#: data subdirectory holding retracted-id ingests
+TOMBSTONES = "tombstones"
+
+
+def tombstone_labels(index_dir: str) -> list[str]:
+    """Committed tombstone ingest labels (manifest kind='tombstone')."""
+    return [
+        e["label"]
+        for e in read_manifest(index_dir)
+        if e.get("kind") == "tombstone"
+    ]
+
+
+def data_labels(index_dir: str) -> list[str]:
+    """Committed DATA ingest labels — every manifest entry that is not
+    a tombstone.  All posting/verdict/cell read paths list from here so
+    a tombstone commit can never be misread as a data directory."""
+    return [
+        e["label"]
+        for e in read_manifest(index_dir)
+        if e.get("kind") != "tombstone"
+    ]
+
+
+def retract_ids(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame,
+    id_col: str,
+    label: str | None = None,
+) -> str:
+    """Commit a tombstone ingest: the id list lands as parquet under
+    ``tombstones/ingest=<label>`` FIRST, then one atomic manifest
+    commit with ``kind="tombstone"`` publishes it — torn writes
+    invisible, label-scoped replay idempotent (the ingest discipline
+    applied to removals).  Returns the label."""
+    label = label or next_auto_label(index_dir, prefix="t")
+    ids.select(id_col).distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, TOMBSTONES, f"ingest={label}"))
+    commit_ingest(index_dir, label, max_id=None, kind="tombstone")
+    return label
+
+
+def subtract_tombstones(
+    spark: SparkSession, index_dir: str, df: DataFrame | None, id_col: str
+):
+    """Filter every retracted id out of a data read — a broadcast
+    left-anti join against the (KB-sized) tombstone set; identity when
+    the index has no tombstones (the common case pays zero reads: the
+    check is manifest metadata)."""
+    from pyspark.sql import functions as F
+
+    if df is None:
+        return None
+    labels = tombstone_labels(index_dir)
+    if not labels:
+        return df
+    tomb = (
+        read_ingests(spark, index_dir, TOMBSTONES, labels)
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(F.broadcast(tomb), id_col, "left_anti")

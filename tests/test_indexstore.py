@@ -592,3 +592,62 @@ def test_retraction_semantics_end_to_end(spark, tmp_path):
     }
     assert not ids_in_postings & ({*range(5)} | {*range(100, 105)})
     assert not glob.glob(os.path.join(idx, "tombstones", "ingest=*"))
+
+
+def test_ann_retraction_vanishes_from_search_and_compaction(spark, tmp_path):
+    """retract_from_ann_index: retracted vectors leave every search
+    result (survivors shift up, top-k stays full), the frozen
+    quantizer is untouched, and a FULL compaction makes the removal
+    physical and clears the tombstones."""
+    import glob
+
+    from ksql_streams_from_schema_converter_spark.operators.ann_index import (
+        load_centroids,
+        read_cells,
+        retract_from_ann_index,
+        search_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(_emb(spark, range(0, 200)), idx, n_cells=4)
+    queries = _emb(spark, [7, 42]).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    before = search_ivf_index(spark, idx, queries, k=5, nprobe=4).collect()
+    # retract each query's rank-1 neighbor
+    top = {r.query_id: r.neighbor_id for r in before if r.rank == 1}
+    cents_before = load_centroids(spark, idx)
+    retract_from_ann_index(spark, idx, sorted(set(top.values())))
+    after = search_ivf_index(spark, idx, queries, k=5, nprobe=4).collect()
+    got_ids = {r.neighbor_id for r in after}
+    assert not (set(top.values()) & got_ids)
+    # k results still returned from the survivors, in the same order
+    for qid in (7, 42):
+        assert sorted(r.rank for r in after if r.query_id == qid) == [1, 2, 3, 4, 5]
+        old_rest = [
+            r.neighbor_id
+            for r in sorted(before, key=lambda r: r.rank)
+            if r.query_id == qid and r.neighbor_id not in set(top.values())
+        ]
+        new_order = [
+            r.neighbor_id
+            for r in sorted(after, key=lambda r: r.rank)
+            if r.query_id == qid
+        ]
+        assert new_order[: len(old_rest)] == old_rest
+    # frozen quantizer untouched
+    assert load_centroids(spark, idx) == cents_before
+    # full compaction: physical removal + tombstones cleared
+    compact_ivf_index(spark, idx)
+    assert [
+        e for e in S.read_manifest(idx) if e.get("kind") == "tombstone"
+    ] == []
+    ids_left = {
+        r.vec_id
+        for r in read_cells(spark, idx).select("vec_id").distinct().collect()
+    }
+    assert not (set(top.values()) & ids_left)
+    assert len(ids_left) == 200 - len(set(top.values()))
+    assert not glob.glob(os.path.join(idx, "tombstones", "ingest=*"))
+    final = search_ivf_index(spark, idx, queries, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, final)) == sorted(map(tuple, after))
