@@ -651,3 +651,37 @@ def test_ann_retraction_vanishes_from_search_and_compaction(spark, tmp_path):
     assert not glob.glob(os.path.join(idx, "tombstones", "ingest=*"))
     final = search_ivf_index(spark, idx, queries, k=5, nprobe=4).collect()
     assert sorted(map(tuple, final)) == sorted(map(tuple, after))
+
+
+def test_retraction_antijoin_preserves_key_space_pruning(spark, tmp_path):
+    """The tombstone anti-join sits ABOVE the stored-postings scan;
+    Catalyst must still push the kp partition filter and the key
+    IN-list THROUGH it into the parquet scan — retraction cannot cost
+    the index its key-space pruning (VERDICT r6 #1)."""
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        lsh_band_rows,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        _with_kp,
+        pruned_stored_postings,
+        retract_from_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 400), idx, kp_split=True)
+    retract_from_index(spark, idx, range(10))
+    new = _corpus(spark, 1000, 1003)
+    new_bands = _with_kp(lsh_band_rows(new)).localCheckpoint(eager=True)
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        data_labels,
+    )
+
+    pruned = pruned_stored_postings(spark, idx, data_labels(idx), new_bands)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "kp" in part, plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "key" in pushed, plan
+    # and the retracted ids are really gone from the pruned read
+    ids = {r.doc_id for r in pruned.select("doc_id").distinct().collect()}
+    assert not (ids & set(range(10)))
