@@ -86,6 +86,8 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "streaming_quality_gate",
     "dpo_preference_pairs",
     "dedup_index_retraction",
+    "dedup_blame_attribution",
+    "dedup_index_time_travel",
     "corpus_line_dedup",
     "unigram_surprisal_buckets",
     "dedup_span_exact_substr",

@@ -958,3 +958,35 @@ def corpus_line_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def lsh_dedup_blame(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Drop PROVENANCE for the LSH keep rule: per dropped document, the
+    smallest earlier document sharing any band bucket with it — the
+    audit witness a data-governance review asks for ("why was this doc
+    removed, and against what").  ``(doc_id, blame_id)``, one row per
+    dropped doc.
+
+    Scale: the same bucket self-join as the dedup itself (never
+    all-pairs), then a partial-aggregating ``min`` per dropped doc —
+    the corpus-line-dedup extremum discipline; a doc duplicated a
+    million times costs one partial min per map task, not a window
+    sort."""
+    rows = lsh_band_rows(docs, text_col, id_col, num_hashes, bands)
+    a, b = rows.alias("a"), rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"b.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"a.{id_col}")).alias("blame_id"))
+    )

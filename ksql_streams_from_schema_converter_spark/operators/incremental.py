@@ -306,17 +306,34 @@ def pruned_stored_postings(
 
 
 def read_verdicts(
-    spark: SparkSession, index_dir: str, id_col: str = "doc_id"
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "doc_id",
+    as_of: str | None = None,
 ) -> DataFrame:
-    """The full committed verdict table ``(id, kept)`` — manifest-
-    scoped, so torn ingests are invisible; retracted ids are subtracted
-    (:func:`retract_from_index`).  A pre-manifest index fails loudly
-    instead of reading as empty (ADVICE r7)."""
+    """The committed verdict table ``(id, kept)`` — manifest-scoped,
+    so torn ingests are invisible; retracted ids are subtracted
+    (:func:`retract_from_index`).  ``as_of`` reads the SNAPSHOT as of
+    a committed label (the manifest prefix ending there — Delta-style
+    time travel on the index's own commit log): later ingests are
+    invisible and only tombstones committed up to that point apply.
+    A pre-manifest index fails loudly instead of reading as empty
+    (ADVICE r7).  NOTE: compaction REWRITES history (N entries become
+    one), so as-of labels must predate the last compaction covering
+    them — the standard log-compaction trade."""
+    from .indexstore import entries_as_of
+
     require_manifested(index_dir, _DOCS)
-    df = read_ingests(spark, index_dir, _DOCS, data_labels(index_dir))
+    if as_of is None:
+        dl, tl = data_labels(index_dir), None
+    else:
+        pre = entries_as_of(index_dir, as_of)
+        dl = [e["label"] for e in pre if e.get("kind") != "tombstone"]
+        tl = [e["label"] for e in pre if e.get("kind") == "tombstone"]
+    df = read_ingests(spark, index_dir, _DOCS, dl)
     if df is None:
         raise ValueError(f"empty index (no committed ingests): {index_dir}")
-    return subtract_tombstones(spark, index_dir, df, id_col).select(
+    return subtract_tombstones(spark, index_dir, df, id_col, tl).select(
         id_col, "kept"
     )
 

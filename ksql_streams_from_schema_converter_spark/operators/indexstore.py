@@ -306,17 +306,23 @@ def retract_ids(
 
 
 def subtract_tombstones(
-    spark: SparkSession, index_dir: str, df: DataFrame | None, id_col: str
+    spark: SparkSession,
+    index_dir: str,
+    df: DataFrame | None,
+    id_col: str,
+    labels: list[str] | None = None,
 ):
     """Filter every retracted id out of a data read — a broadcast
     left-anti join against the (KB-sized) tombstone set; identity when
     the index has no tombstones (the common case pays zero reads: the
-    check is manifest metadata)."""
+    check is manifest metadata).  ``labels`` restricts the subtraction
+    to specific tombstone ingests (the time-travel read path)."""
     from pyspark.sql import functions as F
 
     if df is None:
         return None
-    labels = tombstone_labels(index_dir)
+    if labels is None:
+        labels = tombstone_labels(index_dir)
     if not labels:
         return df
     tomb = (
@@ -325,3 +331,22 @@ def subtract_tombstones(
         .distinct()
     )
     return df.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def entries_as_of(index_dir: str, label: str) -> list[dict]:
+    """Manifest prefix ending at ``label`` (inclusive) — the snapshot
+    a time-travel read resolves (the manifest is commit-ordered, so a
+    prefix IS a point-in-time state).  Caveat: a replayed commit moves
+    its entry to the end of the manifest; replay is content-idempotent
+    so the snapshot VALUES are unaffected, but an as-of read taken
+    between a label's original commit and its replay may see it in a
+    different position — single-writer stores replaying only in-flight
+    labels (the contract everywhere here) never observe this."""
+    entries = read_manifest(index_dir)
+    names = [e["label"] for e in entries]
+    if label not in names:
+        raise ValueError(
+            f"label {label!r} not committed in {index_dir} "
+            f"(committed: {names})"
+        )
+    return entries[: names.index(label) + 1]

@@ -9691,6 +9691,101 @@ def dedup_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_blame_attribution",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_oracle_exprs(8)} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_oracle(8, 4)})
+    SELECT r.doc_id, CAST(min(l.doc_id) AS BIGINT) AS blame_id
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    GROUP BY r.doc_id
+    """,
+)
+def dedup_blame_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop provenance for the LSH keep rule
+    (operators/dedup.lsh_dedup_blame): per dropped document, the
+    smallest earlier document sharing a band bucket — the audit
+    witness a governance review asks for ("removed against WHAT").
+    Same bucketed self-join as the dedup itself, then a
+    partial-aggregating min per dropped doc (the skew-safe extremum
+    pattern) — a million-fold duplicate costs one partial min per map
+    task, never a window sort."""
+    from .operators.dedup import lsh_dedup_blame
+
+    return lsh_dedup_blame(dedup_corpus(spark, sf_dir))
+
+
+@query(
+    "dedup_index_time_travel",
+    f"""
+    WITH {_CORPUS_CTE.strip()},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_oracle_exprs(8)} FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_oracle(8, 4)}),
+    dropped AS (
+      SELECT DISTINCT r.doc_id
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+      WHERE r.doc_id < 20000
+    )
+    SELECT c.doc_id, d.doc_id IS NULL AS kept
+    FROM corpus c LEFT JOIN dropped d ON d.doc_id = c.doc_id
+    WHERE c.doc_id < 20000
+    """,
+)
+def dedup_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot (as-of) reads on the persisted LSH index
+    (operators/incremental.read_verdicts(as_of=...) — Delta-style time
+    travel on the index's own commit log): build on the base, refresh
+    with the near-dup batch under label r1, refresh with the
+    exact-copy batch under label r2, then read the index AS OF r1 —
+    the r2 ingest must be invisible, and the snapshot must equal the
+    from-scratch answer over base+near alone (which the oracle
+    computes).  The snapshot costs ONE manifest prefix — no data is
+    copied or rewritten to keep history; compaction is the explicit
+    history-rewrite point."""
+    import shutil
+    import tempfile
+
+    from .operators.incremental import (
+        build_lsh_index,
+        read_verdicts,
+        refresh_against_index,
+    )
+
+    corpus = dedup_corpus(spark, sf_dir)
+    base = corpus.where(F.col("doc_id") < 10000)
+    near = corpus.where(
+        (F.col("doc_id") >= 10000) & (F.col("doc_id") < 20000)
+    )
+    exact = corpus.where(F.col("doc_id") >= 20000)
+    index_dir = tempfile.mkdtemp(prefix="lsh_asof_")
+    try:
+        build_lsh_index(base, index_dir)
+        refresh_against_index(
+            spark, index_dir, near, full_output=False, ingest_label="r1"
+        )
+        refresh_against_index(
+            spark, index_dir, exact, full_output=False, ingest_label="r2"
+        )
+        return read_verdicts(spark, index_dir, as_of="r1").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+@query(
     "streaming_incremental_dedup",
     f"""
     WITH {_CORPUS_CTE.strip()},

@@ -685,3 +685,44 @@ def test_retraction_antijoin_preserves_key_space_pruning(spark, tmp_path):
     # and the retracted ids are really gone from the pruned read
     ids = {r.doc_id for r in pruned.select("doc_id").distinct().collect()}
     assert not (ids & set(range(10)))
+
+
+def test_as_of_read_is_a_true_snapshot(spark, tmp_path):
+    """read_verdicts(as_of=label): later ingests AND later tombstones
+    are invisible — the snapshot equals what read_verdicts returned at
+    that commit; unknown labels fail loudly."""
+    import pytest
+
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        retract_from_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 40), idx)
+    at_base = sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+    refresh_against_index(
+        spark, idx, _corpus(spark, 100, 120), ingest_label="r1"
+    )
+    at_r1 = sorted(tuple(r) for r in read_verdicts(spark, idx).collect())
+    retract_from_index(spark, idx, range(5), label="t1")
+    refresh_against_index(
+        spark, idx, _corpus(spark, 200, 210), ingest_label="r2"
+    )
+    # snapshots: base excludes r1/r2 AND the later tombstone; r1
+    # includes the retracted docs (they were live at that commit)
+    assert (
+        sorted(tuple(r) for r in read_verdicts(spark, idx, as_of="base").collect())
+        == at_base
+    )
+    assert (
+        sorted(tuple(r) for r in read_verdicts(spark, idx, as_of="r1").collect())
+        == at_r1
+    )
+    # as-of the tombstone: r1 data minus the retracted ids
+    at_t1 = {r.doc_id for r in read_verdicts(spark, idx, as_of="t1").collect()}
+    assert at_t1 == {r[0] for r in at_r1} - set(range(5))
+    # the live head sees r2 and the retraction
+    live = {r.doc_id for r in read_verdicts(spark, idx).collect()}
+    assert live == ({r[0] for r in at_r1} | set(range(200, 210))) - set(range(5))
+    with pytest.raises(ValueError, match="not committed"):
+        read_verdicts(spark, idx, as_of="nope")
