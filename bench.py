@@ -138,13 +138,22 @@ def main() -> None:
             "one extra small-scale join but absorbs the guaranteed hot "
             "keys map-side (SCALE_PROBE exponent 0.583 with blank-line "
             "skew growing ~k by construction) — the 100-TB plan, paid "
-            "at 60 MB. The 5 queries new in r9 (pretrain_pipeline_v5, "
+            "at 60 MB. The 9 queries new in r9 (pretrain_pipeline_v5, "
             "dedup_span_exact_substr_wide, multimodal_near_dup, "
-            "multimodal_frame_near_dup, streaming_quality_gate) add "
-            "~27s: the quality-gate lifecycle runs two 9-round "
+            "multimodal_frame_near_dup, streaming_quality_gate, "
+            "dpo_preference_pairs, dedup_index_retraction, "
+            "dedup_index_time_travel, dedup_blame_attribution) add "
+            "~41s: the quality-gate lifecycle runs two 9-round "
             "classifier fits plus 3 manifest-committed scoring batches "
-            "inside its stream, and the wide span variant doubles the "
-            "per-gram Horner work by design"
+            "inside its stream, the retraction/time-travel gates each "
+            "build+refresh a full persisted index inside the query, and "
+            "the wide span variant doubles the per-gram Horner work by "
+            "design. streaming_stateful_running_totals 1.37->2.21s vs "
+            "r8 is run-to-run noise, not code (untouched this round; "
+            "the first r9 bench of the same tree recorded 1.30s) — an "
+            "availableNow micro-batch stream whose cost is trigger/"
+            "checkpoint overhead oscillating around the 2s median-rule "
+            "threshold"
         ),
         "methodology_note_r8": (
             "the r7 kp-layout regression is reversed (adaptive per-ingest "
