@@ -88,6 +88,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "dedup_index_retraction",
     "dedup_blame_attribution",
     "dedup_index_time_travel",
+    "surprisal_threshold_sweep",
     "corpus_line_dedup",
     "unigram_surprisal_buckets",
     "dedup_span_exact_substr",

@@ -301,3 +301,71 @@ def load_quality_weights(
     best = max(entries, key=lambda e: e["seq"])
     rows = read_ingests(spark, store_dir, WEIGHTS_SUB, [best["label"]]).collect()
     return {r["b"]: r["w"] for r in rows}, best["label"]
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    label: Column,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Threshold calibration for a LOW-is-good quality score (the
+    CCNet surprisal convention): sweep the keep-cutoff over the
+    score's ``n_bins`` quantile boundaries and emit the exact
+    confusion counts of the rule "keep iff score <= cutoff" against a
+    reference label at every candidate — the evaluation table an
+    operator reads to pick the production gate (precision/recall are
+    ratios of these integer counts; emitting the counts keeps the
+    whole table value-hash-gateable).
+
+    One row per bin: ``(bin, cutoff, tp, fp, fn, tn)`` where cutoff is
+    the bin's max score.  Bins are quantiles of the DISTINCT score
+    values (docs collapse to per-score counts first), so a bin
+    boundary can never split a tie — "score <= cutoff" is exactly the
+    bin-prefix membership, which is what makes the confusion counts
+    the literal evaluation of that rule (doc-quantile NTILE would cut
+    through tied scores and break the cutoff semantics).  Scale: the
+    per-score collapse and the per-bin sums are partial-aggregating
+    groupBys; the distinct-score binning is the exact distributed
+    NTILE (range partition + offset prefix-sum — never a corpus-sized
+    single-reducer window); the cumulative sweep then runs as a window
+    over the ``n_bins`` rows — bounded at any corpus size."""
+    from pyspark.sql import Window
+
+    from .ranking import global_ntile
+
+    per_score = (
+        scored.select(
+            F.col(score_col),
+            F.when(label, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("__y"),
+        )
+        .groupBy(score_col)
+        .agg(F.sum("__y").alias("__sp"), F.sum(1 - F.col("__y")).alias("__sn"))
+    )
+    binned = global_ntile(per_score, [score_col], n_bins, out_col="__b")
+    per_bin = binned.groupBy("__b").agg(
+        F.max(score_col).alias("cutoff"),
+        F.sum("__sp").alias("__p"),
+        F.sum("__sn").alias("__n"),
+    )
+    totals = per_bin.agg(
+        F.sum("__p").alias("__tot_p"), F.sum("__n").alias("__tot_n")
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bin.withColumn("tp", F.sum("__p").over(w))
+        .withColumn("fp", F.sum("__n").over(w))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__b").cast("long").alias("bin"),
+            "cutoff",
+            "tp",
+            "fp",
+            (F.col("__tot_p") - F.col("tp")).alias("fn"),
+            (F.col("__tot_n") - F.col("fp")).alias("tn"),
+        )
+    )

@@ -5623,6 +5623,64 @@ def unigram_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "surprisal_threshold_sweep",
+    f"""
+    WITH t2 AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    toks AS (SELECT doc_id, tok FROM t2 WHERE tok <> ''),
+    occ AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    cnt AS (SELECT tok, sum(n) AS c FROM occ GROUP BY tok),
+    tot AS (SELECT sum(c) AS T FROM cnt),
+    sp AS (SELECT tok, CAST(length(bin(CAST(T // c AS BIGINT))) AS BIGINT) AS s
+           FROM cnt, tot),
+    ds AS (SELECT doc_id, CAST(sum(s * n) AS BIGINT) AS surprisal
+           FROM occ JOIN sp USING (tok) GROUP BY doc_id),
+    lab AS (SELECT ds.doc_id, surprisal,
+                   CASE WHEN d.n_chars >= 250 THEN 1 ELSE 0 END AS y
+            FROM ds JOIN documents d USING (doc_id)),
+    psc AS (SELECT surprisal, CAST(sum(y) AS BIGINT) AS sp,
+                   CAST(sum(1 - y) AS BIGINT) AS sn
+            FROM lab GROUP BY surprisal),
+    nb AS (SELECT surprisal, sp, sn,
+                  ntile(10) OVER (ORDER BY surprisal) AS b
+           FROM psc),
+    pb AS (SELECT b, max(surprisal) AS cutoff,
+                  CAST(sum(sp) AS BIGINT) AS p,
+                  CAST(sum(sn) AS BIGINT) AS n
+           FROM nb GROUP BY b),
+    tt AS (SELECT CAST(sum(p) AS BIGINT) AS tot_p,
+                  CAST(sum(n) AS BIGINT) AS tot_n FROM pb)
+    SELECT CAST(b AS BIGINT) AS bin, cutoff,
+           CAST(sum(p) OVER (ORDER BY b) AS BIGINT) AS tp,
+           CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS fp,
+           CAST(tot_p - sum(p) OVER (ORDER BY b) AS BIGINT) AS fn,
+           CAST(tot_n - sum(n) OVER (ORDER BY b) AS BIGINT) AS tn
+    FROM pb, tt
+    """,
+)
+def surprisal_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration (operators/quality.threshold_sweep): sweep
+    the CCNet-style "keep iff surprisal <= cutoff" gate over the
+    score's decile boundaries and emit exact confusion counts against
+    the length weak label at each candidate — the evaluation table an
+    operator reads to pick the production cutoff.  Binning is the
+    exact distributed NTILE; the cumulative sweep is a window over the
+    10 per-bin rows (bounded at any corpus size) against a 1-row total
+    broadcast; everything integer, so the whole table value-hashes."""
+    from .operators.quality import threshold_sweep
+    from .operators.text import unigram_surprisal_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_surprisal_scores(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return threshold_sweep(
+        scored, F.col("n_chars") >= 250, score_col="surprisal", n_bins=10
+    )
+
+
+@query(
     "substring_dup_stats",
     f"""
     WITH {_CORPUS_CTE.strip()},

@@ -253,3 +253,32 @@ def test_streaming_quality_gate_survives_restart(spark, tmp_path):
     for doc_id, r in by_doc.items():
         want = expect_a[doc_id] if doc_id % 3 < 2 else expect_b[doc_id]
         assert (r.score, r.keep) == want, doc_id
+
+
+def test_threshold_sweep_confusion_counts_are_exact(spark):
+    """threshold_sweep: per decile cutoff, (tp, fp, fn, tn) must equal
+    the brute-force confusion counts of "keep iff score <= cutoff",
+    rows monotone in bin, and tp+fp+fn+tn == corpus size everywhere."""
+    from ksql_streams_from_schema_converter_spark.operators.quality import (
+        threshold_sweep,
+    )
+
+    rows = [(i, (i * 37) % 101, i % 3 != 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, good boolean")
+    out = sorted(
+        threshold_sweep(df, F.col("good"), n_bins=10).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in out] == list(range(1, 11))
+    P = sum(1 for _, _, g in rows if g)
+    N = len(rows) - P
+    prev_tp = prev_fp = -1
+    for r in out:
+        tp = sum(1 for _, s, g in rows if g and s <= r.cutoff)
+        fp = sum(1 for _, s, g in rows if not g and s <= r.cutoff)
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, P - tp, N - fp), r
+        assert r.tp + r.fp + r.fn + r.tn == 200
+        assert r.tp >= prev_tp and r.fp >= prev_fp  # monotone sweep
+        prev_tp, prev_fp = r.tp, r.fp
+    # the last bin keeps everything
+    assert (out[-1].tp, out[-1].fp) == (P, N)
