@@ -148,12 +148,17 @@ def main() -> None:
             "inside its stream, the retraction/time-travel gates each "
             "build+refresh a full persisted index inside the query, and "
             "the wide span variant doubles the per-gram Horner work by "
-            "design. streaming_stateful_running_totals 1.37->2.21s vs "
-            "r8 is run-to-run noise, not code (untouched this round; "
-            "the first r9 bench of the same tree recorded 1.30s) — an "
-            "availableNow micro-batch stream whose cost is trigger/"
-            "checkpoint overhead oscillating around the 2s median-rule "
-            "threshold"
+            "design. Measured same-tree run-to-run variance (three "
+            "full builder runs within hours on identical or one-query-"
+            "apart trees: 284.0s / 312.6s / 293.2s): each run a "
+            "DIFFERENT set of untouched 1-4s queries crosses 1.5x vs "
+            "r8 and reverts on the next run — streaming_stateful_"
+            "running_totals 2.21s then 1.41s, streaming_events_hourly "
+            "2.47s then 1.42s, bloom_pruned_join_orders 3.85s after "
+            "two in-family runs at ~2.2s — host/VM scheduler noise on "
+            "short multi-job queries, not code (none of them changed "
+            "this round). The committed record is the latest full run "
+            "of the final tree"
         ),
         "methodology_note_r8": (
             "the r7 kp-layout regression is reversed (adaptive per-ingest "
