@@ -293,6 +293,21 @@ def perceptual_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(dhash, schema=DHASH_SCHEMA)
 
 
+def _check_banding_exact(max_hamming: int) -> None:
+    """The 4-band pigeonhole only guarantees a shared untouched band
+    for Hamming distance <= bands - 1 = 3; a larger ``max_hamming``
+    would SILENTLY miss pairs whose flipped bits hit all 4 bands —
+    fail loudly instead of returning an incomplete answer (ADVICE
+    r9)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4x16 banding's "
+            "exactness bound (pigeonhole guarantees a shared band only "
+            "for distance <= 3); banded candidates would silently miss "
+            "pairs — use more/narrower bands or brute force instead"
+        )
+
+
 def near_dup_pairs(
     hashes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -311,6 +326,7 @@ def near_dup_pairs(
     standard LSH trade bounded by the 4x16 geometry, and the candidate
     join is AQE-skew-splittable.  Everything after the signature UDF is
     native Catalyst (bitwiseXOR + bit_count)."""
+    _check_banding_exact(max_hamming)
     bands = hashes.select(
         F.col(id_col),
         F.posexplode(F.array("h0", "h1", "h2", "h3")).alias("band", "v"),
@@ -427,6 +443,7 @@ def frame_near_dup_pairs(
     least ``min_frames`` aligned frames are close — whole-video
     re-encodes and single-frame edits both land above any sane
     threshold, disjoint content lands at 0."""
+    _check_banding_exact(max_hamming)
     bands = fhashes.select(
         F.col(id_col),
         "frame_idx",

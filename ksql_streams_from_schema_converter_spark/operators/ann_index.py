@@ -255,7 +255,9 @@ def search_ivf_index(
     ``cells/`` scan to those directories."""
     q = assign_queries(spark, index_dir, queries, nprobe)
     probed = sorted({r.qcell for r in q.select("qcell").distinct().collect()})
-    cells = read_cells(spark, index_dir).where(F.col("cell").isin(probed))
+    cells = read_cells(spark, index_dir, id_col).where(
+        F.col("cell").isin(probed)
+    )
     return score_assigned(cells, q, k, id_col)
 
 
@@ -263,6 +265,7 @@ def compact_ivf_index(
     spark: SparkSession,
     index_dir: str,
     labels: list[str] | None = None,
+    id_col: str = "vec_id",
 ) -> str:
     """Rewrite N committed cell ingests into ONE (VERDICT r6 #2): at
     real refresh cadence the per-ingest directories are a small-file
@@ -291,7 +294,7 @@ def compact_ivf_index(
         spark,
         index_dir,
         read_ingests(spark, index_dir, _CELLS, labels),
-        "vec_id",
+        id_col,  # the caller's id column, never a hardcoded name (ADVICE r9)
     )
     data_cols = [c for c in cells.columns if c not in ("ingest",)]
     cells.select(*data_cols).write.mode("overwrite").partitionBy(
@@ -512,7 +515,9 @@ def search_ivf_pq_index(
     scoring (exact query side, 8-bit-coded database side)."""
     q = assign_queries(spark, index_dir, queries, nprobe)
     probed = sorted({r.qcell for r in q.select("qcell").distinct().collect()})
-    coded = read_cells(spark, index_dir).where(F.col("cell").isin(probed))
+    coded = read_cells(spark, index_dir, id_col).where(
+        F.col("cell").isin(probed)
+    )
     return score_assigned_pq(
         coded, q, load_codebooks(spark, index_dir), k, id_col
     )

@@ -468,7 +468,15 @@ def refresh_against_index(
             )
         all_verdicts = read_verdicts(spark, index_dir, id_col)
     else:
-        prior_docs = read_ingests(spark, index_dir, _DOCS, prior_labels)
+        # retracted ids must be gone from EVERY read (ADVICE r9): the
+        # no-append full-output path reads prior verdicts directly, so
+        # it subtracts tombstones exactly as read_verdicts does
+        prior_docs = subtract_tombstones(
+            spark,
+            index_dir,
+            read_ingests(spark, index_dir, _DOCS, prior_labels),
+            id_col,
+        )
         prior_verdicts = (
             prior_docs.select(id_col, "kept")
             if prior_docs is not None

@@ -9535,7 +9535,8 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rafailov et al. 2023) — the third leg of the RLHF data-prep family
     beside Bradley-Terry and GRPO: per prompt group (order), elect the
     chosen (max reward, lowest id on ties) and rejected (min reward,
-    highest id) responses via ONE partial-aggregating max/min(struct)
+    lowest id on ties — min(struct(reward, id)) elects the smallest id
+    among tied rewards) responses via ONE partial-aggregating max/min(struct)
     groupBy — the corpus-line-dedup skew discipline, no window, no
     per-group sort, output one row per group.  Rewards are exact
     integer cents so the margins hash."""

@@ -772,3 +772,29 @@ def test_span_removal_is_total_over_null_and_empty_text(spark):
     assert out[1].n_kept == 0
     assert out[1].clean_fp == hashlib.md5(b"").hexdigest()
     assert out[2].n_kept == 4
+
+
+def test_near_dup_banding_rejects_out_of_bound_hamming(spark):
+    """ADVICE r9: the 4x16 banding is only exhaustive for Hamming <= 3
+    (pigeonhole) — a larger max_hamming must fail loudly instead of
+    silently missing pairs whose flipped bits hit all 4 bands."""
+    import pytest
+
+    from ksql_streams_from_schema_converter_spark.multimodal import (
+        frame_dhash,
+        frame_near_dup_pairs,
+        near_dup_pairs,
+        perceptual_dhash,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image/fake", bytes(range(72)), 9, 8)],
+        "doc_id long, media_type string, payload binary, meta_width int, meta_height int",
+    )
+    hashes = perceptual_dhash(media)
+    with pytest.raises(ValueError, match="exactness bound"):
+        near_dup_pairs(hashes, max_hamming=4)
+    with pytest.raises(ValueError, match="exactness bound"):
+        frame_near_dup_pairs(frame_dhash(media), max_hamming=7)
+    # the bound itself is fine
+    assert near_dup_pairs(hashes, max_hamming=3).count() == 0

@@ -726,3 +726,65 @@ def test_as_of_read_is_a_true_snapshot(spark, tmp_path):
     assert live == ({r[0] for r in at_r1} | set(range(200, 210))) - set(range(5))
     with pytest.raises(ValueError, match="not committed"):
         read_verdicts(spark, idx, as_of="nope")
+
+
+def test_no_append_full_output_subtracts_tombstones(spark, tmp_path):
+    """ADVICE r9 (medium): refresh_against_index(append=False,
+    full_output=True) reads prior verdicts directly — retracted ids
+    must NOT reappear with phase 'old' (the retract_from_index
+    'gone from every read' contract)."""
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        retract_from_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(_corpus(spark, 0, 40), idx)
+    retract_from_index(spark, idx, range(5))
+    out = refresh_against_index(
+        spark, idx, _corpus(spark, 100, 110), append=False, full_output=True
+    )
+    rows = {r.doc_id: r.phase for r in out.collect()}
+    assert not any(i in rows for i in range(5))
+    assert all(rows[i] == "old" for i in range(5, 40))
+    assert all(rows[i] == "new" for i in range(100, 110))
+
+
+def test_ann_index_custom_id_col_roundtrip(spark, tmp_path):
+    """ADVICE r9 (low): an IVF index built with a non-default id_col
+    must survive search, retraction, and compaction — read_cells and
+    compact_ivf_index must use the caller's id column, never the
+    'vec_id' literal."""
+    from ksql_streams_from_schema_converter_spark.operators.ann_index import (
+        read_cells,
+        retract_from_ann_index,
+    )
+
+    idx = str(tmp_path / "ivf_custom")
+    emb = _emb(spark, range(0, 60)).withColumnRenamed("vec_id", "item_id")
+    build_ivf_index(emb, idx, n_cells=4, id_col="item_id")
+    queries = _emb(spark, [7]).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    before = search_ivf_index(
+        spark, idx, queries, k=5, nprobe=4, id_col="item_id"
+    ).collect()
+    assert sorted(r.rank for r in before) == [1, 2, 3, 4, 5]
+    gone = before[0].neighbor_id
+    retract_from_ann_index(spark, idx, [gone], id_col="item_id")
+    after = search_ivf_index(
+        spark, idx, queries, k=5, nprobe=4, id_col="item_id"
+    ).collect()
+    assert gone not in {r.neighbor_id for r in after}
+    compact_ivf_index(spark, idx, id_col="item_id")
+    ids_left = {
+        r.item_id
+        for r in read_cells(spark, idx, id_col="item_id")
+        .select("item_id")
+        .distinct()
+        .collect()
+    }
+    assert gone not in ids_left and len(ids_left) == 59
+    final = search_ivf_index(
+        spark, idx, queries, k=5, nprobe=4, id_col="item_id"
+    ).collect()
+    assert sorted(map(tuple, final)) == sorted(map(tuple, after))
