@@ -1375,6 +1375,147 @@ def ann_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+_ANN_RETRACT_ORACLE = f"""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           TRUE AS topk_full,
+           TRUE AS query_recall_ok,
+           TRUE AS overall_recall_ok,
+           TRUE AS ids_disjoint,
+           TRUE AS retracted_absent,
+           TRUE AS post_matches_control,
+           TRUE AS compaction_invariant
+    FROM embeddings WHERE vec_id IN ({", ".join(map(str, _KNN_QUERY_IDS))})
+    """
+
+
+@query("ann_index_retraction", _ANN_RETRACT_ORACLE)
+def ann_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style retraction + physical compaction on the persisted
+    IVF-PQ index (VERDICT r9 #1, operators/ann_index.py
+    retract_from_ann_index / compact_ivf_index): build the coded index
+    on the old slice, FAISS-add() the new slice, then RETRACT two of
+    each query's five planted near-duplicate copies and search.  The
+    sequenced-replay contract is proven as per-query boolean verdicts:
+    ``retracted_absent`` (no tombstoned vector in any result),
+    ``post_matches_control`` (the post-retraction search is
+    row-identical to a monolithic encode-everything index over
+    base-MINUS-retracted under the SAME frozen quantizers — the
+    tombstone anti-join must equal true removal exactly),
+    ``compaction_invariant`` (a FULL compaction — which rewrites the
+    coded cells without the retracted rows and clears the tombstones —
+    changes no search result), plus the planted-truth recall verdicts
+    over the three copies that remain.  The quantizers are untouched
+    throughout: per-vector data is removable, the trained statistical
+    artifact is not (the tokenizer-survives-deletion posture)."""
+    import shutil
+    import tempfile
+
+    from .operators.ann_index import (
+        _pq_coded,
+        assign_queries,
+        build_ivf_pq_index,
+        compact_ivf_index,
+        refresh_ivf_pq_index,
+        retract_from_ann_index,
+        score_assigned_pq,
+        search_ivf_pq_index,
+    )
+    from .operators.similarity import PLANTED_OFFSET
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = S.planted_corpus(emb, _KNN_QUERY_IDS, copies=5)
+    old = corpus.where(F.col("vec_id") % 5 != 3)
+    new = corpus.where(F.col("vec_id") % 5 == 3)
+    queries = corpus.where(F.col("vec_id").isin(_KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    # retract planted copies j=4,5 of every query: copies 1-3 remain,
+    # so recall_verdicts(copies=3) counts exactly the survivors
+    retracted = [
+        q + j * PLANTED_OFFSET for q in _KNN_QUERY_IDS for j in (4, 5)
+    ]
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_retract_")
+    try:
+        cents, books = build_ivf_pq_index(
+            old, index_dir, n_cells=16, m=8, ksub=16
+        )
+        refresh_ivf_pq_index(
+            spark, index_dir, new, centroids=cents, codebooks=books
+        )
+        retract_from_ann_index(spark, index_dir, retracted)
+        post = search_ivf_pq_index(
+            spark, index_dir, queries, k=5, nprobe=3
+        ).localCheckpoint(eager=True)
+        # monolithic control: encode base-minus-retracted against the
+        # same frozen quantizers in one pass, score identically
+        keep = corpus.where(~F.col("vec_id").isin(retracted))
+        coded_ctl = _pq_coded(
+            S.assign_cells(
+                keep.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"),
+                ),
+                cents,
+            ),
+            books,
+        )
+        q = assign_queries(spark, index_dir, queries, nprobe=3)
+        control = score_assigned_pq(coded_ctl, q, books, k=5).localCheckpoint(
+            eager=True
+        )
+        # FULL compaction: retracted rows physically rewritten away,
+        # tombstones cleared in the same manifest swap — then search
+        # again; nothing may change
+        compact_ivf_index(spark, index_dir)
+        post_c = search_ivf_pq_index(
+            spark, index_dir, queries, k=5, nprobe=3
+        ).localCheckpoint(eager=True)
+
+        def _bad(a: DataFrame, b: DataFrame, flag: str) -> DataFrame:
+            return (
+                a.exceptAll(b)
+                .unionByName(b.exceptAll(a))
+                .select("query_id")
+                .distinct()
+                .withColumn(flag, F.lit(True))
+            )
+
+        hit = (
+            post.where(F.col("neighbor_id").isin(retracted))
+            .select("query_id")
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        return (
+            S.recall_verdicts(
+                post, emb, _KNN_QUERY_IDS, k=5, copies=3, min_query_hits=2
+            )
+            .join(hit, "query_id", "left")
+            .join(_bad(post, control, "__bc"), "query_id", "left")
+            .join(_bad(post_c, post, "__bk"), "query_id", "left")
+            .select(
+                "query_id",
+                "topk_full",
+                "query_recall_ok",
+                "overall_recall_ok",
+                "ids_disjoint",
+                F.coalesce(~F.col("__hit"), F.lit(True)).alias(
+                    "retracted_absent"
+                ),
+                F.coalesce(~F.col("__bc"), F.lit(True)).alias(
+                    "post_matches_control"
+                ),
+                F.coalesce(~F.col("__bk"), F.lit(True)).alias(
+                    "compaction_invariant"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 @query("streaming_ann_refresh", _ANN_INC_ORACLE)
 def streaming_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IVF index driven as a STREAMING corpus-refresh
