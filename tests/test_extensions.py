@@ -798,3 +798,59 @@ def test_near_dup_banding_rejects_out_of_bound_hamming(spark):
         frame_near_dup_pairs(frame_dhash(media), max_hamming=7)
     # the bound itself is fine
     assert near_dup_pairs(hashes, max_hamming=3).count() == 0
+
+
+def test_crossmodal_near_dup_planted_twins_and_bucketed_plan(spark):
+    """VERDICT r9 #2: caption <-> media alignment through one shared
+    hyperplane-LSH family — every planted x2-scaled caption finds its
+    own media payload (identical direction => identical sketch =>
+    recall exactly 1), naturals stay out, and the candidate plan is a
+    bucketed equi-join, never a cartesian."""
+    import contextlib
+    import io
+
+    from ksql_streams_from_schema_converter_spark.multimodal import (
+        attach_fake_media,
+        crossmodal_near_dup_pairs,
+        payload_embedding,
+    )
+
+    # byte-level pseudo-random texts: proportional-offset byte vectors
+    # of different docs are uncorrelated (near-identical prefixes like
+    # "doc0 tok.." would alias every doc into one direction)
+    import hashlib
+
+    def _txt(i: int) -> str:
+        return "".join(
+            chr(33 + int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:2], 16) % 90)
+            for j in range(96)
+        )
+
+    docs = spark.createDataFrame(
+        [(i, _txt(i)) for i in range(30)], "doc_id long, text string"
+    )
+    mv = payload_embedding(attach_fake_media(docs)).localCheckpoint(eager=True)
+    planted = mv.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    # natural captions: orthogonal-ish synthetic vectors (alternating
+    # signs scaled by caption id) — nowhere near any byte-vector
+    naturals = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> CAST(CASE WHEN d % 2 = 0 "
+            "THEN id + 1 ELSE -(CAST(id AS INT) + 1) END AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    pairs = crossmodal_near_dup_pairs(
+        naturals.unionByName(planted), mv, threshold=0.9
+    )
+    got = {(r.caption_id, r.media_id): r.cosine for r in pairs.collect()}
+    assert got == {(1000 + i, i): 1.0 for i in (0, 10, 20)}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
