@@ -9869,9 +9869,13 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
-@query(
-    "dedup_index_retraction",
-    f"""
+#: sequenced-replay oracle for the build → refresh(near) → retract(25
+#: originals) → refresh(exact) interleaving — shared by the batch and
+#: STREAMING retraction gates (both must converge to this exact state):
+#: d0/d1 replay the pre-retraction dedups (full bucket visibility),
+#: d2 replays the post-retraction batch (retracted postings < 25 are
+#: gone, so l.doc_id >= 25), and the final read excludes tombstoned ids
+_RETRACT_SEQ_ORACLE = f"""
     WITH {_CORPUS_CTE.strip()},
     sh AS (
       SELECT doc_id, unnest(list_distinct({_NGRAMS3})) AS sh FROM corpus
@@ -9909,8 +9913,10 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN d1 ON d1.doc_id = c.doc_id
     LEFT JOIN d2 ON d2.doc_id = c.doc_id
     WHERE NOT (c.doc_id < 25)
-    """,
-)
+    """
+
+
+@query("dedup_index_retraction", _RETRACT_SEQ_ORACLE)
 def dedup_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR-style retraction from the persisted LSH index
     (operators/incremental.retract_from_index): build on the base,
@@ -10149,5 +10155,115 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .operators.incremental import read_verdicts
 
         return read_verdicts(spark, index_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("streaming_index_retraction", _RETRACT_SEQ_ORACLE)
+def streaming_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR retraction driven as a STREAM (VERDICT r9 #4): the index
+    ops arrive as four mtime-ordered files on ONE source — base docs,
+    near-dup docs, a TOMBSTONE batch (kind='retract', the 25 planted
+    originals), then the exact-copy docs — and a foreachBatch loop
+    dispatches each micro-batch to build / refresh_against_index /
+    retract_from_index.  Every label is batch-id-derived (``b{k}`` for
+    ingests, ``t{k}`` for tombstones), so an at-least-once redelivery
+    of ANY batch — including the retraction itself — overwrites its own
+    ingest and converges (retract_ids commits are label-idempotent
+    exactly like data ingests).  The final verdict table must equal the
+    batch retraction gate's answer: the oracle is the SAME sequenced
+    replay as dedup_index_retraction — stream boundaries and the
+    tombstone transport must not exist in the result.  Restart
+    recovery (kill between batches, resume from the checkpoint) is
+    pinned by tests/test_streaming.py."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .operators.incremental import (
+        build_lsh_index,
+        read_verdicts,
+        refresh_against_index,
+        retract_from_index,
+    )
+
+    corpus = dedup_corpus(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="retract_stream_")
+    stream_dir = os.path.join(work, "in")
+    index_dir = os.path.join(work, "idx")
+    os.makedirs(stream_dir)
+    try:
+        ops = [
+            corpus.where(F.col("doc_id") < 10000).select(
+                F.lit("doc").alias("kind"), "doc_id", "text"
+            ),
+            corpus.where(
+                (F.col("doc_id") >= 10000) & (F.col("doc_id") < 20000)
+            ).select(F.lit("doc").alias("kind"), "doc_id", "text"),
+            corpus.where(F.col("doc_id") < 25).select(
+                F.lit("retract").alias("kind"),
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+            ),
+            corpus.where(F.col("doc_id") >= 20000).select(
+                F.lit("doc").alias("kind"), "doc_id", "text"
+            ),
+        ]
+        now = _time.time()
+        for i, op in enumerate(ops):
+            tmp = os.path.join(work, f"tmp_{i}")
+            op.coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"op{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        def apply_ops(batch_df, batch_id: int) -> None:
+            # files are homogeneous by construction, but a mixed batch
+            # applies docs BEFORE retractions (file order within a
+            # delivery); all labels derive from the CHECKPOINTED
+            # batch_id so replays overwrite their own ingests
+            docs = batch_df.where(F.col("kind") == "doc").select(
+                "doc_id", "text"
+            )
+            if not docs.isEmpty():
+                if batch_id == 0:
+                    build_lsh_index(docs, index_dir)
+                else:
+                    refresh_against_index(
+                        spark, index_dir, docs, ingest_label=f"b{batch_id}"
+                    )
+            tombs = batch_df.where(F.col("kind") == "retract").select(
+                "doc_id"
+            )
+            if not tombs.isEmpty():
+                retract_from_index(
+                    spark, index_dir, tombs, label=f"t{batch_id}"
+                )
+
+        q = (
+            spark.readStream.schema(ops[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(apply_ops)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, what="index retraction stream")
+        return (
+            read_verdicts(spark, index_dir)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") < 10000, F.lit("base"))
+                .when(F.col("doc_id") < 20000, F.lit("near"))
+                .otherwise(F.lit("exact"))
+                .alias("stage"),
+                "kept",
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -169,3 +169,120 @@ def test_rocksdb_state_store_backs_streaming_aggregation(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_streaming_retraction_restart_recovery_and_replay(spark, tmp_path):
+    """VERDICT r9 #4: the streaming retraction loop (docs and tombstone
+    batches on ONE source, batch-id-derived labels) survives a restart
+    between batches — the checkpoint resumes exactly where it stopped —
+    and an at-least-once REDELIVERY of the tombstone or a refresh batch
+    overwrites its own ingest and changes nothing."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ksql_streams_from_schema_converter_spark.operators.incremental import (
+        build_lsh_index,
+        read_verdicts,
+        refresh_against_index,
+        retract_from_index,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        read_manifest,
+    )
+
+    work = str(tmp_path)
+    stream_dir = os.path.join(work, "in")
+    index_dir = os.path.join(work, "idx")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(stream_dir)
+    base = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{k}" for k in range(12))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    ops = [
+        base.select(F.lit("doc").alias("kind"), "doc_id", "text"),
+        base.where(F.col("doc_id") < 5).select(
+            F.lit("doc").alias("kind"),
+            (F.col("doc_id") + 100).alias("doc_id"),
+            "text",
+        ),
+        spark.createDataFrame(
+            [("retract", i, None) for i in list(range(5)) + list(range(100, 105))],
+            "kind string, doc_id long, text string",
+        ),
+        base.where(F.col("doc_id") < 5).select(
+            F.lit("doc").alias("kind"),
+            (F.col("doc_id") + 200).alias("doc_id"),
+            "text",
+        ),
+    ]
+
+    def _drop(i, op, t0):
+        tmp = os.path.join(work, f"tmp_{i}")
+        op.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"op{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    def apply_ops(batch_df, batch_id: int) -> None:
+        docs = batch_df.where(F.col("kind") == "doc").select("doc_id", "text")
+        if not docs.isEmpty():
+            if batch_id == 0:
+                build_lsh_index(docs, index_dir)
+            else:
+                refresh_against_index(
+                    spark, index_dir, docs, ingest_label=f"b{batch_id}"
+                )
+        tombs = batch_df.where(F.col("kind") == "retract").select("doc_id")
+        if not tombs.isEmpty():
+            retract_from_index(spark, index_dir, tombs, label=f"t{batch_id}")
+
+    def _run():
+        q = (
+            spark.readStream.schema(ops[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(apply_ops)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    t0 = time.time()
+    # phase 1: only the first two batches exist; the "crash" is the
+    # availableNow drain ending here
+    _drop(0, ops[0], t0)
+    _drop(1, ops[1], t0)
+    _run()
+    v1 = {r.doc_id: r.kept for r in read_verdicts(spark, index_dir).collect()}
+    assert all(not v1[100 + i] for i in range(5))  # copies dropped
+    # phase 2: the tombstone and the post-retraction batch arrive;
+    # restart from the SAME checkpoint — batch ids continue at 2, 3
+    _drop(2, ops[2], t0)
+    _drop(3, ops[3], t0)
+    _run()
+    v2 = {r.doc_id: r.kept for r in read_verdicts(spark, index_dir).collect()}
+    assert not any(i in v2 for i in list(range(5)) + list(range(100, 105)))
+    assert all(v2[200 + i] for i in range(5))  # twins retracted -> kept
+    assert all(v2[i] for i in range(5, 40))
+    # batch-id labels committed once each
+    labels = [e["label"] for e in read_manifest(index_dir)]
+    assert labels.count("t2") == 1 and labels.count("b3") == 1
+    # at-least-once REDELIVERY of the tombstone and the last refresh:
+    # same labels, state converges (no double ingest, verdicts frozen)
+    before = sorted(map(tuple, read_verdicts(spark, index_dir).collect()))
+    retract_from_index(
+        spark,
+        index_dir,
+        list(range(5)) + list(range(100, 105)),
+        label="t2",
+    )
+    refresh_against_index(spark, index_dir, ops[3].select("doc_id", "text"), ingest_label="b3")
+    labels = [e["label"] for e in read_manifest(index_dir)]
+    assert labels.count("t2") == 1 and labels.count("b3") == 1
+    assert sorted(map(tuple, read_verdicts(spark, index_dir).collect())) == before
