@@ -1,0 +1,393 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training (VERDICT r9
+#3) — the second leg of the tokenizer family beside BPE
+(operators/bpe.py): instead of greedily growing merges, START from a
+large substring seed vocabulary and let segmentation + re-estimation
+SHRINK it, per Kudo, "Subword Regularization: Improving Neural Network
+Translation Models with Multiple Subword Candidates" (ACL 2018) — the
+SentencePiece unigram trainer.
+
+Variant implemented: **Viterbi hard-EM in exact integer arithmetic.**
+
+- Seed: every substring of length 1..``max_piece_len`` of the capped
+  word-frequency table, counted per occurrence weighted by word
+  frequency, capped to the ``piece_cap`` most frequent (ties by piece)
+  — PLUS every single character, so a segmentation always exists (the
+  SentencePiece required-character set).
+- Per EM round: piece scores are integer surprisal
+  ``s(p) = bit_length(T // c(p))`` (the CCNet-bucket idiom — an exact
+  integer stand-in for -log p that both engines compute identically);
+  the E-step Viterbi-segments every word under the scores (DP over
+  positions, tie-break = smallest predecessor index via a
+  ``min(struct(cost, i))`` election); the M-step recounts pieces over
+  the best segmentations weighted by word frequency.  Pieces of length
+  > 1 that win no segmentation PRUNE OUT (the unigram-LM shrink);
+  single characters are floored at count 1 so they stay scoreable.
+- Hard EM (not soft EM) is chosen deliberately: expected counts are
+  sums of probability products — floats no SQL oracle can replay
+  bit-for-bit — while the Viterbi path under integer costs with a
+  deterministic tie-break is a pure function of (words, scores), so
+  DuckDB unrolls the whole training round-for-round as materialized
+  CTEs (the quality-classifier/BPE oracle discipline) and the driver
+  hash gate proves the FIT.  (SentencePiece itself ships Viterbi
+  inference; hard-EM training is the classic "segmental EM"
+  approximation.)
+
+Spark shape (the one that survives 100 TB):
+
+- ONE corpus scan (word extraction + frequency, map-side combined) —
+  everything after runs on the CAPPED word table (bpe.py precedent).
+- Training state is the bounded piece table (≤ piece_cap + alphabet
+  rows); scores ride into the segmentation pass as a task-closure
+  dict (the k-means-centroid / PQ-codebook bounded-collect shape).
+- Each round: one Arrow-batched ``mapInPandas`` Viterbi pass over the
+  word table (per-word DP — genuinely imperative, the documented
+  Pandas-UDF exception) + one partial-aggregated groupBy on piece.
+  Words longer than ``max_word_len`` are excluded from training
+  (SentencePiece's max-sentencepiece-length posture); the encoder
+  still handles them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bpe import word_frequencies
+
+#: longest seed substring (SentencePiece default max piece length is
+#: 16; 4 keeps the DP window and the unrolled oracle compact)
+MAX_PIECE_LEN = 4
+#: words longer than this are excluded from TRAINING (encode is total)
+MAX_WORD_LEN = 12
+#: seed-vocabulary cap (top pieces by weighted occurrence count)
+PIECE_CAP = 1000
+#: Viterbi-EM rounds
+N_ROUNDS = 2
+
+
+def _all_substrings(max_piece_len: int):
+    """Native expression: every (start, len<=max_piece_len) substring
+    of ``word`` — the seed-vocabulary explosion, flat-mapped JVM-side."""
+    return F.flatten(
+        F.expr(
+            f"""
+            transform(sequence(1, length(word)), i ->
+              transform(sequence(1, least({max_piece_len}, length(word) - i + 1)),
+                        L -> substring(word, i, L)))
+            """
+        )
+    )
+
+
+def unigram_seed(
+    wf: DataFrame, max_piece_len: int = MAX_PIECE_LEN, piece_cap: int = PIECE_CAP
+) -> DataFrame:
+    """``(piece, c)`` seed counts: per-occurrence substring counts
+    weighted by word frequency, capped to the top ``piece_cap`` by
+    (count desc, piece), plus every single character not already in
+    the cap (segmentation totality)."""
+    occ = wf.select(
+        F.explode(_all_substrings(max_piece_len)).alias("piece"), "freq"
+    )
+    c0 = occ.groupBy("piece").agg(F.sum("freq").cast("long").alias("c"))
+    cap = c0.orderBy(F.desc("c"), "piece").limit(piece_cap)
+    chars = c0.where(F.length("piece") == 1).join(cap, "piece", "left_anti")
+    return cap.unionByName(chars)
+
+
+def _scores(vocab_rows) -> dict[str, int]:
+    """Integer surprisal per piece: ``bit_length(T // c)`` — identical
+    to the SQL ``length(bin(T // c))`` for positive ints."""
+    total = sum(r["c"] for r in vocab_rows)
+    return {r["piece"]: (total // r["c"]).bit_length() for r in vocab_rows}
+
+
+def viterbi_segment(
+    word: str, scores: dict[str, int], max_piece_len: int = MAX_PIECE_LEN
+) -> list[str]:
+    """Min-cost segmentation of ``word`` into scored pieces; among
+    equal-cost splits the SMALLEST predecessor index wins (the
+    ``min(struct(cost, i))`` election the SQL oracle replays).  Driver/
+    executor-shared; also the encoder primitive.  Characters missing
+    from ``scores`` fall back to singleton pieces at a large constant
+    cost (UNK — keeps encode total; never triggered in training, where
+    the seed contains every character)."""
+    n = len(word)
+    unk = 1 << 20
+    dp: list[tuple[int, int] | None] = [None] * (n + 1)
+    dp[0] = (0, -1)
+    for j in range(1, n + 1):
+        best: tuple[int, int] | None = None
+        for i in range(max(0, j - max_piece_len), j):
+            if dp[i] is None:
+                continue
+            s = scores.get(word[i:j])
+            if s is None:
+                if j - i > 1:
+                    continue
+                s = unk  # singleton fallback: encode is total
+            cand = (dp[i][0] + s, i)
+            if best is None or cand < best:
+                best = cand
+        dp[j] = best
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = dp[j][1]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def _segment_pass(
+    wf: DataFrame, scores: dict[str, int], max_piece_len: int
+) -> DataFrame:
+    """One E-step: Arrow-batched Viterbi over the word table →
+    ``(piece, freq)`` rows with segmentation multiplicity."""
+    import pandas as pd
+
+    def seg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ps, fs = [], []
+            for w, f in zip(pdf["word"], pdf["freq"], strict=True):
+                for p in viterbi_segment(w, scores, max_piece_len):
+                    ps.append(p)
+                    fs.append(f)
+            yield pd.DataFrame(
+                {
+                    "piece": pd.Series(ps, dtype="object"),
+                    "freq": pd.Series(fs, dtype="int64"),
+                }
+            )
+
+    return wf.mapInPandas(seg, schema="piece string, freq long")
+
+
+def unigram_train(
+    docs: DataFrame,
+    n_rounds: int = N_ROUNDS,
+    vocab_cap: int = 4000,
+    piece_cap: int = PIECE_CAP,
+    max_piece_len: int = MAX_PIECE_LEN,
+    max_word_len: int = MAX_WORD_LEN,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the unigram-LM vocabulary (module docstring); returns the
+    trained artifact ``(piece, cnt, score)`` — the scoring table a
+    Viterbi encoder loads."""
+    assert n_rounds >= 1
+    wf = (
+        word_frequencies(docs, text_col, vocab_cap)
+        .where(F.length("word") <= max_word_len)
+        .localCheckpoint(eager=True)  # one corpus scan; rounds reuse it
+    )
+    vocab = unigram_seed(wf, max_piece_len, piece_cap).localCheckpoint(
+        eager=True
+    )
+    for _ in range(n_rounds):
+        # bounded collect: ≤ piece_cap + alphabet rows (the centroid/
+        # codebook shape) — scores ride into the Arrow pass as a
+        # closure constant, never a join
+        rows = vocab.collect()
+        scores = _scores(rows)
+        counts = (
+            _segment_pass(wf, scores, max_piece_len)
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("c"))
+        )
+        # prune: len>1 pieces that won no segmentation vanish; single
+        # characters are floored at 1 so they stay scoreable (the
+        # required-character set)
+        chars_floor = (
+            vocab.where(F.length("piece") == 1)
+            .join(counts, "piece", "left_anti")
+            .select("piece", F.lit(1).cast("long").alias("c"))
+        )
+        vocab = counts.unionByName(chars_floor).localCheckpoint(eager=True)
+    total = F.broadcast(vocab.agg(F.sum("c").alias("T")))
+    return vocab.crossJoin(total).select(
+        "piece",
+        F.col("c").alias("cnt"),
+        F.length(
+            F.conv(F.expr("T div c").cast("string"), 10, 2)
+        ).cast("long").alias("score"),
+    )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    scores: dict[str, int],
+    max_piece_len: int = MAX_PIECE_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE under a trained scoring table: every ``[a-z]+`` word of
+    ``lower(text)`` is Viterbi-segmented (singleton-UNK fallback keeps
+    it total — out-of-alphabet characters cost a large constant, the
+    real-tokenizer UNK posture); emits per document the token count
+    and the md5 fingerprint of the space-joined segmentation with
+    ``|`` word boundaries (the bpe_segment_docs gate shape: one
+    mis-segmented byte anywhere flips it).  One Arrow pass, no
+    shuffle; the scoring dict is the bounded trained artifact."""
+    import pandas as pd
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+        import re
+
+        for pdf in batches:
+            ids, n_toks, fps = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col], strict=True):
+                words = [w for w in re.split("[^a-z]+", text.lower()) if w]
+                pieces: list[str] = []
+                for w in words:
+                    if pieces:
+                        pieces.append("|")
+                    pieces.extend(viterbi_segment(w, scores, max_piece_len))
+                joined = " ".join(pieces)
+                ids.append(doc_id)
+                n_toks.append(sum(1 for p in pieces if p != "|"))
+                fps.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_tokens": pd.Series(n_toks, dtype="int64"),
+                    "seg_fp": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        enc, schema=f"{id_col} long, n_tokens long, seg_fp string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the training unrolled round-for-round
+# ---------------------------------------------------------------------------
+
+
+def unigram_oracle_sql(
+    n_rounds: int = N_ROUNDS,
+    vocab_cap: int = 4000,
+    piece_cap: int = PIECE_CAP,
+    max_piece_len: int = MAX_PIECE_LEN,
+    max_word_len: int = MAX_WORD_LEN,
+    corpus_sql: str = "SELECT text FROM documents",
+) -> str:
+    """Replay :func:`unigram_train` in DuckDB: seed counts, then per
+    round the surprisal scores, the Viterbi DP unrolled position-by-
+    position (``min({'c': cost, 'i': pred})`` elects the same split),
+    the backwalk emitting the chosen pieces, the recount, and the
+    char floor — every chained CTE MATERIALIZED (inlining a
+    DP-recurrence goes exponential)."""
+    L, W = max_piece_len, max_word_len
+    parts = [
+        f"""
+    WITH words AS MATERIALIZED (
+      SELECT word, CAST(freq AS BIGINT) AS freq FROM (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+          FROM ({corpus_sql})
+        ) WHERE word <> '' GROUP BY word
+        ORDER BY freq DESC, word LIMIT {vocab_cap}
+      ) WHERE strlen(word) <= {W}
+    ),
+    occ AS (
+      SELECT substr(word, CAST(i AS BIGINT), CAST(l AS BIGINT)) AS piece, freq
+      FROM words,
+           (SELECT unnest(range(1, {W} + 1)) AS i),
+           (SELECT unnest(range(1, {L} + 1)) AS l)
+      WHERE i + l - 1 <= strlen(word)
+    ),
+    cseed AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM occ GROUP BY piece
+    ),
+    vcap AS MATERIALIZED (
+      SELECT piece, c FROM cseed ORDER BY c DESC, piece LIMIT {piece_cap}
+    ),
+    v0 AS MATERIALIZED (
+      SELECT piece, c FROM vcap
+      UNION ALL
+      SELECT piece, c FROM cseed
+      WHERE strlen(piece) = 1 AND piece NOT IN (SELECT piece FROM vcap)
+    )"""
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f""",
+    t{r} AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM v{r}),
+    s{r} AS MATERIALIZED (
+      SELECT piece, CAST(length(bin(CAST(T // c AS BIGINT))) AS BIGINT) AS s
+      FROM v{r}, t{r}
+    ),
+    dp{r}_0 AS MATERIALIZED (
+      SELECT word, freq, 0 AS j, CAST(0 AS BIGINT) AS cost, -1 AS bp
+      FROM words
+    )"""
+        )
+        for j in range(1, W + 1):
+            prevs = " UNION ALL ".join(
+                f"SELECT * FROM dp{r}_{i}" for i in range(max(0, j - L), j)
+            )
+            parts.append(
+                f""",
+    dp{r}_{j} AS MATERIALIZED (
+      SELECT word, freq, {j} AS j,
+             (min({{'c': cost + s, 'i': d.j}})).c AS cost,
+             (min({{'c': cost + s, 'i': d.j}})).i AS bp
+      FROM ({prevs}) d
+      JOIN s{r} ON s{r}.piece = substr(d.word, CAST(d.j + 1 AS BIGINT),
+                                       CAST({j} - d.j AS BIGINT))
+      WHERE strlen(d.word) >= {j}
+      GROUP BY word, freq
+    )"""
+            )
+        dpall = " UNION ALL ".join(
+            f"SELECT * FROM dp{r}_{j}" for j in range(1, W + 1)
+        )
+        parts.append(
+            f""",
+    dpall{r} AS MATERIALIZED ({dpall}),
+    bk{r}_0 AS MATERIALIZED (
+      SELECT word, freq, strlen(word) AS j, '' AS piece FROM words
+    )"""
+        )
+        for k in range(1, W + 1):
+            parts.append(
+                f""",
+    bk{r}_{k} AS MATERIALIZED (
+      SELECT b.word, b.freq, d.bp AS j,
+             substr(b.word, CAST(d.bp + 1 AS BIGINT),
+                    CAST(b.j - d.bp AS BIGINT)) AS piece
+      FROM bk{r}_{k - 1} b JOIN dpall{r} d
+        ON d.word = b.word AND d.j = b.j
+      WHERE b.j > 0
+    )"""
+            )
+        steps = " UNION ALL ".join(
+            f"SELECT * FROM bk{r}_{k}" for k in range(1, W + 1)
+        )
+        parts.append(
+            f""",
+    c{r + 1} AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+      FROM ({steps}) GROUP BY piece
+    ),
+    v{r + 1} AS MATERIALIZED (
+      SELECT piece, c FROM c{r + 1}
+      UNION ALL
+      SELECT piece, CAST(1 AS BIGINT) AS c FROM v{r}
+      WHERE strlen(piece) = 1 AND piece NOT IN (SELECT piece FROM c{r + 1})
+    )"""
+        )
+    parts.append(
+        f""",
+    tf AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM v{n_rounds})
+    SELECT piece, c AS cnt,
+           CAST(length(bin(CAST(T // c AS BIGINT))) AS BIGINT) AS score
+    FROM v{n_rounds}, tf"""
+    )
+    return "".join(parts)

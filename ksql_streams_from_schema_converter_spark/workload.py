@@ -9766,6 +9766,33 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dpo_pairs(li, "l_orderkey", "id", "reward")
 
 
+def _unigram_oracle() -> str:
+    from .operators.unigram import unigram_oracle_sql
+
+    return unigram_oracle_sql()
+
+
+@query("unigram_lm_tokenizer", _unigram_oracle())
+def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training (VERDICT r9
+    #3, operators/unigram.py — Kudo ACL 2018): seed every substring of
+    the capped word table, then 2 rounds of Viterbi hard-EM in exact
+    integer arithmetic — surprisal scores ``bit_length(T // c)``,
+    min-cost segmentation with a ``min(struct(cost, i))`` split
+    election, frequency-weighted recount, pruning of pieces that win
+    no segmentation (the unigram SHRINK — BPE's dual), single chars
+    floored as the required-character set.  Output = the trained
+    ``(piece, cnt, score)`` scoring table.  The oracle unrolls the
+    ENTIRE training — seed, both DP rounds position-by-position, the
+    backwalks, recounts and floors — as materialized CTEs, so the hash
+    gate proves the fit, not just an application.  Scale: one corpus
+    scan; training state ≤ piece_cap rows; per round one Arrow-batched
+    pass over the bounded word table + one partial-agg groupBy."""
+    from .operators.unigram import unigram_train
+
+    return unigram_train(load_table(spark, sf_dir, "documents"))
+
+
 def _bpe_oracle() -> str:
     from .operators.bpe import bpe_oracle_sql
 

@@ -1,0 +1,105 @@
+"""Unigram-LM tokenizer (operators/unigram.py, VERDICT r9 #3):
+train→encode round trip, segmentation determinism, pruning shrink,
+and UNK totality."""
+
+from pyspark.sql import functions as F
+
+from ksql_streams_from_schema_converter_spark.operators.unigram import (
+    unigram_encode,
+    unigram_seed,
+    unigram_train,
+    viterbi_segment,
+)
+from ksql_streams_from_schema_converter_spark.operators.bpe import (
+    word_frequencies,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the swift brown fox jumps over the lazy dog"),
+        (1, "the swift brown foxes jump over lazy dogs daily"),
+        (2, "swift thinking wins the day the dog naps"),
+        (3, "brown dogs and lazy foxes play daily in the sun"),
+    ] * 3
+    return spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_train_encode_round_trip(spark):
+    """The trained scoring table segments every training word into
+    pieces that CONCATENATE BACK to the word (lossless round trip),
+    and the encoder fingerprint is deterministic."""
+    docs = _docs(spark)
+    trained = unigram_train(docs).collect()
+    scores = {r.piece: r.score for r in trained}
+    words = [
+        r.word
+        for r in word_frequencies(docs).select("word").collect()
+    ]
+    assert words
+    for w in words:
+        pieces = viterbi_segment(w, scores)
+        assert "".join(pieces) == w  # lossless
+        assert all(p in scores for p in pieces)  # in-vocab encode
+    enc1 = sorted(map(tuple, unigram_encode(docs, scores).collect()))
+    enc2 = sorted(map(tuple, unigram_encode(docs, scores).collect()))
+    assert enc1 == enc2 and len(enc1) == docs.count()
+    # every doc tokenizes to at least its word count (pieces >= words)
+    n_words = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"), lambda w: w != ""
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    for doc_id, n_tokens, _ in enc1:
+        assert n_tokens >= n_words[doc_id]
+
+
+def test_em_prunes_seed_vocab(spark):
+    """The unigram trainer SHRINKS: pieces of length > 1 that win no
+    Viterbi segmentation leave the vocabulary, while every single
+    character survives (required-character floor)."""
+    docs = _docs(spark)
+    wf = word_frequencies(docs).where(F.length("word") <= 12)
+    seed_n = unigram_seed(wf).count()
+    trained = unigram_train(docs).collect()
+    assert len(trained) < seed_n  # the shrink happened
+    chars = {
+        r.piece
+        for r in unigram_seed(wf).where(F.length("piece") == 1).collect()
+    }
+    kept_chars = {r.piece for r in trained if len(r.piece) == 1}
+    assert chars == kept_chars
+    assert all(r.cnt >= 1 and r.score >= 1 for r in trained)
+
+
+def test_encode_is_total_under_unk(spark):
+    """A document containing characters the training never saw still
+    encodes (singleton UNK fallback) — the encoder is total."""
+    docs = _docs(spark)
+    trained = unigram_train(docs).collect()
+    scores = {r.piece: r.score for r in trained}
+    assert not {"c", "q"} & {p for p in scores if len(p) == 1}
+    weird = spark.createDataFrame(
+        [(99, "cqcq swift")], "doc_id long, text string"
+    )
+    out = unigram_encode(weird, scores).collect()
+    assert len(out) == 1 and out[0].n_tokens >= 5  # 4 UNK chars + pieces
+    assert viterbi_segment("cqcq", scores) == ["c", "q", "c", "q"]
+
+
+def test_viterbi_tiebreak_prefers_smallest_predecessor():
+    """Equal-cost splits elect the smallest predecessor index — the
+    min(struct(cost, i)) election the SQL oracle replays."""
+    scores = {"a": 2, "b": 2, "ab": 4, "ba": 4, "aba": 9}
+    # "aba": (a)(ba)=6, (ab)(a)=6, (a)(b)(a)=6, (aba)=9 — all min-cost
+    # paths cost 6; backwalk from j=3 picks bp=min i with cost 6 -> the
+    # last piece is word[i:3] with smallest i reachable at cost 6
+    assert viterbi_segment("aba", scores) == ["a", "ba"]
