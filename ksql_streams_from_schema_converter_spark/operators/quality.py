@@ -133,6 +133,29 @@ def _margins(
     )
 
 
+def labeled_features(
+    docs: DataFrame,
+    label: Column,
+    n_buckets: int = N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, b, c, __y)`` — hashed count features with the ±1 weak
+    label riding along (one join, once).  This is the PERSISTABLE
+    training input (VERDICT r9 #6): because feature rows are a pure
+    per-document function, the feature table of a corpus union equals
+    the union of per-batch feature tables — so a streaming lifecycle
+    can persist each batch's features once and refit from the stored
+    union without ever re-tokenizing raw docs."""
+    labels = docs.select(
+        F.col(id_col),
+        F.when(label, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("__y"),
+    )
+    return hashed_features(docs, n_buckets, text_col, id_col).join(
+        labels, id_col
+    )
+
+
 def train_quality_perceptron(
     docs: DataFrame,
     label: Column,
@@ -146,22 +169,32 @@ def train_quality_perceptron(
     state as a dict over ALL buckets 0..n_buckets (bias included,
     untouched buckets 0) — bounded driver state, the k-means-centroid
     shape."""
+    return train_on_features(
+        labeled_features(docs, label, n_buckets, text_col, id_col),
+        n_rounds,
+        n_buckets,
+        id_col,
+    )
+
+
+def train_on_features(
+    labeled: DataFrame,
+    n_rounds: int = N_ROUNDS,
+    n_buckets: int = N_BUCKETS,
+    id_col: str = "doc_id",
+) -> dict[int, int]:
+    """The fit over a prebuilt ``(id, b, c, __y)`` table (from
+    :func:`labeled_features`, fresh or read back from a feature
+    store) — tokenization/hashing runs zero times here, which is what
+    makes feature persistence pay: a scheduled refit unions stored
+    per-batch feature tables and the cost tracks the NEW batch, not
+    the corpus."""
     from pyspark.sql import Window
 
     assert n_rounds >= 1
-    # labels ride WITH the features (one join, once), and the table is
     # pre-partitioned by document so each round's per-doc margin window
     # runs shuffle-free over the checkpointed partitions
-    labels = docs.select(
-        F.col(id_col),
-        F.when(label, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("__y"),
-    )
-    feats = (
-        hashed_features(docs, n_buckets, text_col, id_col)
-        .join(labels, id_col)
-        .repartition(8, id_col)
-        .localCheckpoint(eager=True)
-    )
+    feats = labeled.repartition(8, id_col).localCheckpoint(eager=True)
     wdoc = Window.partitionBy(id_col)
 
     def _mistake_agg(weights):
@@ -254,6 +287,71 @@ def apply_quality_classifier(
 #: weight versions, per-batch verdict tables, and the accumulated
 #: training corpus the scheduled retrains read
 WEIGHTS_SUB, VERDICTS_SUB, DOCS_SUB = "weights", "verdicts", "docs"
+#: per-batch hashed-feature tables (kind='features') — what scheduled
+#: refits actually read (VERDICT r9 #6): raw docs are re-tokenized
+#: exactly once, when their batch arrives
+FEATURES_SUB = "features"
+
+
+def persist_batch_features(
+    spark,
+    store_dir: str,
+    batch_df: DataFrame,
+    label: Column,
+    batch_id: int,
+    n_buckets: int = N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Tokenize/hash ONE batch and persist its ``(id, b, c, __y)``
+    feature table under ``features/ingest=f{batch_id}`` (data first,
+    atomic manifest commit last, label-scoped replay idempotent — the
+    ingest discipline).  Returns the label."""
+    import os
+
+    from .indexstore import commit_ingest, ingest_paths
+
+    lb = f"f{batch_id}"
+    path = ingest_paths(store_dir, FEATURES_SUB, [lb])[0]
+    labeled_features(batch_df, label, n_buckets, text_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    os.makedirs(store_dir, exist_ok=True)
+    commit_ingest(store_dir, lb, max_id=None, kind="features", seq=batch_id)
+    return lb
+
+
+def refit_from_feature_store(
+    spark,
+    store_dir: str,
+    upto_seq: int,
+    n_rounds: int = N_ROUNDS,
+    n_buckets: int = N_BUCKETS,
+    id_col: str = "doc_id",
+) -> dict[int, int]:
+    """Scheduled retrain that reads ONLY the stored per-batch feature
+    tables with ``seq <= upto_seq`` (never the raw docs): feature rows
+    are a pure per-document function and batch id-spaces are disjoint,
+    so the union of stored tables IS the feature table of the full
+    corpus-so-far — weights are bit-identical to a from-raw fit, at a
+    cost that re-reads hashed integers instead of re-tokenizing text
+    (the refit tracks stored-feature IO, not corpus tokenization)."""
+    from .indexstore import read_ingests, read_manifest
+
+    fl = [
+        e["label"]
+        for e in read_manifest(store_dir)
+        if e.get("kind") == "features" and e["seq"] <= upto_seq
+    ]
+    if not fl:
+        raise ValueError(
+            f"quality store {store_dir} has no committed feature ingests"
+            f" with seq <= {upto_seq}"
+        )
+    feats = read_ingests(spark, store_dir, FEATURES_SUB, fl).select(
+        id_col, "b", "c", "__y"
+    )
+    return train_on_features(feats, n_rounds, n_buckets, id_col)
 
 
 def save_quality_weights(

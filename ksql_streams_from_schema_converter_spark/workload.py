@@ -8859,8 +8859,9 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         VERDICTS_SUB,
         apply_quality_classifier,
         load_quality_weights,
+        persist_batch_features,
+        refit_from_feature_store,
         save_quality_weights,
-        train_quality_perceptron,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -8885,13 +8886,16 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             dpath = ingest_paths(store, DOCS_SUB, [f"d{batch_id}"])[0]
             batch_df.write.mode("overwrite").parquet(dpath)
             commit_ingest(store, f"d{batch_id}", kind="docs", seq=batch_id)
+            # tokenize/hash ONCE per batch and persist the feature
+            # table (VERDICT r9 #6): every later refit reads stored
+            # hashed integers, never raw text — refit cost tracks the
+            # new batch, not the corpus
+            persist_batch_features(spark, store, batch_df, label_col, batch_id)
             if batch_id == 0:  # bootstrap m0 on the first batch
                 # 8 rounds: the lifecycle gate proves the persist/
                 # schedule/replay machinery; the full 16-round fit is
                 # quality_classifier_train's job
-                w0 = train_quality_perceptron(
-                    spark.read.parquet(dpath), label_col, n_rounds=8
-                )
+                w0 = refit_from_feature_store(spark, store, 0, n_rounds=8)
                 save_quality_weights(spark, store, w0, seq=0)
             # score under THIS batch's scheduled model version
             w, label = load_quality_weights(spark, store, seq=batch_id // 2)
@@ -8901,14 +8905,10 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             vpath = ingest_paths(store, VERDICTS_SUB, [f"v{batch_id}"])[0]
             v.write.mode("overwrite").parquet(vpath)
             commit_ingest(store, f"v{batch_id}", kind="verdicts", seq=batch_id)
-            if batch_id % 2 == 1:  # scheduled retrain on the full corpus
-                dl = [
-                    e["label"]
-                    for e in read_manifest(store)
-                    if e.get("kind") == "docs" and e["seq"] <= batch_id
-                ]
-                corpus = read_ingests(spark, store, DOCS_SUB, dl)
-                w2 = train_quality_perceptron(corpus, label_col, n_rounds=8)
+            if batch_id % 2 == 1:  # scheduled retrain: stored features
+                w2 = refit_from_feature_store(
+                    spark, store, batch_id, n_rounds=8
+                )
                 save_quality_weights(spark, store, w2, seq=(batch_id + 1) // 2)
 
         q = (

@@ -282,3 +282,51 @@ def test_threshold_sweep_confusion_counts_are_exact(spark):
         prev_tp, prev_fp = r.tp, r.fp
     # the last bin keeps everything
     assert (out[-1].tp, out[-1].fp) == (P, N)
+
+
+def test_refit_reads_stored_features_not_raw_docs(spark, tmp_path):
+    """VERDICT r9 #6: scheduled refits read the persisted per-batch
+    feature tables — with every RAW docs ingest deleted the refit still
+    runs, and its weights are bit-identical to a from-raw control fit
+    on the unioned corpus (feature rows are a pure per-doc function and
+    batch id-spaces are disjoint, so stored-union == from-raw)."""
+    import shutil
+
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        ingest_paths,
+        read_manifest,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.quality import (
+        DOCS_SUB,
+        persist_batch_features,
+        refit_from_feature_store,
+        train_quality_perceptron,
+    )
+
+    store = str(tmp_path / "qstore")
+    label = F.length("text") >= 30
+    b0 = spark.createDataFrame(
+        [(i, f"alpha beta w{i} " * (1 + i % 4)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(i, f"gamma delta w{i} " * (1 + i % 3)) for i in range(100, 140)],
+        "doc_id long, text string",
+    )
+    for k, b in enumerate((b0, b1)):
+        # persist raw docs the way the gate does, then features
+        dpath = ingest_paths(store, DOCS_SUB, [f"d{k}"])[0]
+        b.write.mode("overwrite").parquet(dpath)
+        persist_batch_features(spark, store, b, label, k)
+    assert [
+        e["label"] for e in read_manifest(store) if e.get("kind") == "features"
+    ] == ["f0", "f1"]
+    # the raw corpus disappears; the refit must not notice
+    shutil.rmtree(str(tmp_path / "qstore" / DOCS_SUB))
+    w_store = refit_from_feature_store(spark, store, upto_seq=1, n_rounds=8)
+    w_raw = train_quality_perceptron(b0.unionByName(b1), label, n_rounds=8)
+    assert w_store == w_raw
+    # seq scoping: a refit "as of batch 0" ignores batch 1's features
+    w0_store = refit_from_feature_store(spark, store, upto_seq=0, n_rounds=8)
+    w0_raw = train_quality_perceptron(b0, label, n_rounds=8)
+    assert w0_store == w0_raw and w0_store != w_store
