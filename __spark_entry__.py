@@ -68,34 +68,31 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: driver row is r02 fill the remaining 44 slots first (VERDICT r5
 #: #2 — after r6, no query's newest driver row should be older
 #: than r3).
-#: r9: the 4 NEW queries (CCNet end-to-end pipeline v5, the wide-key
-#: span-dedup variant, perceptual-hash multimodal near-dup, the
-#: streaming learned-quality lifecycle), plus every query whose code
-#: path changed this round — corpus_line_dedup (row_number window →
-#: min(struct) partial agg + join-back), unigram_surprisal_buckets
-#: (pre-aggregated score join), dedup_span_exact_substr (fingerprint
-#: plumbing refactor), the two BFS queries (visited-set checkpoint
-#: removed), and pipelines v3/v4 (they compose the changed span
-#: operator).  The remaining ~39 slots rotate to the 24 queries whose
-#: newest driver row is r4, then the stalest r5 rows.
+#: r10: the 4 NEW queries (ANN-index retraction+compaction gate,
+#: cross-modal caption↔image near-dup join, unigram-LM tokenizer
+#: training, streaming GDPR retraction), plus every query whose code
+#: path changed this round — streaming_quality_gate (scheduled refits
+#: now read persisted per-batch FEATURE tables, weights bit-identical),
+#: the three ANN queries whose search path gained id_col plumbing
+#: (ADVICE r9), the two multimodal near-dups (banding exactness guard),
+#: and dedup_index_retraction/dedup_incremental_index (tombstone
+#: subtraction on the no-append read path, shared-oracle refactor).
+#: The remaining ~37 slots rotate to the 34 queries whose newest
+#: driver row is r5.
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
-    "pretrain_pipeline_v5",
-    "dedup_span_exact_substr_wide",
+    "ann_index_retraction",
+    "crossmodal_near_dup",
+    "unigram_lm_tokenizer",
+    "streaming_index_retraction",
+    "streaming_quality_gate",
+    "ann_incremental_index",
+    "ann_incremental_pq",
+    "streaming_ann_refresh",
     "multimodal_near_dup",
     "multimodal_frame_near_dup",
-    "streaming_quality_gate",
-    "dpo_preference_pairs",
     "dedup_index_retraction",
-    "dedup_blame_attribution",
+    "dedup_incremental_index",
     "dedup_index_time_travel",
-    "surprisal_threshold_sweep",
-    "corpus_line_dedup",
-    "unigram_surprisal_buckets",
-    "dedup_span_exact_substr",
-    "bfs_hops_from_supplier1",
-    "bfs_landmark_distances",
-    "pretrain_pipeline_v3",
-    "pretrain_pipeline_v4",
 )
 
 _WINDOW_SIZE = 50

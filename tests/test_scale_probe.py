@@ -191,3 +191,17 @@ def test_compacted_refresh_is_sublinear_in_base_size(artifact):
             "`python scale_probe.py` and commit it"
         )
     assert rec["exponent"] <= 0.3, rec["exponent"]
+
+
+def test_tombstone_axis_refresh_is_flat_in_tombstone_count(artifact):
+    """VERDICT r9 #5: the index is fixed while the tombstone list grows
+    ~200 ids per scale unit — the refresh's broadcast anti-join against
+    the KB-sized tombstone set must keep the cost flat (the retraction
+    read-path claim, measured)."""
+    rec = artifact["queries"].get("incremental_tombstone_axis")
+    if rec is None:
+        pytest.fail(
+            "SCALE_PROBE.json lacks incremental_tombstone_axis — rerun "
+            "`python scale_probe.py` and commit it"
+        )
+    assert rec["exponent"] <= 0.3, rec["exponent"]
