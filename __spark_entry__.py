@@ -83,6 +83,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "ann_index_retraction",
     "crossmodal_near_dup",
     "unigram_lm_tokenizer",
+    "unigram_encode_tokens",
     "streaming_index_retraction",
     "streaming_quality_gate",
     "ann_incremental_index",

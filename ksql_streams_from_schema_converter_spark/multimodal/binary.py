@@ -324,44 +324,41 @@ def near_dup_pairs(
     Scale: one shuffle keyed by the 16-bit bucket per band; hot buckets
     (e.g. flat images hashing to 0) cost O(bucket^2) pairs, the
     standard LSH trade bounded by the 4x16 geometry, and the candidate
-    join is AQE-skew-splittable.  Everything after the signature UDF is
-    native Catalyst (bitwiseXOR + bit_count)."""
+    join is AQE-skew-splittable.  The full 4-band signatures RIDE
+    THROUGH the bucket join (4 ints per row), so the Hamming verify is
+    a map-side expression on the join output — no re-join against the
+    signature table, and the plan shape is scale-stable (the r10 probe
+    caught the two verify joins flipping broadcast→shuffle at x64).
+    Everything after the signature UDF is native Catalyst
+    (bitwiseXOR + bit_count)."""
     _check_banding_exact(max_hamming)
     bands = hashes.select(
         F.col(id_col),
+        *[F.col(f"h{i}") for i in range(4)],
         F.posexplode(F.array("h0", "h1", "h2", "h3")).alias("band", "v"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    ha = hashes.select(
+    a = bands.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"h{i}").alias(f"__a{i}") for i in range(4)],
+        "band",
+        "v",
     )
-    hb = hashes.select(
+    b = bands.select(
         F.col(id_col).alias("id_b"),
         *[F.col(f"h{i}").alias(f"__b{i}") for i in range(4)],
+        "band",
+        "v",
     )
     ham = sum(
         F.bit_count(F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}")))
         for i in range(4)
     ).cast("long")
     return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
+        a.join(b, ["band", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -447,42 +444,37 @@ def frame_near_dup_pairs(
     bands = fhashes.select(
         F.col(id_col),
         "frame_idx",
+        *[F.col(f"h{i}") for i in range(4)],
         F.posexplode(F.array("h0", "h1", "h2", "h3")).alias("band", "v"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.frame_idx") == F.col("b.frame_idx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.frame_idx").alias("frame_idx"),
-        )
-        .distinct()
-    )
-    ha = fhashes.select(
+    a = bands.select(
         F.col(id_col).alias("id_a"),
         "frame_idx",
         *[F.col(f"h{i}").alias(f"__a{i}") for i in range(4)],
+        "band",
+        "v",
     )
-    hb = fhashes.select(
+    b = bands.select(
         F.col(id_col).alias("id_b"),
         "frame_idx",
         *[F.col(f"h{i}").alias(f"__b{i}") for i in range(4)],
+        "band",
+        "v",
     )
     ham = sum(
         F.bit_count(F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}")))
         for i in range(4)
     )
+    # signatures ride through the aligned bucket join (near_dup_pairs
+    # discipline — no verify re-join, scale-stable plan); a pair's
+    # aligned frame can match in several bands, so dedup to one row per
+    # (pair, frame) before counting close frames
     return (
-        cand.join(ha, ["id_a", "frame_idx"])
-        .join(hb, ["id_b", "frame_idx"])
+        a.join(b, ["frame_idx", "band", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
         .where(ham <= max_hamming)
+        .select("id_a", "id_b", "frame_idx")
+        .distinct()
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_close_frames"))
         .where(F.col("n_close_frames") >= min_frames)

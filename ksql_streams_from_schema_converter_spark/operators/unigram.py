@@ -265,24 +265,93 @@ def unigram_encode(
 
 
 # ---------------------------------------------------------------------------
-# DuckDB oracle: the training unrolled round-for-round
+# DuckDB oracles: the training unrolled round-for-round, and the
+# train→encode round trip
 # ---------------------------------------------------------------------------
 
 
-def unigram_oracle_sql(
-    n_rounds: int = N_ROUNDS,
-    vocab_cap: int = 4000,
-    piece_cap: int = PIECE_CAP,
-    max_piece_len: int = MAX_PIECE_LEN,
-    max_word_len: int = MAX_WORD_LEN,
-    corpus_sql: str = "SELECT text FROM documents",
+def _encode_dp_sql(
+    score_cte: str,
+    words_cte: str,
+    max_piece_len: int,
+    max_word_len: int,
+    p: str,
 ) -> str:
-    """Replay :func:`unigram_train` in DuckDB: seed counts, then per
-    round the surprisal scores, the Viterbi DP unrolled position-by-
-    position (``min({'c': cost, 'i': pred})`` elects the same split),
-    the backwalk emitting the chosen pieces, the recount, and the
-    char floor — every chained CTE MATERIALIZED (inlining a
-    DP-recurrence goes exponential)."""
+    """One Viterbi DP block (forward stages + backwalk) over a
+    ``(word)`` CTE under a ``(piece, s)`` score CTE — shared by every
+    training round and the encode replay; ``p`` prefixes the CTE
+    names."""
+    L, W = max_piece_len, max_word_len
+    parts = [
+        f""",
+    {p}dp_0 AS MATERIALIZED (
+      SELECT word, 0 AS j, CAST(0 AS BIGINT) AS cost, -1 AS bp
+      FROM {words_cte}
+    )"""
+    ]
+    for j in range(1, W + 1):
+        prevs = " UNION ALL ".join(
+            f"SELECT * FROM {p}dp_{i}" for i in range(max(0, j - L), j)
+        )
+        parts.append(
+            f""",
+    {p}dp_{j} AS MATERIALIZED (
+      SELECT word, {j} AS j,
+             (min({{'c': cost + s, 'i': d.j}})).c AS cost,
+             (min({{'c': cost + s, 'i': d.j}})).i AS bp
+      FROM ({prevs}) d
+      JOIN {score_cte} ON {score_cte}.piece =
+             substr(d.word, CAST(d.j + 1 AS BIGINT), CAST({j} - d.j AS BIGINT))
+      WHERE strlen(d.word) >= {j}
+      GROUP BY word
+    )"""
+        )
+    dpall = " UNION ALL ".join(f"SELECT * FROM {p}dp_{j}" for j in range(1, W + 1))
+    parts.append(
+        f""",
+    {p}dpall AS MATERIALIZED ({dpall}),
+    {p}bk_0 AS MATERIALIZED (
+      SELECT word, strlen(word) AS j, '' AS piece FROM {words_cte}
+    )"""
+    )
+    for k in range(1, W + 1):
+        parts.append(
+            f""",
+    {p}bk_{k} AS MATERIALIZED (
+      SELECT b.word, d.bp AS j,
+             substr(b.word, CAST(d.bp + 1 AS BIGINT),
+                    CAST(b.j - d.bp AS BIGINT)) AS piece
+      FROM {p}bk_{k - 1} b JOIN {p}dpall d
+        ON d.word = b.word AND d.j = b.j
+      WHERE b.j > 0
+    )"""
+        )
+    steps = " UNION ALL ".join(
+        f"SELECT word, j, piece FROM {p}bk_{k}" for k in range(1, W + 1)
+    )
+    # the backwalk emits pieces END-first; ordering by descending
+    # predecessor position j reassembles left-to-right (piece at step k
+    # starts at position j, so ascending start == ascending j)
+    parts.append(
+        f""",
+    {p}seg AS MATERIALIZED (
+      SELECT word, string_agg(piece, ' ' ORDER BY j ASC) AS seg
+      FROM ({steps}) GROUP BY word
+    )"""
+    )
+    return "".join(parts)
+
+
+def _train_chain_sql(
+    n_rounds: int,
+    vocab_cap: int,
+    piece_cap: int,
+    max_piece_len: int,
+    max_word_len: int,
+    corpus_sql: str,
+) -> str:
+    """The training replay as a WITH chain ending at ``v{n_rounds}``
+    (the fitted counts) — shared by the train and encode oracles."""
     L, W = max_piece_len, max_word_len
     parts = [
         f"""
@@ -383,11 +452,94 @@ def unigram_oracle_sql(
       WHERE strlen(piece) = 1 AND piece NOT IN (SELECT piece FROM c{r + 1})
     )"""
         )
-    parts.append(
-        f""",
+    return "".join(parts)
+
+
+def unigram_oracle_sql(
+    n_rounds: int = N_ROUNDS,
+    vocab_cap: int = 4000,
+    piece_cap: int = PIECE_CAP,
+    max_piece_len: int = MAX_PIECE_LEN,
+    max_word_len: int = MAX_WORD_LEN,
+    corpus_sql: str = "SELECT text FROM documents",
+) -> str:
+    """Replay :func:`unigram_train` in DuckDB: seed counts, then per
+    round the surprisal scores, the Viterbi DP unrolled position-by-
+    position (``min({'c': cost, 'i': pred})`` elects the same split),
+    the backwalk emitting the chosen pieces, the recount, and the
+    char floor — every chained CTE MATERIALIZED (inlining a
+    DP-recurrence goes exponential)."""
+    chain = _train_chain_sql(
+        n_rounds, vocab_cap, piece_cap, max_piece_len, max_word_len, corpus_sql
+    )
+    return (
+        chain
+        + f""",
     tf AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM v{n_rounds})
     SELECT piece, c AS cnt,
            CAST(length(bin(CAST(T // c AS BIGINT))) AS BIGINT) AS score
     FROM v{n_rounds}, tf"""
     )
-    return "".join(parts)
+
+
+def unigram_encode_oracle_sql(
+    n_rounds: int = N_ROUNDS,
+    vocab_cap: int = 4000,
+    piece_cap: int = PIECE_CAP,
+    max_piece_len: int = MAX_PIECE_LEN,
+    max_word_len: int = MAX_WORD_LEN,
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Replay train-then-:func:`unigram_encode`: the training chain
+    derives the FINAL scores, one more shared DP block segments every
+    distinct corpus word under them, and per document the word
+    segmentations reassemble in order with ``|`` boundaries into the
+    md5 fingerprint (the bpe_encode_tokens gate shape).  Valid when
+    the vocab cap does not bite and no corpus word exceeds
+    ``max_word_len`` — both true for the driver fixtures (31 distinct
+    words, max length 8); the ENGINE encoder is total regardless
+    (singleton-UNK fallback)."""
+    chain = _train_chain_sql(
+        n_rounds,
+        vocab_cap,
+        piece_cap,
+        max_piece_len,
+        max_word_len,
+        f"SELECT text FROM ({corpus_sql})",
+    )
+    dp = _encode_dp_sql("sfinal", "ewords", max_piece_len, max_word_len, "e")
+    return (
+        chain
+        + f""",
+    sfinal AS MATERIALIZED (
+      SELECT piece, CAST(length(bin(CAST(T // c AS BIGINT))) AS BIGINT) AS s
+      FROM v{n_rounds}, (SELECT CAST(sum(c) AS BIGINT) AS T FROM v{n_rounds})
+    ),
+    ewords AS MATERIALIZED (
+      SELECT DISTINCT word FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM ({corpus_sql})
+      ) WHERE word <> ''
+    )"""
+        + dp
+        + f""",
+    dwords AS (
+      SELECT doc_id, w.word, w.ord
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS word,
+               generate_subscripts(
+                 string_split_regex(lower(text), '[^a-z]+'), 1) AS ord
+        FROM ({corpus_sql})
+      ) w WHERE w.word <> ''
+    )
+    SELECT d.doc_id,
+           COALESCE(CAST(sum(len(string_split(g.seg, ' '))) AS BIGINT),
+                    0) AS n_tokens,
+           md5(COALESCE(string_agg(g.seg, ' | ' ORDER BY dw.ord), ''))
+             AS seg_fp
+    FROM ({corpus_sql}) d
+    LEFT JOIN dwords dw ON dw.doc_id = d.doc_id
+    LEFT JOIN eseg g ON g.word = dw.word
+    GROUP BY d.doc_id"""
+    )

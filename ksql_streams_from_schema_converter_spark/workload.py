@@ -9793,6 +9793,36 @@ def unigram_lm_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train(load_table(spark, sf_dir, "documents"))
 
 
+def _unigram_encode_oracle() -> str:
+    from .operators.unigram import unigram_encode_oracle_sql
+
+    return unigram_encode_oracle_sql()
+
+
+@query("unigram_encode_tokens", _unigram_encode_oracle())
+def unigram_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM ENCODE — the train→apply round trip (the
+    bpe_encode_tokens discipline): train the vocabulary, then
+    Viterbi-segment every document's words under the FINAL scores and
+    emit per document the token count and the md5 of the full
+    segmentation with ``|`` word boundaries — one mis-segmented byte
+    anywhere in the corpus flips the gate.  The oracle re-derives the
+    whole training AND replays the encode (one more shared DP block
+    over the distinct corpus words + ordered per-doc reassembly).
+    Scale: the trained scoring dict is the bounded artifact; the
+    encode is ONE Arrow pass over the corpus with a per-distinct-word
+    DP — no shuffle."""
+    from .operators.unigram import unigram_encode, unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bounded driver collect: the trained piece table (≤ piece_cap +
+    # alphabet rows — the BPE merge-list precedent)
+    scores = {
+        r.piece: r.score for r in unigram_train(docs).collect()
+    }
+    return unigram_encode(docs, scores)
+
+
 def _bpe_oracle() -> str:
     from .operators.bpe import bpe_oracle_sql
 
