@@ -123,10 +123,18 @@ def kmeans_fixed_point(
     return None  # unreachable: n_iter >= 1 returns inside the loop
 
 
-def kmeans_oracle_sql(k: int = 4, n_iter: int = 2, dims: int = 64) -> str:
-    """DuckDB replay of :func:`kmeans_fixed_point` over the
-    ``embeddings`` view: the same recurrence unrolled as chained CTEs
-    (quantize → [assign → update]ⁿ⁻¹ → final assign+dist)."""
+def _kmeans_chain_sql(
+    k: int,
+    n_iter: int,
+    dims: int,
+    emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> tuple[str, str]:
+    """The :func:`kmeans_fixed_point` replay as a ``WITH`` chain
+    (quantize → [assign → update]ⁿ⁻¹) over an arbitrary
+    ``(vec_id, embedding)`` source; returns ``(chain, key_expr)``
+    where the chain ends at ``cents{n_iter-1}`` + ``pts`` and the key
+    expression is the final-assignment argmin key — shared by the
+    plain k-means oracle and the SemDeDup oracle."""
     dist_expr = (
         "CAST(list_sum(list_transform(generate_series(1, {d}), "
         "i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))) AS BIGINT)"
@@ -138,7 +146,7 @@ def kmeans_oracle_sql(k: int = 4, n_iter: int = 2, dims: int = 64) -> str:
       SELECT vec_id AS pid,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * {KM_SCALE}) AS BIGINT)) AS q
-      FROM embeddings
+      FROM ({emb_sql})
     ),
     cents0 AS (
       SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cluster, q AS c
@@ -169,13 +177,165 @@ def kmeans_oracle_sql(k: int = 4, n_iter: int = 2, dims: int = 64) -> str:
       SELECT * FROM cents{it} WHERE cluster NOT IN (SELECT cluster FROM newc{it})
     )"""
         )
+    return "".join(parts), key
+
+
+def kmeans_oracle_sql(k: int = 4, n_iter: int = 2, dims: int = 64) -> str:
+    """DuckDB replay of :func:`kmeans_fixed_point` over the
+    ``embeddings`` view: the same recurrence unrolled as chained CTEs
+    (quantize → [assign → update]ⁿ⁻¹ → final assign+dist)."""
+    chain, key = _kmeans_chain_sql(k, n_iter, dims)
     last = n_iter - 1
-    parts.append(
-        f"""
+    return (
+        chain
+        + f"""
     SELECT p.pid, CAST(min({key}) % {KM_KEYMUL} AS BIGINT) AS cluster,
            CAST(min({key}) // {KM_KEYMUL} AS BIGINT) AS dist
     FROM pts p CROSS JOIN cents{last} c
     GROUP BY p.pid
     """
     )
-    return "".join(parts)
+
+
+#: SemDeDup cosine threshold numerator: tau = SD_TAU_CENTI / 100
+SD_TAU_CENTI = 92
+
+
+def semdedup_kmeans(
+    emb: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    tau_centi: int = SD_TAU_CENTI,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup exactly as published (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023 §3): k-means clusters the embedding space,
+    near-duplicate discovery runs WITHIN each cluster only, and of
+    every near-duplicate pair the member FARTHER from its centroid is
+    kept (the paper's "keep low-similarity-to-centroid" rule; ties on
+    the integer distance break to the smaller id).  This is the
+    clustering-blocked complement of
+    :func:`~..dedup.semantic_dedup_keep`'s hyperplane-LSH blocking.
+
+    Exactness: clustering is :func:`kmeans_fixed_point` (BIGINT
+    micro-units), and the cosine test is EXACT integer arithmetic on
+    the same quantized vectors — ``cos(a,b) >= tau`` decided as
+    ``dot >= 0 AND (dot*100)² >= (|a|²·tau_centi²)·|b|²`` with
+    DECIMAL(38,0) intermediates (HUGEINT on the DuckDB side), so the
+    keep column hashes across engines even for boundary pairs.
+
+    Output: ``(vec_id, cluster, dist, keep)`` for every input vector.
+
+    Scale (the paper's own pitch): k-means blocking caps the pair join
+    at Σᵢ|cᵢ|² instead of n² — with k ∝ corpus the per-cluster join is
+    bounded; assignment is a broadcast-k map pass and the drop rule is
+    one EXISTS (pairs → distinct → anti-join), never a window."""
+    asg = kmeans_fixed_point(emb, k, n_iter, vec_col, id_col)
+    tau2 = tau_centi * tau_centi
+    feat = (
+        asg.join(quantize_points(emb, vec_col, id_col), "pid")
+        .withColumn(
+            "nq",
+            F.aggregate(
+                F.expr("transform(q, x -> x * x)"),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .localCheckpoint(eager=True)  # the self-join reads it twice
+    )
+    l, r = feat.alias("l"), feat.alias("r")
+    dominates = (F.col("l.dist") > F.col("r.dist")) | (
+        (F.col("l.dist") == F.col("r.dist")) & (F.col("l.pid") < F.col("r.pid"))
+    )
+    cand = l.join(
+        r,
+        (F.col("l.cluster") == F.col("r.cluster"))
+        & (F.col("l.pid") != F.col("r.pid"))
+        & dominates,
+    ).select(
+        F.col("r.pid").alias("pid"),
+        F.aggregate(
+            F.zip_with("l.q", "r.q", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
+        F.col("l.nq").alias("na"),
+        F.col("r.nq").alias("nb"),
+    )
+    drops = (
+        cand.where(
+            (F.col("dot") >= 0)
+            & (
+                F.expr(
+                    "CAST(dot * 100 AS DECIMAL(19,0)) * CAST(dot * 100 AS DECIMAL(19,0))"
+                )
+                >= F.expr(
+                    f"CAST(na * {tau2} AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))"
+                )
+            )
+        )
+        .select("pid")
+        .distinct()
+    )
+    return (
+        feat.join(drops.withColumn("__d", F.lit(1)), "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            "cluster",
+            "dist",
+            F.col("__d").isNull().alias("keep"),
+        )
+    )
+
+
+def semdedup_oracle_sql(
+    k: int = 4,
+    n_iter: int = 2,
+    dims: int = 64,
+    tau_centi: int = SD_TAU_CENTI,
+    emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """DuckDB replay of :func:`semdedup_kmeans`: the k-means chain,
+    the final assignment with distances, per-point squared norms, the
+    within-cluster dominated-pair join under the identical integer
+    cosine test (HUGEINT), and the keep anti-join."""
+    chain, key = _kmeans_chain_sql(k, n_iter, dims, emb_sql)
+    last = n_iter - 1
+    tau2 = tau_centi * tau_centi
+    return (
+        chain
+        + f""",
+    asgf AS MATERIALIZED (
+      SELECT p.pid, CAST(min({key}) % {KM_KEYMUL} AS BIGINT) AS cluster,
+             CAST(min({key}) // {KM_KEYMUL} AS BIGINT) AS dist
+      FROM pts p CROSS JOIN cents{last} c
+      GROUP BY p.pid
+    ),
+    feat AS MATERIALIZED (
+      SELECT a.pid, a.cluster, a.dist, p.q,
+             CAST(list_sum(list_transform(generate_series(1, {dims}),
+                  i -> p.q[i] * p.q[i])) AS BIGINT) AS nq
+      FROM asgf a JOIN pts p USING (pid)
+    ),
+    cand AS MATERIALIZED (
+      SELECT r.pid,
+             CAST(list_sum(list_transform(generate_series(1, {dims}),
+                  i -> l.q[i] * r.q[i])) AS BIGINT) AS dot,
+             l.nq AS na, r.nq AS nb
+      FROM feat l JOIN feat r
+        ON l.cluster = r.cluster AND l.pid <> r.pid
+       AND (l.dist > r.dist OR (l.dist = r.dist AND l.pid < r.pid))
+    ),
+    drops AS MATERIALIZED (
+      SELECT DISTINCT pid FROM cand
+      WHERE dot >= 0
+        AND CAST(dot * 100 AS HUGEINT) * (dot * 100)
+            >= CAST(na * {tau2} AS HUGEINT) * nb
+    )
+    SELECT f.pid AS vec_id, f.cluster, f.dist, d.pid IS NULL AS keep
+    FROM feat f LEFT JOIN drops d ON d.pid = f.pid
+    """
+    )

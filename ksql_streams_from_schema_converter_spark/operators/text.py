@@ -499,3 +499,107 @@ def unigram_surprisal_scores(
         .groupBy(id_col)
         .agg(F.sum(F.col("s") * F.col("n")).alias("surprisal"))
     )
+
+
+def _bitlen(col: Column) -> Column:
+    """``bit_length`` of a positive BIGINT column via base-2 rendering
+    — exact and identical on both engines (= ``length(bin(x))`` in
+    DuckDB, the unigram-surprisal idiom)."""
+    return F.length(F.conv(col.cast("string"), 10, 2)).cast("long")
+
+
+#: stupid-backoff penalty in integer bits (~ -log2 0.4 rounded up —
+#: Brants et al., "Large Language Models in Machine Translation",
+#: EMNLP 2007 use alpha = 0.4)
+BACKOFF_BITS = 2
+
+
+def bigram_backoff_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM document scoring with stupid backoff — the next rung
+    of the CCNet-style LM-quality ladder above
+    :func:`unigram_surprisal_scores` (Wenzek et al. LREC 2020 score
+    with a 5-gram KenLM; the backoff recurrence here is the same
+    family at order 2, in exact integer arithmetic so the driver hash
+    gate checks VALUES).
+
+    The LM is trained on the REFERENCE half of the corpus (documents
+    with even id — the "train on the clean reference, score
+    everything" posture; CCNet trains on Wikipedia) and scores EVERY
+    document, so backoff genuinely triggers on the held-out half:
+
+    - bigram seen in reference:  ``s = bitlen(c1(w1) div c2(w1,w2))``
+      (integer stand-in for -log2 P(w2|w1))
+    - unseen bigram, seen unigram: ``s = BACKOFF_BITS +
+      bitlen(U div cu(w2))`` (stupid backoff to the unigram model)
+    - out-of-vocabulary w2: ``s = BACKOFF_BITS + bitlen(U) + 1``
+      (the count-1/2 OOV floor — one bit beyond the rarest unigram)
+
+    Output per document (>= 2 tokens): ``n_bigrams``, total integer
+    ``surprisal``, and ``bpb_milli = surprisal*1000 div n_bigrams``
+    (milli-bits per bigram — the length-normalized perplexity proxy a
+    quality gate thresholds on).
+
+    Scale: occurrences collapse to ``(doc, w1, w2, n)`` FIRST (the
+    VERDICT r8 #6 pre-aggregation — repeated bigrams are exactly the
+    skewed join keys), counts are map-side-combined keyed shuffles,
+    the three score joins are keyed on (w1,w2)/w1/w2 with the 1-row
+    total broadcast, and the doc-sum is ``sum(s*n)``.  Nothing
+    vocabulary-sized reaches the driver."""
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    base = docs.select(F.col(id_col), toks.alias("t"))
+    occ = (
+        base.where(F.size("t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1), "
+                    "j -> struct(element_at(t, j) AS w1, "
+                    "element_at(t, j+1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(id_col, "p.w1", "p.w2")
+        .agg(F.count("*").alias("n"))
+    )
+    ref = occ.where((F.col(id_col) % 2) == 0)
+    c2 = ref.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    cu = (
+        base.where((F.col(id_col) % 2) == 0)
+        .select(F.explode("t").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count("*").alias("cu"))
+    )
+    total = cu.agg(F.sum("cu").alias("U"))
+    sc = (
+        occ.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(cu, "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n",
+            F.when(
+                F.col("c2").isNotNull(), _bitlen(F.expr("c1 div c2"))
+            )
+            .when(
+                F.col("cu").isNotNull(),
+                F.lit(BACKOFF_BITS) + _bitlen(F.expr("U div cu")),
+            )
+            .otherwise(F.lit(BACKOFF_BITS) + _bitlen(F.col("U")) + 1)
+            .alias("s"),
+        )
+    )
+    agg = sc.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.col("s") * F.col("n")).alias("surprisal"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "surprisal",
+        F.expr("surprisal * 1000 div n_bigrams").alias("bpb_milli"),
+    )

@@ -1,0 +1,452 @@
+"""WordPiece tokenizer training + encoding — the third leg of the
+tokenizer family beside BPE (operators/bpe.py) and the unigram LM
+(operators/unigram.py), per Schuster & Nakajima, "Japanese and Korean
+Voice Search" (ICASSP 2012) and the BERT tokenizer (Devlin et al.,
+NAACL 2019; the Hugging Face ``tokenizers`` WordPiece trainer uses the
+same rule).
+
+Two places WordPiece differs from BPE, and both are implemented:
+
+1. **Training picks merges by LIKELIHOOD RATIO, not raw frequency**:
+   the winning pair maximizes ``count(ab) / (count(a) * count(b))`` —
+   the increase in corpus unigram-LM likelihood from fusing ``a b``
+   into ``ab`` — so rare-but-exclusive pairs beat frequent-but-
+   incidental ones.  The ratio is computed in EXACT fixed-point
+   integer arithmetic: ``score_q = (count(ab) * 10^12) div
+   (count(a) * count(b))`` with DECIMAL(38,0) intermediates on the
+   Spark side and HUGEINT on the DuckDB side — identical floor
+   quotients, so the argmax (and the driver hash gate over it) is
+   engine-exact.  Ties break on the pair string; symbols contain no
+   spaces and ``' '`` sorts below ``[a-z]``, so string order equals
+   (a, b) tuple order (the bpe.py argument).
+2. **Encoding is greedy longest-match-first (MaxMatch)**, not merge
+   replay: at each position the longest vocabulary piece prefixing
+   the remainder is taken; if no piece matches, or the word exceeds
+   ``MAX_WP_WORD`` characters, the WHOLE word becomes ``[UNK]`` (the
+   BERT ``max_input_chars_per_word`` posture).  The vocabulary is the
+   training alphabet (every character of the capped word table) plus
+   each merge's output token.
+
+Spark shape (the one that survives 100 TB):
+
+- ONE corpus scan builds the capped word-frequency table (bpe.py's
+  ``word_frequencies``); every training round runs over that bounded
+  table — a symbol-count aggregation, a pair-count aggregation, two
+  bounded joins to attach the denominators, a deterministic 1-row
+  global argmax (``ORDER BY score_q DESC, pair`` + LIMIT 1, broadcast
+  back — no driver collect), and the bpe.py double-``replace``
+  re-segmentation, ``localCheckpoint``-ed per round (the fixed-point
+  discipline: without it the recurrence re-computes every prior round
+  per new round).
+- Encoding is ONE Arrow-batched pass over the corpus (per-word greedy
+  MaxMatch is genuinely imperative — the documented Pandas-UDF
+  exception, the unigram_encode precedent); the vocabulary is the
+  bounded trained artifact (alphabet + n_merges rows) riding in the
+  task closure.  No shuffle at all in the apply.
+
+The DuckDB oracles replay the identical recurrence as unrolled
+per-round CTEs (:func:`wordpiece_oracle_sql`) and the greedy MaxMatch
+as an unrolled per-step chain (:func:`wordpiece_encode_oracle_sql`) —
+the longest matching piece at a position IS ``substr(word, pos+1,
+max(len(piece)))``, so the step needs only the max matched length,
+never an argmax over strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bpe import word_frequencies
+
+#: fixed-point scale of the likelihood-ratio score: ratio 1.0 == 10^12
+#: (count(ab) <= min(count(a), count(b)) implies ratio <= 1, so the
+#: quotient fits BIGINT at any corpus size)
+WP_PREC = 1_000_000_000_000
+
+#: BERT's max_input_chars_per_word posture: longer words are [UNK]
+#: without attempting segmentation (and the encode oracle's greedy
+#: unroll is exactly this many steps deep — each step consumes >= 1
+#: character)
+MAX_WP_WORD = 16
+
+#: the whole-word out-of-vocabulary token
+UNK = "[UNK]"
+
+#: likelihood-ratio fixed-point quotient, shared by both engines:
+#: floor((cnt * 10^12) / (ca * cb)) — Spark `div` on DECIMAL(38,0)
+#: and DuckDB `//` on HUGEINT both floor (all operands positive)
+_SCORE_SPARK = (
+    f"CAST((CAST(cnt AS DECIMAL(19,0)) * {WP_PREC}) div "
+    "(CAST(ca AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))) AS BIGINT)"
+)
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    vocab_cap: int = 4000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` WordPiece merges; returns the ranked merge
+    table ``(merge_rank, pair, merged, cnt, score_q)`` — pair is the
+    space-joined symbol pair, merged its concatenation, cnt the
+    frequency-weighted pair count, score_q the winning fixed-point
+    likelihood ratio."""
+    assert n_merges >= 1
+    wf = word_frequencies(docs, text_col, vocab_cap)
+    w = wf.select(
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("w"),
+        "freq",
+    ).localCheckpoint()
+    merge_rows = []
+    for i in range(n_merges):
+        syms = w.select(
+            F.expr("filter(split(w, ' '), x -> x != '')").alias("syms"), "freq"
+        )
+        # denominator: frequency-weighted occurrences of EVERY symbol
+        # (single-symbol words included — they carry unigram mass)
+        sym_cnt = (
+            syms.select(F.explode("syms").alias("sym"), "freq")
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("long").alias("c"))
+        )
+        pairs = (
+            syms.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms)-1), "
+                        "j -> struct(element_at(syms, j) AS a, "
+                        "element_at(syms, j+1) AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        scored = (
+            pairs.join(sym_cnt.select(F.col("sym").alias("a"), F.col("c").alias("ca")), "a")
+            .join(sym_cnt.select(F.col("sym").alias("b"), F.col("c").alias("cb")), "b")
+            .select(
+                F.concat_ws(" ", "a", "b").alias("pair"),
+                "cnt",
+                F.expr(_SCORE_SPARK).alias("score_q"),
+            )
+        )
+        best = scored.orderBy(F.desc("score_q"), "pair").limit(1).localCheckpoint()
+        merge_rows.append(
+            best.select(
+                F.lit(i + 1).cast("bigint").alias("merge_rank"),
+                "pair",
+                F.expr("replace(pair, ' ', '')").alias("merged"),
+                "cnt",
+                "score_q",
+            )
+        )
+        if i == n_merges - 1:
+            break
+        sub = best.select(
+            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")).alias("__s"),
+            F.concat(
+                F.lit(" "), F.expr("replace(pair, ' ', '')"), F.lit(" ")
+            ).alias("__r"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(sub))
+            .select(
+                F.expr("replace(replace(w, __s, __r), __s, __r)").alias("w"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def wordpiece_alphabet(
+    docs: DataFrame, vocab_cap: int = 4000, text_col: str = "text"
+) -> DataFrame:
+    """The training alphabet: every distinct character of the capped
+    word-frequency table (bounded: <= 26 rows on the ``[a-z]+`` word
+    shape) — the single-character base of the encode vocabulary."""
+    wf = word_frequencies(docs, text_col, vocab_cap)
+    return (
+        wf.select(F.explode(F.split("word", "")).alias("piece"))
+        .where(F.col("piece") != "")
+        .distinct()
+    )
+
+
+def greedy_segment(word: str, vocab: set[str], max_word: int = MAX_WP_WORD) -> list[str]:
+    """Greedy longest-match-first (MaxMatch) segmentation of ``word``
+    under ``vocab``; returns ``[UNK]`` for over-long words and words
+    any position of which no vocabulary piece matches (whole-word UNK,
+    the BERT rule).  Driver/executor-shared; also what the encode
+    oracle unrolls step-for-step."""
+    if len(word) > max_word:
+        return [UNK]
+    out: list[str] = []
+    pos = 0
+    n = len(word)
+    while pos < n:
+        match_len = 0
+        for ln in range(min(n - pos, max_word), 0, -1):
+            if word[pos : pos + ln] in vocab:
+                match_len = ln
+                break
+        if match_len == 0:
+            return [UNK]
+        out.append(word[pos : pos + match_len])
+        pos += match_len
+    return out
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    vocab: set[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE under a trained vocabulary: every ``[a-z]+`` word of
+    ``lower(text)`` is MaxMatch-segmented; emits per document the word
+    count, the ``[UNK]`` word count, the token count, and the md5 of
+    the space-joined segmentation with ``|`` word boundaries (the
+    bpe_segment_docs gate shape: one mis-segmented byte anywhere flips
+    it).  One Arrow pass, no shuffle; the vocabulary is the bounded
+    trained artifact (alphabet + n_merges tokens)."""
+    import pandas as pd
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+        import re
+
+        for pdf in batches:
+            ids, n_words, n_unk, n_toks, fps = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col], strict=True):
+                words = [w for w in re.split("[^a-z]+", text.lower()) if w]
+                pieces: list[str] = []
+                unk = 0
+                for w in words:
+                    seg = greedy_segment(w, vocab)
+                    if seg == [UNK]:
+                        unk += 1
+                    if pieces:
+                        pieces.append("|")
+                    pieces.extend(seg)
+                ids.append(doc_id)
+                n_words.append(len(words))
+                n_unk.append(unk)
+                n_toks.append(sum(1 for p in pieces if p != "|"))
+                fps.append(
+                    hashlib.md5(" ".join(pieces).encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_unk": pd.Series(n_unk, dtype="int64"),
+                    "n_tokens": pd.Series(n_toks, dtype="int64"),
+                    "seg_fp": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        enc,
+        schema=f"{id_col} long, n_words long, n_unk long, n_tokens long, seg_fp string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _wp_cte_chain(n_merges: int, vocab_cap: int, corpus_sql: str) -> str:
+    """The training replay ``words, w0, (cs_i, cp_i, b_i, w_{i+1})*`` —
+    symbol counts, likelihood-ratio-scored pair counts, the per-round
+    winner, the double-replace re-segmentation; ends after
+    ``b{n-1}``."""
+    parts = [
+        f"""
+    WITH words AS MATERIALIZED (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM ({corpus_sql})
+      ) WHERE word <> '' GROUP BY word
+      ORDER BY freq DESC, word LIMIT {vocab_cap}
+    ),
+    w0 AS MATERIALIZED (
+      SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w, freq
+      FROM words
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+    sy{i} AS MATERIALIZED (
+      SELECT list_filter(string_split(w, ' '), x -> x <> '') AS syms, freq
+      FROM w{i}
+    ),
+    cs{i} AS MATERIALIZED (
+      SELECT sym, CAST(sum(freq) AS BIGINT) AS c
+      FROM (SELECT unnest(syms) AS sym, freq FROM sy{i}) GROUP BY sym
+    ),
+    cp{i} AS MATERIALIZED (
+      SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                      j -> {{'a': syms[j], 'b': syms[j + 1]}})) AS p, freq
+        FROM sy{i} WHERE len(syms) >= 2
+      ) GROUP BY p.a, p.b
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT p.a || ' ' || p.b AS pair, p.cnt,
+             CAST((CAST(p.cnt AS HUGEINT) * {WP_PREC}) //
+                  (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS score_q
+      FROM cp{i} p
+      JOIN cs{i} ca ON ca.sym = p.a
+      JOIN cs{i} cb ON cb.sym = p.b
+      ORDER BY score_q DESC, pair LIMIT 1
+    )"""
+        )
+        if i != n_merges - 1:
+            parts.append(
+                f""",
+    w{i + 1} AS MATERIALIZED (
+      SELECT replace(replace(w, ' ' || pair || ' ',
+                             ' ' || replace(pair, ' ', '') || ' '),
+                     ' ' || pair || ' ',
+                     ' ' || replace(pair, ' ', '') || ' ') AS w, freq
+      FROM w{i}, b{i}
+    )"""
+            )
+    return "".join(parts)
+
+
+def wordpiece_oracle_sql(
+    n_merges: int = 10,
+    vocab_cap: int = 4000,
+    corpus_sql: str = "SELECT text FROM documents",
+) -> str:
+    """DuckDB replay of :func:`wordpiece_train`: the same recurrence
+    unrolled as per-round CTEs (symbol counts → ratio-scored pair
+    counts → argmax → double-replace)."""
+    selects = [
+        f"""
+    SELECT CAST({i + 1} AS BIGINT) AS merge_rank, pair,
+           replace(pair, ' ', '') AS merged, cnt, score_q
+    FROM b{i}"""
+        for i in range(n_merges)
+    ]
+    return _wp_cte_chain(n_merges, vocab_cap, corpus_sql) + (
+        "\n    UNION ALL".join(selects)
+    )
+
+
+def wordpiece_encode_oracle_sql(
+    n_merges: int = 10,
+    vocab_cap: int = 4000,
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB replay of train-then-:func:`wordpiece_encode`: the
+    training chain derives the vocabulary (w0's alphabet + every
+    merge output), then the greedy MaxMatch is unrolled ``MAX_WP_WORD``
+    steps deep over the distinct corpus words — per step, the longest
+    matching piece at the cursor is ``substr(word, pos+1,
+    max(len(piece)))`` over a LEFT JOIN against the vocabulary, a
+    no-match collapses the word to ``[UNK]``, and over-long words are
+    ``[UNK]`` at step 0 — then the per-word segmentations reassemble
+    in document order with ``|`` boundaries (the unigram encode oracle
+    shape)."""
+    W = MAX_WP_WORD
+    chain = _wp_cte_chain(
+        n_merges, vocab_cap, f"SELECT text FROM ({corpus_sql})"
+    )
+    merges = " UNION ALL ".join(
+        f"SELECT replace(pair, ' ', '') AS piece FROM b{i}"
+        for i in range(n_merges)
+    )
+    parts = [
+        chain,
+        f""",
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        SELECT unnest(list_filter(string_split(w, ' '), x -> x <> '')) AS piece
+        FROM w0
+        UNION ALL
+        {merges}
+      )
+    ),
+    gw AS MATERIALIZED (
+      SELECT DISTINCT word FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM ({corpus_sql})
+      ) WHERE word <> ''
+    ),
+    g0 AS MATERIALIZED (
+      SELECT word, 0 AS pos, '' AS seg,
+             strlen(word) > {W} AS unk,
+             strlen(word) > {W} AS done
+      FROM gw
+    )""",
+    ]
+    for k in range(1, W + 1):
+        parts.append(
+            f""",
+    g{k} AS MATERIALIZED (
+      SELECT word, pos,
+             CASE WHEN unk THEN '{UNK}' ELSE seg END AS seg, unk, done
+      FROM g{k - 1} WHERE done
+      UNION ALL
+      SELECT g.word,
+             g.pos + COALESCE(max(strlen(v.piece)), 0) AS pos,
+             CASE WHEN max(strlen(v.piece)) IS NULL THEN '{UNK}'
+                  ELSE g.seg || CASE WHEN g.seg = '' THEN '' ELSE ' ' END ||
+                       substr(g.word, CAST(g.pos + 1 AS BIGINT),
+                              CAST(max(strlen(v.piece)) AS BIGINT))
+             END AS seg,
+             max(strlen(v.piece)) IS NULL AS unk,
+             max(strlen(v.piece)) IS NULL
+               OR g.pos + COALESCE(max(strlen(v.piece)), 0) >= strlen(g.word)
+               AS done
+      FROM g{k - 1} g LEFT JOIN vocab v
+        ON v.piece = substr(g.word, CAST(g.pos + 1 AS BIGINT),
+                            CAST(strlen(v.piece) AS BIGINT))
+      WHERE NOT g.done
+      GROUP BY g.word, g.pos, g.seg, g.unk
+    )"""
+        )
+    parts.append(
+        f""",
+    wseg AS MATERIALIZED (
+      SELECT word, seg, unk FROM g{W}
+    ),
+    dwords AS MATERIALIZED (
+      SELECT doc_id, w.word, w.ord
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS word,
+               generate_subscripts(
+                 string_split_regex(lower(text), '[^a-z]+'), 1) AS ord
+        FROM ({corpus_sql})
+      ) w WHERE w.word <> ''
+    )
+    SELECT d.doc_id,
+           COALESCE(CAST(count(g.seg) AS BIGINT), 0) AS n_words,
+           COALESCE(CAST(sum(CASE WHEN g.unk THEN 1 ELSE 0 END) AS BIGINT),
+                    0) AS n_unk,
+           COALESCE(CAST(sum(len(string_split(g.seg, ' '))) AS BIGINT),
+                    0) AS n_tokens,
+           md5(COALESCE(string_agg(g.seg, ' | ' ORDER BY dw.ord), ''))
+             AS seg_fp
+    FROM ({corpus_sql}) d
+    LEFT JOIN dwords dw ON dw.doc_id = d.doc_id
+    LEFT JOIN wseg g ON g.word = dw.word
+    GROUP BY d.doc_id"""
+    )
+    return "".join(parts)

@@ -10324,3 +10324,175 @@ def streaming_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ===========================================================================
+# Round 10 additions: WordPiece tokenizer (train + greedy encode),
+# bigram-LM quality scoring with stupid backoff, paper-faithful
+# SemDeDup (k-means-blocked semantic dedup)
+# ===========================================================================
+
+
+def _wordpiece_oracle() -> str:
+    from .operators.wordpiece import wordpiece_oracle_sql
+
+    return wordpiece_oracle_sql(n_merges=10, vocab_cap=4000)
+
+
+@query("wordpiece_train_merges", _wordpiece_oracle())
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training (operators/wordpiece.py — Schuster
+    & Nakajima ICASSP 2012; the BERT trainer): the third leg of the
+    tokenizer family beside BPE and the unigram LM.  Same bounded
+    word-table merge loop as BPE, but each round's winner maximizes
+    the LIKELIHOOD RATIO count(ab)/(count(a)·count(b)) — computed as
+    an exact fixed-point integer quotient (DECIMAL(38,0) on Spark,
+    HUGEINT in the oracle: identical floors), so the per-round argmax
+    and the driver hash gate over the ranked merge table are
+    engine-exact.  The oracle unrolls all 10 rounds (symbol counts →
+    ratio-scored pair counts → argmax → double-replace) as CTEs.
+    Scale: one corpus scan; every round is two bounded aggregations +
+    two bounded joins + a 1-row broadcast argmax over the capped word
+    table."""
+    from .operators.wordpiece import wordpiece_train
+
+    return wordpiece_train(
+        load_table(spark, sf_dir, "documents"), n_merges=10, vocab_cap=4000
+    )
+
+
+def _wordpiece_encode_oracle() -> str:
+    from .operators.wordpiece import wordpiece_encode_oracle_sql
+
+    return wordpiece_encode_oracle_sql(n_merges=10, vocab_cap=4000)
+
+
+@query("wordpiece_encode_greedy", _wordpiece_encode_oracle())
+def wordpiece_encode_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODE — the train→apply round trip with the
+    tokenizer family's OTHER inference rule: greedy longest-match-
+    first (MaxMatch), not merge replay (BPE) or Viterbi (unigram).
+    The vocabulary is the training alphabet + the 10 merge outputs;
+    at each position the longest vocabulary piece prefixing the
+    remainder is taken, a no-match or an over-long word collapses the
+    WHOLE word to [UNK] (BERT's max_input_chars_per_word posture).
+    Emits per document the word/UNK/token counts and the md5 of the
+    full segmentation with | boundaries — one mis-segmented byte
+    anywhere flips the gate.  The oracle re-derives the training AND
+    unrolls the greedy match step-by-step (the longest match at a
+    cursor IS substr(word, pos+1, max(len(piece))) over a vocabulary
+    join).  Scale: the vocabulary is the bounded trained artifact in
+    the task closure; the encode is ONE Arrow pass, no shuffle."""
+    from .operators.wordpiece import (
+        wordpiece_alphabet,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bounded driver collects: the n_merges-row trained artifact and
+    # the <= 26-row alphabet (the BPE merge-list precedent)
+    merges = {
+        r.merged for r in wordpiece_train(docs, n_merges=10, vocab_cap=4000).collect()
+    }
+    alphabet = {r.piece for r in wordpiece_alphabet(docs, vocab_cap=4000).collect()}
+    return wordpiece_encode(docs, alphabet | merges)
+
+
+@query(
+    "bigram_backoff_surprisal",
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t FROM documents
+    ),
+    occ AS MATERIALIZED (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                       j -> {{'w1': t[j], 'w2': t[j + 1]}})) AS p
+        FROM base WHERE len(t) >= 2
+      ) GROUP BY doc_id, p.w1, p.w2
+    ),
+    c2 AS MATERIALIZED (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2
+           FROM occ WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+    c1 AS MATERIALIZED (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+    cu AS MATERIALIZED (SELECT w2, CAST(count(*) AS BIGINT) AS cu FROM (
+             SELECT unnest(t) AS w2 FROM base WHERE doc_id % 2 = 0)
+           GROUP BY w2),
+    tot AS (SELECT CAST(sum(cu) AS BIGINT) AS U FROM cu),
+    sc AS MATERIALIZED (
+      SELECT o.doc_id, o.n,
+             CASE WHEN c2.c2 IS NOT NULL
+                  THEN CAST(length(bin(CAST(c1.c1 // c2.c2 AS BIGINT))) AS BIGINT)
+                  WHEN cu.cu IS NOT NULL
+                  THEN 2 + CAST(length(bin(CAST(U // cu.cu AS BIGINT))) AS BIGINT)
+                  ELSE 2 + CAST(length(bin(U)) AS BIGINT) + 1 END AS s
+      FROM occ o
+      LEFT JOIN c2 ON c2.w1 = o.w1 AND c2.w2 = o.w2
+      LEFT JOIN c1 ON c1.w1 = o.w1
+      LEFT JOIN cu ON cu.w2 = o.w2
+      CROSS JOIN tot
+    ),
+    agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+                   CAST(sum(s * n) AS BIGINT) AS surprisal
+            FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, surprisal,
+           CAST(surprisal * 1000 // n_bigrams AS BIGINT) AS bpb_milli
+    FROM agg
+    """,
+)
+def bigram_backoff_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document quality scoring with stupid backoff
+    (operators/text.bigram_backoff_surprisal — the order-2 rung of the
+    CCNet LM ladder above unigram_surprisal_buckets; Brants et al.
+    EMNLP 2007 backoff): the LM trains on the even-id REFERENCE half
+    of the corpus and scores EVERY document, so backoff genuinely
+    triggers on the held-out half — seen bigrams score
+    bitlen(c1 div c2), unseen back off to the unigram (+2 bits), OOV
+    words hit the count-1/2 floor.  All integer, so the per-document
+    surprisal and milli-bits-per-bigram hash exactly.  Scale:
+    occurrences pre-collapse to (doc, w1, w2, n); three keyed score
+    joins + a 1-row total broadcast; nothing vocabulary-sized on the
+    driver."""
+    from .operators.text import bigram_backoff_surprisal
+
+    return bigram_backoff_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+def _semdedup_oracle() -> str:
+    from .operators.clustering import semdedup_oracle_sql
+
+    return semdedup_oracle_sql(
+        k=4,
+        n_iter=2,
+        dims=64,
+        emb_sql="""
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+        """,
+    )
+
+
+@query("semdedup_kmeans", _semdedup_oracle())
+def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup exactly as published (Abbas et al. 2023 —
+    operators/clustering.semdedup_kmeans): k-means blocks the
+    embedding space (the paper's answer to the all-pairs blowup),
+    near-dup discovery runs within clusters only, and of each pair the
+    member FARTHER from its centroid is kept (ties to the smaller id).
+    The corpus plus planted exact copies of every 25th vector flows
+    through the exact integer pipeline — fixed-point k-means, integer
+    cosine test (dot*100)² >= (|a|²·92²)·|b|² — so keep/cluster/dist
+    all hash.  Each planted copy shares its source's quantized vector:
+    same cluster, same dist, and the tie breaks to the original — the
+    copies are provably the dropped set.  The oracle replays the
+    k-means chain and the dominated-pair prune verbatim."""
+    from .operators.clustering import semdedup_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return semdedup_kmeans(emb.unionByName(planted), k=4, n_iter=2)

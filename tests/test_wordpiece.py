@@ -1,0 +1,216 @@
+"""WordPiece tokenizer (operators/wordpiece.py), bigram-LM backoff
+scoring (operators/text.bigram_backoff_surprisal) and paper-faithful
+SemDeDup (operators/clustering.semdedup_kmeans) — the round-10 operator
+family.  The oracle-parity suite covers the full differential gates;
+these tests pin the hand-checkable semantics each algorithm is FOR."""
+
+from pyspark.sql import functions as F
+
+from ksql_streams_from_schema_converter_spark.operators.clustering import (
+    semdedup_kmeans,
+)
+from ksql_streams_from_schema_converter_spark.operators.text import (
+    bigram_backoff_surprisal,
+)
+from ksql_streams_from_schema_converter_spark.operators.wordpiece import (
+    UNK,
+    greedy_segment,
+    wordpiece_alphabet,
+    wordpiece_encode,
+    wordpiece_train,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece training: the likelihood ratio IS the difference from BPE
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_elects_ratio_not_frequency(spark):
+    """'ab' appears 3x (pair count 3, but a and b each occur 3x →
+    ratio 3/9), 'cd' once (ratio 1/1 = 1.0).  BPE's frequency argmax
+    would merge (a, b); WordPiece must merge (c, d) first."""
+    docs = _docs(spark, ["ab ab ab cd"])
+    first = (
+        wordpiece_train(docs, n_merges=1, vocab_cap=100)
+        .orderBy("merge_rank")
+        .collect()[0]
+    )
+    assert first.pair == "c d"
+    assert first.merged == "cd"
+    assert first.cnt == 1
+    # exact fixed-point ratio: (1 * 10^12) // (1 * 1)
+    assert first.score_q == 10**12
+
+
+def test_wordpiece_ratio_tie_breaks_on_pair_string(spark):
+    """Two pairs with the identical ratio: the lexicographically
+    smaller space-joined pair wins (the engine/oracle shared rule)."""
+    docs = _docs(spark, ["xy wz"])  # both pairs: cnt 1, syms all cnt 1
+    first = (
+        wordpiece_train(docs, n_merges=1, vocab_cap=100)
+        .orderBy("merge_rank")
+        .collect()[0]
+    )
+    assert first.pair == "w z"  # 'w z' < 'x y'
+
+
+def test_wordpiece_merges_compose_over_rounds(spark):
+    """After (c, d) merges, round 2 sees the fused symbol 'cd' and can
+    merge it further — the merge table is ranked and composable."""
+    docs = _docs(spark, ["cde cde cde"])
+    rows = (
+        wordpiece_train(docs, n_merges=2, vocab_cap=100)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    # round 1: both (c,d) and (d,e) have cnt 3 and denominator 9 →
+    # tie breaks to 'c d'; round 2 must merge the composed ('cd', 'e')
+    assert [r.pair for r in rows] == ["c d", "cd e"]
+    assert rows[1].merged == "cde"
+
+
+# ---------------------------------------------------------------------------
+# Greedy MaxMatch encode
+# ---------------------------------------------------------------------------
+
+
+def test_greedy_segment_longest_match_first():
+    vocab = {"a", "b", "ab", "abc"}
+    assert greedy_segment("ababc", vocab) == ["ab", "abc"]
+    assert greedy_segment("abab", vocab) == ["ab", "ab"]
+    assert greedy_segment("ba", vocab) == ["b", "a"]
+
+
+def test_greedy_segment_unk_rules():
+    vocab = {"a", "b"}
+    # unseen character anywhere → the WHOLE word is [UNK]
+    assert greedy_segment("axb", vocab) == [UNK]
+    # over-long words are [UNK] without attempting segmentation
+    assert greedy_segment("a" * 17, vocab) == [UNK]
+    assert greedy_segment("a" * 16, vocab) == ["a"] * 16
+
+
+def test_wordpiece_encode_counts_and_unk(spark):
+    docs = _docs(spark, ["ab ab qz", ""])
+    vocab = {"a", "b", "ab"}  # q, z not in vocab → 'qz' is [UNK]
+    out = {r.doc_id: r for r in wordpiece_encode(docs, vocab).collect()}
+    assert out[0].n_words == 3
+    assert out[0].n_unk == 1
+    assert out[0].n_tokens == 3  # ab, ab, [UNK]
+    assert out[1].n_words == 0 and out[1].n_tokens == 0
+    # empty doc fingerprints the empty segmentation, not NULL
+    assert out[1].seg_fp is not None
+
+
+def test_wordpiece_alphabet_is_distinct_chars(spark):
+    docs = _docs(spark, ["abc cab"])
+    alpha = {r.piece for r in wordpiece_alphabet(docs).collect()}
+    assert alpha == {"a", "b", "c"}
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM with stupid backoff
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_backoff_score_tiers(spark):
+    """Even-id docs train the LM; an odd doc exercises all three score
+    tiers — seen bigram, unseen bigram with seen unigram (backoff),
+    and OOV (floor).  Scores are verified against the hand-computed
+    integer recurrence."""
+    # reference (doc 0): tokens a b a b → bigrams (a,b)x2, (b,a)x1
+    # unigrams: a x2, b x2 → U = 4
+    docs = _docs(spark, ["a b a b", "b b a zz"])
+    out = {r.doc_id: r for r in bigram_backoff_surprisal(docs).collect()}
+    # doc 0: (a,b) n=2: c1(a)=2, c2=2 → bitlen(1)=1 ; (b,a) n=1:
+    # c1(b)=1, c2=1 → bitlen(1)=1 → surprisal 2*1 + 1 = 3, n_bigrams 3
+    assert out[0].n_bigrams == 3
+    assert out[0].surprisal == 3
+    assert out[0].bpb_milli == 1000
+    # doc 1 bigrams: (b,b) unseen, b seen → 2 + bitlen(4 div 2) = 2+2
+    #               (b,a) seen → bitlen(c1(b) div c2(b,a)) = bitlen(1) = 1
+    #               (a,zz) unseen, zz OOV → 2 + bitlen(4) + 1 = 2+3+1
+    assert out[1].n_bigrams == 3
+    assert out[1].surprisal == (2 + 2) + 1 + (2 + 3 + 1)
+    assert out[1].bpb_milli == (out[1].surprisal * 1000) // 3
+
+
+def test_bigram_single_token_docs_drop(spark):
+    docs = _docs(spark, ["a b", "solo", ""])
+    ids = {r.doc_id for r in bigram_backoff_surprisal(docs).collect()}
+    assert ids == {0}
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (k-means blocked, keep-farthest-from-centroid)
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_exact_copies_drop_and_originals_survive(spark):
+    """Two antipodal groups (the k=2 seeds are the two lowest ids, so
+    the split is clean from init) with an exact copy planted in each:
+    each copy shares its source's quantized vector — same cluster,
+    same dist — and the tie breaks to the smaller id, so exactly the
+    copies drop."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.0]),
+        (100, [1.0, 0.0]),  # exact copy of vec 0
+        (101, [-1.0, 0.0]),  # exact copy of vec 1
+    ]
+    out = {
+        r.vec_id: r
+        for r in semdedup_kmeans(_emb(spark, rows), k=2, n_iter=2).collect()
+    }
+    assert not out[100].keep and not out[101].keep
+    assert out[0].keep and out[1].keep
+    assert out[100].cluster == out[0].cluster
+    assert out[100].dist == out[0].dist
+
+
+def test_semdedup_keeps_farther_from_centroid(spark):
+    """The paper's rule: of a near-dup pair, the member FARTHER from
+    its centroid survives.  k=1, n_iter=1 → the centroid is the seed
+    (vec 0), so vec 0 has dist 0 and its same-direction near-dup vec 1
+    is strictly farther: vec 0 drops, vec 1 keeps.  The orthogonal
+    vec 2 shares the cluster but no pair (cos = 0)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.2, 0.0]),  # cos = 1 with vec 0, farther from the seed
+        (2, [0.0, 1.0]),  # orthogonal: same cluster, no near-dup
+    ]
+    out = {
+        r.vec_id: r
+        for r in semdedup_kmeans(_emb(spark, rows), k=1, n_iter=1).collect()
+    }
+    assert not out[0].keep
+    assert out[1].keep
+    assert out[2].keep
+    assert out[0].dist == 0 and out[1].dist > 0
+
+
+def test_semdedup_cluster_blocking_is_the_documented_tradeoff(spark):
+    """Identical-direction vectors that seed DIFFERENT clusters never
+    pair — SemDeDup's blocking is per-cluster by design (the paper's
+    approximation), and both survive."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.05, 0.0]),  # cos = 1 with vec 0, but it's the c1 seed
+    ]
+    out = {
+        r.vec_id: r
+        for r in semdedup_kmeans(_emb(spark, rows), k=2, n_iter=1).collect()
+    }
+    assert out[0].cluster != out[1].cluster
+    assert out[0].keep and out[1].keep
