@@ -62,14 +62,18 @@ def kmeans_fixed_point(
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keymul: int = KM_KEYMUL,
 ) -> DataFrame:
     """Lloyd's k-means, ``n_iter`` exact integer rounds; returns the
     final assignment ``(pid, cluster, dist)`` (dist = integer squared
     L2 to the final centroid — both exact).  Clusters are numbered
     0..k-1 in initialization order (ascending seed id); empty clusters
     keep their previous centroid (both engines replay the same rule:
-    the update only rewrites clusters that own points)."""
-    assert k < KM_KEYMUL
+    the update only rewrites clusters that own points).  ``keymul``
+    widens the argmin tie-break modulus for larger k (SemDeDup scales
+    cluster COUNT with the corpus); dist·keymul must stay under 2⁶³ —
+    dims·(2·maxval·SCALE)² ≈ 10¹⁴ leaves 5 decimal digits of headroom."""
+    assert k < keymul
     # the final-assignment return lives INSIDE the loop body; n_iter=0
     # would fall through to the unreachable-return below and surface as
     # an AttributeError far from the cause (ADVICE r5)
@@ -85,11 +89,11 @@ def kmeans_fixed_point(
     )
     for it in range(n_iter):
         d = pts.crossJoin(F.broadcast(cents))
-        key = _sq_dist(F.col("q"), F.col("c")) * KM_KEYMUL + F.col("cluster")
+        key = _sq_dist(F.col("q"), F.col("c")) * keymul + F.col("cluster")
         assigned = (
             d.groupBy("pid")
             .agg(F.min(key).alias("__key"))
-            .select("pid", (F.col("__key") % KM_KEYMUL).alias("cluster"))
+            .select("pid", (F.col("__key") % keymul).alias("cluster"))
         )
         if it == n_iter - 1:
             final = (
@@ -128,6 +132,7 @@ def _kmeans_chain_sql(
     n_iter: int,
     dims: int,
     emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    with_kw: bool = True,
 ) -> tuple[str, str]:
     """The :func:`kmeans_fixed_point` replay as a ``WITH`` chain
     (quantize → [assign → update]ⁿ⁻¹) over an arbitrary
@@ -140,9 +145,10 @@ def _kmeans_chain_sql(
         "i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))) AS BIGINT)"
     ).format(d=dims)
     key = f"({dist_expr} * {KM_KEYMUL} + c.cluster)"
+    lead = "WITH " if with_kw else ""
     parts = [
         f"""
-    WITH pts AS (
+    {lead}pts AS (
       SELECT vec_id AS pid,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * {KM_SCALE}) AS BIGINT)) AS q
@@ -208,6 +214,7 @@ def semdedup_kmeans(
     tau_centi: int = SD_TAU_CENTI,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keymul: int = KM_KEYMUL,
 ) -> DataFrame:
     """SemDeDup exactly as published (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -232,7 +239,7 @@ def semdedup_kmeans(
     at Σᵢ|cᵢ|² instead of n² — with k ∝ corpus the per-cluster join is
     bounded; assignment is a broadcast-k map pass and the drop rule is
     one EXISTS (pairs → distinct → anti-join), never a window."""
-    asg = kmeans_fixed_point(emb, k, n_iter, vec_col, id_col)
+    asg = kmeans_fixed_point(emb, k, n_iter, vec_col, id_col, keymul)
     tau2 = tau_centi * tau_centi
     feat = (
         asg.join(quantize_points(emb, vec_col, id_col), "pid")
@@ -302,7 +309,27 @@ def semdedup_oracle_sql(
     the final assignment with distances, per-point squared norms, the
     within-cluster dominated-pair join under the identical integer
     cosine test (HUGEINT), and the keep anti-join."""
-    chain, key = _kmeans_chain_sql(k, n_iter, dims, emb_sql)
+    return (
+        semdedup_chain_sql(k, n_iter, dims, tau_centi, emb_sql)
+        + """
+    SELECT vec_id, cluster, dist, keep FROM sdres
+    """
+    )
+
+
+def semdedup_chain_sql(
+    k: int = 4,
+    n_iter: int = 2,
+    dims: int = 64,
+    tau_centi: int = SD_TAU_CENTI,
+    emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    with_kw: bool = True,
+) -> str:
+    """The :func:`semdedup_kmeans` replay as a ``WITH`` chain ending at
+    the ``sdres`` CTE ``(vec_id, cluster, dist, keep)`` — spliceable
+    into composed-pipeline oracles; ``emb_sql`` may reference CTEs the
+    caller defined earlier."""
+    chain, key = _kmeans_chain_sql(k, n_iter, dims, emb_sql, with_kw)
     last = n_iter - 1
     tau2 = tau_centi * tau_centi
     return (
@@ -334,8 +361,9 @@ def semdedup_oracle_sql(
       WHERE dot >= 0
         AND CAST(dot * 100 AS HUGEINT) * (dot * 100)
             >= CAST(na * {tau2} AS HUGEINT) * nb
-    )
-    SELECT f.pid AS vec_id, f.cluster, f.dist, d.pid IS NULL AS keep
-    FROM feat f LEFT JOIN drops d ON d.pid = f.pid
-    """
+    ),
+    sdres AS MATERIALIZED (
+      SELECT f.pid AS vec_id, f.cluster, f.dist, d.pid IS NULL AS keep
+      FROM feat f LEFT JOIN drops d ON d.pid = f.pid
+    )"""
     )

@@ -267,14 +267,17 @@ def wordpiece_encode(
 # ---------------------------------------------------------------------------
 
 
-def _wp_cte_chain(n_merges: int, vocab_cap: int, corpus_sql: str) -> str:
+def _wp_cte_chain(
+    n_merges: int, vocab_cap: int, corpus_sql: str, with_kw: bool = True
+) -> str:
     """The training replay ``words, w0, (cs_i, cp_i, b_i, w_{i+1})*`` —
     symbol counts, likelihood-ratio-scored pair counts, the per-round
     winner, the double-replace re-segmentation; ends after
     ``b{n-1}``."""
+    lead = "WITH " if with_kw else ""
     parts = [
         f"""
-    WITH words AS MATERIALIZED (
+    {lead}words AS MATERIALIZED (
       SELECT word, count(*) AS freq FROM (
         SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
         FROM ({corpus_sql})
@@ -363,9 +366,26 @@ def wordpiece_encode_oracle_sql(
     ``[UNK]`` at step 0 — then the per-word segmentations reassemble
     in document order with ``|`` boundaries (the unigram encode oracle
     shape)."""
+    return (
+        wordpiece_encode_chain_sql(n_merges, vocab_cap, corpus_sql)
+        + """
+    SELECT doc_id, n_words, n_unk, n_tokens, seg_fp FROM encres"""
+    )
+
+
+def wordpiece_encode_chain_sql(
+    n_merges: int = 10,
+    vocab_cap: int = 4000,
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
+    with_kw: bool = True,
+) -> str:
+    """The train-then-encode replay as a ``WITH`` chain ending at the
+    ``encres`` CTE ``(doc_id, n_words, n_unk, n_tokens, seg_fp)`` —
+    spliceable into composed-pipeline oracles (pretrain_pipeline_v6);
+    ``corpus_sql`` may reference CTEs the caller defined earlier."""
     W = MAX_WP_WORD
     chain = _wp_cte_chain(
-        n_merges, vocab_cap, f"SELECT text FROM ({corpus_sql})"
+        n_merges, vocab_cap, f"SELECT text FROM ({corpus_sql})", with_kw
     )
     merges = " UNION ALL ".join(
         f"SELECT replace(pair, ' ', '') AS piece FROM b{i}"
@@ -435,18 +455,20 @@ def wordpiece_encode_oracle_sql(
                  string_split_regex(lower(text), '[^a-z]+'), 1) AS ord
         FROM ({corpus_sql})
       ) w WHERE w.word <> ''
-    )
-    SELECT d.doc_id,
-           COALESCE(CAST(count(g.seg) AS BIGINT), 0) AS n_words,
-           COALESCE(CAST(sum(CASE WHEN g.unk THEN 1 ELSE 0 END) AS BIGINT),
-                    0) AS n_unk,
-           COALESCE(CAST(sum(len(string_split(g.seg, ' '))) AS BIGINT),
-                    0) AS n_tokens,
-           md5(COALESCE(string_agg(g.seg, ' | ' ORDER BY dw.ord), ''))
-             AS seg_fp
-    FROM ({corpus_sql}) d
-    LEFT JOIN dwords dw ON dw.doc_id = d.doc_id
-    LEFT JOIN wseg g ON g.word = dw.word
-    GROUP BY d.doc_id"""
+    ),
+    encres AS MATERIALIZED (
+      SELECT d.doc_id,
+             COALESCE(CAST(count(g.seg) AS BIGINT), 0) AS n_words,
+             COALESCE(CAST(sum(CASE WHEN g.unk THEN 1 ELSE 0 END) AS BIGINT),
+                      0) AS n_unk,
+             COALESCE(CAST(sum(len(string_split(g.seg, ' '))) AS BIGINT),
+                      0) AS n_tokens,
+             md5(COALESCE(string_agg(g.seg, ' | ' ORDER BY dw.ord), ''))
+               AS seg_fp
+      FROM ({corpus_sql}) d
+      LEFT JOIN dwords dw ON dw.doc_id = d.doc_id
+      LEFT JOIN wseg g ON g.word = dw.word
+      GROUP BY d.doc_id
+    )"""
     )
     return "".join(parts)

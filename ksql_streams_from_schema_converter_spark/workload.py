@@ -10496,3 +10496,212 @@ def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return semdedup_kmeans(emb.unionByName(planted), k=4, n_iter=2)
+
+
+def _v6_oracle() -> str:
+    """pretrain_pipeline_v6 replay: planted corpus/embeddings, the
+    bigram-LM backoff block, the exact-NTILE gate, the SemDeDup chain
+    over the gate's survivors (spliced via semdedup_chain_sql), the
+    WordPiece train+encode chain over the FINAL survivors (spliced via
+    wordpiece_encode_chain_sql), and the per-document verdict join."""
+    from .operators.clustering import semdedup_chain_sql
+    from .operators.wordpiece import wordpiece_encode_chain_sql
+
+    sd_chain = semdedup_chain_sql(
+        k=4,
+        n_iter=2,
+        dims=64,
+        emb_sql=(
+            "SELECT e.vec_id, e.embedding FROM emb2 e "
+            "JOIN lmk ON lmk.doc_id = e.vec_id"
+        ),
+        with_kw=False,
+    )
+    wp_chain = wordpiece_encode_chain_sql(
+        n_merges=10,
+        vocab_cap=4000,
+        corpus_sql="SELECT c.doc_id, c.text FROM corpus c JOIN surv USING (doc_id)",
+        with_kw=False,
+    )
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id % 25 = 0
+    ),
+    emb2 AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 25 = 0
+    ),
+    vbase AS MATERIALIZED (
+      SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t FROM corpus
+    ),
+    vocc AS MATERIALIZED (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                       j -> {{'w1': t[j], 'w2': t[j + 1]}})) AS p
+        FROM vbase WHERE len(t) >= 2
+      ) GROUP BY doc_id, p.w1, p.w2
+    ),
+    vc2 AS MATERIALIZED (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2
+           FROM vocc WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+    vc1 AS MATERIALIZED (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+           FROM vc2 GROUP BY w1),
+    vcu AS MATERIALIZED (SELECT w2, CAST(count(*) AS BIGINT) AS cu FROM (
+             SELECT unnest(t) AS w2 FROM vbase WHERE doc_id % 2 = 0)
+           GROUP BY w2),
+    vtot AS (SELECT CAST(sum(cu) AS BIGINT) AS U FROM vcu),
+    vsc AS MATERIALIZED (
+      SELECT o.doc_id, o.n,
+             CASE WHEN vc2.c2 IS NOT NULL
+                  THEN CAST(length(bin(CAST(vc1.c1 // vc2.c2 AS BIGINT))) AS BIGINT)
+                  WHEN vcu.cu IS NOT NULL
+                  THEN 2 + CAST(length(bin(CAST(U // vcu.cu AS BIGINT))) AS BIGINT)
+                  ELSE 2 + CAST(length(bin(U)) AS BIGINT) + 1 END AS s
+      FROM vocc o
+      LEFT JOIN vc2 ON vc2.w1 = o.w1 AND vc2.w2 = o.w2
+      LEFT JOIN vc1 ON vc1.w1 = o.w1
+      LEFT JOIN vcu ON vcu.w2 = o.w2
+      CROSS JOIN vtot
+    ),
+    lmagg AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(CAST(sum(s * n) AS BIGINT) * 1000 // sum(n) AS BIGINT)
+               AS bpb_milli
+      FROM vsc GROUP BY doc_id
+    ),
+    nt AS MATERIALIZED (
+      SELECT doc_id, n_bigrams, bpb_milli,
+             ntile(3) OVER (ORDER BY bpb_milli, doc_id) AS b
+      FROM lmagg
+    ),
+    lmk AS MATERIALIZED (SELECT doc_id FROM nt WHERE b <= 2),
+    {sd_chain.strip()},
+    surv AS MATERIALIZED (
+      SELECT lmk.doc_id FROM lmk
+      LEFT JOIN sdres ON sdres.vec_id = lmk.doc_id
+      WHERE COALESCE(sdres.keep, TRUE)
+    ),
+    {wp_chain.strip()}
+    SELECT c.doc_id, nt.n_bigrams, nt.bpb_milli,
+           COALESCE(nt.b <= 2, FALSE) AS lm_kept,
+           sdres.keep AS sd_keep,
+           (COALESCE(nt.b <= 2, FALSE) AND COALESCE(sdres.keep, TRUE))
+             AS final_kept,
+           enc.n_tokens, enc.seg_fp
+    FROM corpus c
+    LEFT JOIN nt ON nt.doc_id = c.doc_id
+    LEFT JOIN sdres ON sdres.vec_id = c.doc_id
+    LEFT JOIN encres enc ON enc.doc_id = c.doc_id
+    """
+
+
+@query("pretrain_pipeline_v6", _v6_oracle())
+def pretrain_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 blocks composed END-TO-END: bigram-LM backoff
+    quality gate (train on the even-id reference half, keep the
+    head+middle thirds by milli-bits-per-bigram via the distributed
+    exact NTILE) → paper-faithful SemDeDup over the gate's survivors
+    (k-means blocked, exact integer cosine, keep-farthest; documents
+    without an embedding pass unexamined — the LEFT-JOIN posture,
+    real at sf0.1 where docs outnumber vectors) → WordPiece tokenizer
+    TRAINED ON THE FINAL SURVIVORS and greedy-encoded over them (the
+    "tokenize the corpus you actually kept" step every pretraining
+    build ends with).  Planted duplicates (every 25th document AND its
+    embedding, id+100000) flow through all three stages: identical
+    text scores identically in the LM gate, and the copy's identical
+    embedding makes it the SemDeDup drop (same cluster, same dist, id
+    tie-break) — so the dedup stage provably fires.  One row per input
+    document with every stage's verdict plus the final token count and
+    segmentation fingerprint; the oracle replays the ENTIRE
+    composition (LM block, NTILE, spliced SemDeDup chain, spliced
+    WordPiece train+encode chain), so the final corpus is proven as a
+    whole.
+
+    Scale: no new shuffle class — the LM block pre-aggregates
+    (doc, w1, w2, n) (r8 #6); SemDeDup blocks the pair join by cluster
+    (and at 100 TB k scales with the corpus — the semdedup_scaled_k
+    probe family); WordPiece trains on the capped word table and
+    encodes in ONE Arrow pass.  The survivor corpus is
+    localCheckpointed once: the tokenizer's 10 training rounds + the
+    alphabet + the encode would otherwise each replay the whole
+    LM+SemDeDup funnel."""
+    from .operators.clustering import semdedup_kmeans
+    from .operators.ranking import global_ntile
+    from .operators.text import bigram_backoff_surprisal
+    from .operators.wordpiece import (
+        wordpiece_alphabet,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    emb2 = emb.unionByName(
+        emb.where(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    lm = bigram_backoff_surprisal(corpus).select(
+        "doc_id", "n_bigrams", "bpb_milli"
+    )
+    binned = global_ntile(
+        lm, ["bpb_milli", "doc_id"], 3, out_col="__b"
+    ).localCheckpoint(eager=True)
+    lmk = binned.where(F.col("__b") <= 2).select("doc_id")
+    sub = emb2.join(lmk.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    sd = semdedup_kmeans(sub, k=4, n_iter=2).localCheckpoint(eager=True)
+    surv = (
+        lmk.join(
+            sd.select(F.col("vec_id").alias("doc_id"), "keep"),
+            "doc_id",
+            "left",
+        )
+        .where(F.coalesce(F.col("keep"), F.lit(True)))
+        .select("doc_id")
+    )
+    survdocs = corpus.join(surv, "doc_id").localCheckpoint(eager=True)
+    # bounded driver collects: the 10-row merge table + <=26-char
+    # alphabet (the wordpiece_encode_greedy precedent)
+    merges = {
+        r.merged
+        for r in wordpiece_train(survdocs, n_merges=10, vocab_cap=4000).collect()
+    }
+    alpha = {
+        r.piece for r in wordpiece_alphabet(survdocs, vocab_cap=4000).collect()
+    }
+    enc = wordpiece_encode(survdocs, alpha | merges)
+    lm_kept = F.coalesce(F.col("__b") <= 2, F.lit(False))
+    return (
+        corpus.select("doc_id")
+        .join(binned, "doc_id", "left")
+        .join(
+            sd.select(
+                F.col("vec_id").alias("doc_id"), F.col("keep").alias("sd_keep")
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(enc.select("doc_id", "n_tokens", "seg_fp"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "bpb_milli",
+            lm_kept.alias("lm_kept"),
+            "sd_keep",
+            (lm_kept & F.coalesce(F.col("sd_keep"), F.lit(True))).alias(
+                "final_kept"
+            ),
+            "n_tokens",
+            "seg_fp",
+        )
+    )

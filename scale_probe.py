@@ -62,6 +62,9 @@ from pyspark.sql import functions as F
 from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
 
 SPACING = 4_000_000_000
+#: replica-construction version — bump to invalidate cached x{k} dirs
+#: (markers record it; r10: embeddings rotation added)
+_GEN_VERSION = 2
 #: x64 of sf0.01 ≈ 0.64 SF — big enough that the local[32] cores
 #: saturate and fixed per-query overhead (~1.5 s of job scheduling at
 #: x1) stops dominating; the x16→x64 marginal exponent is the
@@ -138,6 +141,8 @@ DEFAULT_QUERIES = (
     # row_number window would concentrate the blank-line key on one
     # task
     "corpus_line_dedup",
+    # r10 — SemDeDup with k ∝ corpus (see _semdedup_scaled_k)
+    "semdedup_scaled_k",
 )
 #: key / FK columns shifted per replica (referential integrity holds
 #: within a replica; replicas never cross-reference)
@@ -178,7 +183,11 @@ def generate_scaled_dir(
     if os.path.exists(marker):
         with open(marker) as fh:
             m = json.load(fh)
-        if m.get("base_dir") == base_dir and m.get("k") == k:
+        if (
+            m.get("base_dir") == base_dir
+            and m.get("k") == k
+            and m.get("gen") == _GEN_VERSION
+        ):
             return m["rows"]
     os.makedirs(out_dir, exist_ok=True)
 
@@ -208,11 +217,32 @@ def generate_scaled_dir(
                 r = r.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1_r{i}")
                 )
+            if t == "embeddings":
+                # the vector twin of token suffixing: circularly rotate
+                # each replica's vectors by i positions — an ISOMETRY
+                # (distances/cosines within a replica are untouched, so
+                # per-replica near-dup structure equals the base), but
+                # cross-replica cosines decorrelate (rot(v, i) vs
+                # rot(v, j) of a random vector is itself ~random), so
+                # a vector does NOT acquire k-1 exact twins and pair
+                # joins measure the engine, not the generator
+                rot = i % 64
+                if rot:
+                    r = r.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {rot + 1}, {64 - rot}), "
+                            f"slice(embedding, 1, {rot}))"
+                        ),
+                    )
             reps.append(r)
         _write_single_parquet(reduce(DataFrame.unionByName, reps), out_dir, t)
         rows[t] = _written_rows(t)
     with open(marker, "w") as fh:
-        json.dump({"base_dir": base_dir, "k": k, "rows": rows}, fh)
+        json.dump(
+            {"base_dir": base_dir, "k": k, "gen": _GEN_VERSION, "rows": rows},
+            fh,
+        )
     return rows
 
 
@@ -400,9 +430,40 @@ def _tombstone_axis_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _noop_setup(spark: SparkSession, sf_dir: str) -> None:
+    return None
+
+
+def _semdedup_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at scale THE WAY THE PAPER RUNS IT: cluster count
+    grows with the corpus (Abbas et al. use 50k clusters on LAION) so
+    the expected cluster size — and with it the per-cluster pair join
+    — stays bounded.  k = n/250 (floor 4, keymul widened to 256); the
+    fit proves the Σ|cᵢ|² pair budget tracks n, not n², once k scales.
+    The fixed-k gated query (semdedup_kmeans, k=4) is the correctness
+    surface; THIS is the 100 TB configuration."""
+    import pyarrow.parquet as pq
+
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        semdedup_kmeans,
+    )
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+    k = max(4, min(200, n // 250))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup_kmeans(emb, k=k, n_iter=2, keymul=256)
+
+
 #: probe families that are not WORKLOAD queries: name -> (untimed
 #: per-scale setup, timed query body)
 SPECIAL_QUERIES = {
+    # r10 — SemDeDup with corpus-proportional cluster count (the
+    # paper's own scale recipe; embeddings replicas are ROTATED per
+    # replica so cross-replica vectors decorrelate — see
+    # generate_scaled_dir)
+    "semdedup_scaled_k": (_noop_setup, _semdedup_scaled_k),
     "incremental_refresh_base_axis": (
         _setup_refresh_base_axis,
         _refresh_base_axis,

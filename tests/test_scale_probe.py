@@ -205,3 +205,26 @@ def test_tombstone_axis_refresh_is_flat_in_tombstone_count(artifact):
             "`python scale_probe.py` and commit it"
         )
     assert rec["exponent"] <= 0.3, rec["exponent"]
+
+
+def test_replica_embeddings_rotate_not_duplicate(spark, tmp_path):
+    """r10: the embeddings twin of token suffixing — replica i's
+    vectors are the base vectors circularly rotated by i (an isometry:
+    per-replica geometry identical to base), NOT copies, so no vector
+    acquires cross-replica exact twins and pair joins measure the
+    engine."""
+    from pyspark.sql import functions as F
+
+    sp.generate_scaled_dir(spark, "/root/testdata/sf0.001", str(tmp_path / "e"), 2)
+    emb = spark.read.parquet(str(tmp_path / "e" / "embeddings.parquet"))
+    base = {
+        r.vec_id: list(r.embedding)
+        for r in emb.where(F.col("vec_id") < sp.SPACING).collect()
+    }
+    rep1 = {
+        r.vec_id - sp.SPACING: list(r.embedding)
+        for r in emb.where(F.col("vec_id") >= sp.SPACING).collect()
+    }
+    assert set(base) == set(rep1)
+    for vid, v in base.items():
+        assert rep1[vid] == v[1:] + v[:1], vid
