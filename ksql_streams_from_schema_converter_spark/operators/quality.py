@@ -467,3 +467,72 @@ def threshold_sweep(
             (F.col("__tot_n") - F.col("fp")).alias("tn"),
         )
     )
+
+
+def auc_ranksum(
+    scored: DataFrame,
+    label: Column,
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact AUC via the Mann-Whitney rank-sum statistic with
+    tie-averaged ranks (Mann & Whitney 1947; Hanley & McNeil 1982 for
+    the AUC identity) — the area summary of the
+    :func:`threshold_sweep` calibration table, in EXACT integer
+    arithmetic so the value hashes across engines.
+
+    With documents collapsed to per-score (positives, negatives)
+    counts, a tie group at cumulative offset ``c`` with ``t = sp+sn``
+    members contributes ``sp * (2c + t + 1)`` to twice the positive
+    rank sum; then
+
+        u2 = Σ sp*(2c+t+1) - n_pos*(n_pos+1)   ( = 2*U )
+        AUC = u2 / (2 * n_pos * n_neg)
+
+    Output (one row): ``n_pos, n_neg, u2`` (DECIMAL(38,0) — rank sums
+    exceed BIGINT around 3e9 rows) and ``auc_micro = u2*500000 div
+    (n_pos*n_neg)`` (AUC in millionths, BIGINT).  AUC is read as
+    "probability a random positive outranks (higher score) a random
+    negative, ties at half".
+
+    Scale: the per-score collapse is one partial-aggregating groupBy;
+    the cumulative offsets come from :func:`~.ranking.global_prefix_sum`
+    (range partition + driver-side KB offset array — never a
+    single-reducer window over the score axis); the final reduction is
+    a 1-row aggregate."""
+    from .ranking import global_prefix_sum
+
+    per_score = (
+        scored.select(
+            F.col(score_col).alias("__s"),
+            F.when(label, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("__y"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("__sp"),
+            F.sum(1 - F.col("__y")).alias("__sn"),
+        )
+        .withColumn("__t", F.col("__sp") + F.col("__sn"))
+    )
+    pre = global_prefix_sum(per_score, ["__s"], "__t", out_col="__c")
+    agg = pre.agg(
+        F.sum("__sp").alias("n_pos"),
+        F.sum("__sn").alias("n_neg"),
+        F.sum(
+            F.expr(
+                "CAST(__sp AS DECIMAL(38,0)) * (2 * __c + __t + 1)"
+            )
+        ).alias("__r2"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST(__r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) "
+            "AS DECIMAL(38,0))"
+        ).alias("u2"),
+        F.expr(
+            "CAST((__r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 500000 "
+            "div (CAST(n_pos AS DECIMAL(19,0)) * CAST(n_neg AS DECIMAL(19,0))) "
+            "AS BIGINT)"
+        ).alias("auc_micro"),
+    )

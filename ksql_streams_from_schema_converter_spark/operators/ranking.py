@@ -103,3 +103,54 @@ def global_ntile(
     return ranked.withColumn(
         out_col, ntile_from_row_number(F.col("rn"), n, k)
     ).drop("rn")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    n_partitions: int = 32,
+    out_col: str = "psum",
+) -> DataFrame:
+    """Exact EXCLUSIVE prefix sum of ``weight_col`` under ``ORDER BY
+    order_cols`` (a total order): each row gains the sum of the weights
+    of all STRICTLY preceding rows — the weighted generalization of
+    :func:`global_row_number`, same TeraSort shape: range partition,
+    per-partition weight totals prefix-summed into offsets on the
+    driver (``n_partitions`` integers — KBs), then a per-partition
+    running sum keyed on ``spark_partition_id()``.  No single-reducer
+    window at any size; the rank-sum statistics (AUC / Mann-Whitney)
+    are built on this."""
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = {
+        r["__pid"]: r["w"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(weight_col).over(w), F.lit(0)) + F.col("__off"),
+        )
+        .drop("__pid", "__off")
+    )

@@ -10705,3 +10705,60 @@ def pretrain_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_fp",
         )
     )
+
+
+@query(
+    "quality_auc_ranksum",
+    f"""
+    WITH t2 AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    toks AS (SELECT doc_id, tok FROM t2 WHERE tok <> ''),
+    occ AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    cnt AS (SELECT tok, sum(n) AS c FROM occ GROUP BY tok),
+    tot AS (SELECT sum(c) AS T FROM cnt),
+    sp AS (SELECT tok, CAST(length(bin(CAST(T // c AS BIGINT))) AS BIGINT) AS s
+           FROM cnt, tot),
+    ds AS (SELECT doc_id, CAST(sum(s * n) AS BIGINT) AS surprisal
+           FROM occ JOIN sp USING (tok) GROUP BY doc_id),
+    lab AS (SELECT ds.doc_id, surprisal,
+                   CASE WHEN d.n_chars >= 250 THEN 1 ELSE 0 END AS y
+            FROM ds JOIN documents d USING (doc_id)),
+    psc AS (SELECT surprisal AS s, CAST(sum(y) AS BIGINT) AS ps,
+                   CAST(sum(1 - y) AS BIGINT) AS ns
+            FROM lab GROUP BY surprisal),
+    pre AS (SELECT s, ps, ns, ps + ns AS t,
+                   COALESCE(CAST(sum(ps + ns) OVER (
+                     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS BIGINT), 0) AS c
+            FROM psc),
+    agg AS (SELECT CAST(sum(ps) AS BIGINT) AS np,
+                   CAST(sum(ns) AS BIGINT) AS nn,
+                   sum(CAST(ps AS HUGEINT) * (2 * c + t + 1)) AS r2
+            FROM pre)
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST(r2 - CAST(np AS HUGEINT) * (np + 1) AS DECIMAL(38,0)) AS u2,
+           CAST((r2 - CAST(np AS HUGEINT) * (np + 1)) * 500000 //
+                (CAST(np AS HUGEINT) * nn) AS BIGINT) AS auc_micro
+    FROM agg
+    """,
+)
+def quality_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC of the unigram-surprisal quality score against the
+    length weak label (operators/quality.auc_ranksum — Mann-Whitney
+    rank-sum with tie-averaged ranks): the one-number area summary
+    beside surprisal_threshold_sweep's calibration table, in exact
+    integer/decimal arithmetic so the statistic itself hashes.  The
+    cumulative rank offsets come from the TeraSort-shaped
+    global_prefix_sum (range partition + KB driver offset array) —
+    never a single-reducer window over the score axis; the oracle
+    replays the identical per-score rank algebra with a sequential
+    window."""
+    from .operators.quality import auc_ranksum
+    from .operators.text import unigram_surprisal_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_surprisal_scores(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return auc_ranksum(scored, F.col("n_chars") >= 250, score_col="surprisal")

@@ -214,3 +214,46 @@ def test_semdedup_cluster_blocking_is_the_documented_tradeoff(spark):
     }
     assert out[0].cluster != out[1].cluster
     assert out[0].keep and out[1].keep
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC (rank-sum) — brute-force identity
+# ---------------------------------------------------------------------------
+
+
+def test_auc_ranksum_matches_bruteforce(spark):
+    """u2 must equal 2*#(pos outranks neg) + #(ties) — checked against
+    the quadratic definition on a fixture WITH score ties straddling
+    both labels."""
+    from ksql_streams_from_schema_converter_spark.operators.quality import (
+        auc_ranksum,
+    )
+
+    rows = [
+        (0, 10, 1), (1, 10, 0), (2, 12, 1), (3, 15, 0),
+        (4, 15, 1), (5, 15, 1), (6, 20, 0), (7, 3, 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score long, y int")
+    out = auc_ranksum(df, F.col("y") == 1, score_col="score").collect()[0]
+    pos = [s for _, s, y in rows if y == 1]
+    neg = [s for _, s, y in rows if y == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    assert out.n_pos == len(pos) and out.n_neg == len(neg)
+    assert int(out.u2) == 2 * wins + ties
+    assert out.auc_micro == (2 * wins + ties) * 500000 // (len(pos) * len(neg))
+
+
+def test_auc_ranksum_extremes(spark):
+    from ksql_streams_from_schema_converter_spark.operators.quality import (
+        auc_ranksum,
+    )
+
+    # perfectly separated: every positive above every negative -> AUC 1
+    rows = [(i, 100 + i, 1) for i in range(3)] + [(10 + i, i, 0) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, y int")
+    out = auc_ranksum(df, F.col("y") == 1, score_col="score").collect()[0]
+    assert out.auc_micro == 1_000_000
+    # inverted -> AUC 0
+    out2 = auc_ranksum(df, F.col("y") == 0, score_col="score").collect()[0]
+    assert out2.auc_micro == 0
