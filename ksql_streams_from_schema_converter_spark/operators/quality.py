@@ -536,3 +536,62 @@ def auc_ranksum(
             "AS BIGINT)"
         ).alias("auc_micro"),
     )
+
+
+def _avg_ranks2(df: DataFrame, col: str) -> DataFrame:
+    """Tie-averaged rank of ``df[col]`` ascending, DOUBLED so ties stay
+    integer (a tie group at exclusive cumulative offset ``c`` with
+    ``t`` members has average rank ``c + (t+1)/2`` → doubled =
+    ``2c + t + 1``, the AUC algebra).  Returns ``df`` plus ``__r2``.
+    Scale: per-value collapse + :func:`~.ranking.global_prefix_sum` +
+    one keyed join-back — never a corpus-wide window."""
+    from .ranking import global_prefix_sum
+
+    per = df.groupBy(col).agg(F.count("*").alias("__t"))
+    pre = global_prefix_sum(per, [col], "__t", out_col="__c")
+    r2 = pre.select(
+        col, (2 * F.col("__c") + F.col("__t") + 1).alias("__r2")
+    )
+    return df.join(r2, col)
+
+
+def spearman_rank_moments(
+    scored: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact sufficient statistics for the Spearman rank correlation
+    between two scores (Spearman 1904; with ties, Spearman = Pearson
+    over tie-averaged ranks): both scores are converted to DOUBLED
+    tie-averaged ranks (exact integers), and the output is the one-row
+    moment table ``(n, sx, sy, sxy, sxx, syy)`` over those ranks as
+    DECIMAL(38,0) — the ``exact_moments_qty_price`` posture: emit the
+    exact, mergeable sufficient statistics and leave the irrational
+    final ratio ``rho = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy -
+    sy^2))`` to the reader, because a square root can never
+    value-hash across engines while these sums always do.
+
+    Scale: two per-value collapses + prefix sums (KB driver offsets),
+    two keyed join-backs, one map-side-combined 1-row aggregation.
+    Doubled ranks stay under 2^63 to ~4.6e18 rows; the DECIMAL(38,0)
+    moment sums carry ~1e9-row corpora with headroom (beyond that,
+    shard the moments and merge — they are plain sums)."""
+    xr = _avg_ranks2(
+        scored.select(id_col, F.col(x_col).alias("__x")), "__x"
+    ).select(id_col, F.col("__r2").alias("__rx"))
+    yr = _avg_ranks2(
+        scored.select(id_col, F.col(y_col).alias("__y")), "__y"
+    ).select(id_col, F.col("__r2").alias("__ry"))
+    j = xr.join(yr, id_col).select(
+        F.expr("CAST(__rx AS DECIMAL(38,0))").alias("rx"),
+        F.expr("CAST(__ry AS DECIMAL(38,0))").alias("ry"),
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.expr("rx * ry")).alias("sxy"),
+        F.sum(F.expr("rx * rx")).alias("sxx"),
+        F.sum(F.expr("ry * ry")).alias("syy"),
+    )

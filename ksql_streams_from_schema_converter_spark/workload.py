@@ -10762,3 +10762,104 @@ def quality_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_chars"), "doc_id"
     )
     return auc_ranksum(scored, F.col("n_chars") >= 250, score_col="surprisal")
+
+
+@query(
+    "spearman_lm_scores",
+    f"""
+    WITH toks0 AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    toks AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''),
+    uocc AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    ucnt AS (SELECT tok, sum(n) AS c FROM uocc GROUP BY tok),
+    utot AS (SELECT sum(c) AS T FROM ucnt),
+    usp AS (SELECT tok, CAST(length(bin(CAST(T // c AS BIGINT))) AS BIGINT) AS s
+            FROM ucnt, utot),
+    uds AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(s * n) AS BIGINT) AS x
+      FROM uocc JOIN usp USING (tok) GROUP BY doc_id
+    ),
+    vbase AS MATERIALIZED (
+      SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS t FROM documents
+    ),
+    vocc AS MATERIALIZED (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                       j -> {{'w1': t[j], 'w2': t[j + 1]}})) AS p
+        FROM vbase WHERE len(t) >= 2
+      ) GROUP BY doc_id, p.w1, p.w2
+    ),
+    vc2 AS MATERIALIZED (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2
+           FROM vocc WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+    vc1 AS MATERIALIZED (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+           FROM vc2 GROUP BY w1),
+    vcu AS MATERIALIZED (SELECT w2, CAST(count(*) AS BIGINT) AS cu FROM (
+             SELECT unnest(t) AS w2 FROM vbase WHERE doc_id % 2 = 0)
+           GROUP BY w2),
+    vtot AS (SELECT CAST(sum(cu) AS BIGINT) AS U FROM vcu),
+    vsc AS MATERIALIZED (
+      SELECT o.doc_id, o.n,
+             CASE WHEN vc2.c2 IS NOT NULL
+                  THEN CAST(length(bin(CAST(vc1.c1 // vc2.c2 AS BIGINT))) AS BIGINT)
+                  WHEN vcu.cu IS NOT NULL
+                  THEN 2 + CAST(length(bin(CAST(U // vcu.cu AS BIGINT))) AS BIGINT)
+                  ELSE 2 + CAST(length(bin(U)) AS BIGINT) + 1 END AS s
+      FROM vocc o
+      LEFT JOIN vc2 ON vc2.w1 = o.w1 AND vc2.w2 = o.w2
+      LEFT JOIN vc1 ON vc1.w1 = o.w1
+      LEFT JOIN vcu ON vcu.w2 = o.w2
+      CROSS JOIN vtot
+    ),
+    vds AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CAST(sum(s * n) AS BIGINT) * 1000 // sum(n) AS BIGINT) AS y
+      FROM vsc GROUP BY doc_id
+    ),
+    xg AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM uds GROUP BY x),
+    xp AS (SELECT x, t, COALESCE(CAST(sum(t) OVER (
+             ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) AS c FROM xg),
+    xrk AS MATERIALIZED (
+      SELECT uds.doc_id, 2 * c + t + 1 AS rx FROM uds JOIN xp USING (x)
+    ),
+    yg AS (SELECT y, CAST(count(*) AS BIGINT) AS t FROM vds GROUP BY y),
+    yp AS (SELECT y, t, COALESCE(CAST(sum(t) OVER (
+             ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) AS c FROM yg),
+    yrk AS MATERIALIZED (
+      SELECT vds.doc_id, 2 * c + t + 1 AS ry FROM vds JOIN yp USING (y)
+    ),
+    jj AS (SELECT rx, ry FROM xrk JOIN yrk USING (doc_id))
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rx) AS DECIMAL(38,0)) AS sx,
+           CAST(sum(ry) AS DECIMAL(38,0)) AS sy,
+           CAST(sum(CAST(rx AS HUGEINT) * ry) AS DECIMAL(38,0)) AS sxy,
+           CAST(sum(CAST(rx AS HUGEINT) * rx) AS DECIMAL(38,0)) AS sxx,
+           CAST(sum(CAST(ry AS HUGEINT) * ry) AS DECIMAL(38,0)) AS syy
+    FROM jj
+    """,
+)
+def spearman_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the two LM-quality rungs agree?  Exact Spearman sufficient
+    statistics (operators/quality.spearman_rank_moments) between the
+    unigram surprisal and the bigram-backoff milli-bits-per-bigram,
+    over the documents both scores cover: tie-averaged DOUBLED ranks
+    (exact integers, the AUC algebra, offsets from the TeraSort-shaped
+    global_prefix_sum) and the one-row rank-moment table — the
+    exact_moments posture: emit the exact mergeable sums; the
+    irrational rho = (n*sxy - sx*sy)/sqrt(varx*vary) is the reader's
+    one division.  The oracle replays both score derivations and the
+    identical rank algebra with sequential windows."""
+    from .operators.quality import spearman_rank_moments
+    from .operators.text import bigram_backoff_surprisal, unigram_surprisal_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = unigram_surprisal_scores(docs).select(
+        "doc_id", F.col("surprisal").alias("x")
+    )
+    y = bigram_backoff_surprisal(docs).select(
+        "doc_id", F.col("bpb_milli").alias("y")
+    )
+    return spearman_rank_moments(x.join(y, "doc_id"), "x", "y")

@@ -257,3 +257,28 @@ def test_auc_ranksum_extremes(spark):
     # inverted -> AUC 0
     out2 = auc_ranksum(df, F.col("y") == 0, score_col="score").collect()[0]
     assert out2.auc_micro == 0
+
+
+def test_spearman_rank_moments_identities(spark):
+    """Perfect monotone agreement -> the moment sums satisfy
+    n*sxy - sx*sy == n*sxx - sx^2 == n*syy - sy^2 (rho = 1); a
+    reversed pairing flips the covariance sign (rho = -1); both
+    checked with ties present."""
+    from ksql_streams_from_schema_converter_spark.operators.quality import (
+        spearman_rank_moments,
+    )
+
+    rows = [(0, 1, 10), (1, 2, 20), (2, 2, 20), (3, 5, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    m = spearman_rank_moments(df, "x", "y").collect()[0]
+    n, sx, sy = m.n, int(m.sx), int(m.sy)
+    num = n * int(m.sxy) - sx * sy
+    varx = n * int(m.sxx) - sx * sx
+    vary = n * int(m.syy) - sy * sy
+    assert num == varx == vary and varx > 0  # rho exactly 1
+    rev = spark.createDataFrame(
+        [(i, x, -y) for i, x, y in rows], "doc_id long, x long, y long"
+    )
+    m2 = spearman_rank_moments(rev, "x", "y").collect()[0]
+    num2 = m2.n * int(m2.sxy) - int(m2.sx) * int(m2.sy)
+    assert num2 == -num  # rho exactly -1
