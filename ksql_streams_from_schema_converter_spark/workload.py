@@ -1388,6 +1388,95 @@ _ANN_RETRACT_ORACLE = f"""
     """
 
 
+
+def _ann_retraction_verdicts(spark, index_dir, emb, corpus, queries, retracted):
+    """Shared post-retraction verification for the batch and STREAMING
+    ANN retraction gates: search the retracted index, build the
+    monolithic base-minus-retracted control under the SAME stored
+    frozen quantizers, fully compact and search again, and emit the
+    per-query boolean verdict table (_ANN_RETRACT_ORACLE's contract).
+    Transport must be invisible: both gates converge to this exact
+    state."""
+    from .operators.ann_index import (
+        _pq_coded,
+        assign_queries,
+        compact_ivf_index,
+        load_centroids,
+        load_codebooks,
+        score_assigned_pq,
+        search_ivf_pq_index,
+    )
+
+    cents = load_centroids(spark, index_dir)
+    books = load_codebooks(spark, index_dir)
+    post = search_ivf_pq_index(
+        spark, index_dir, queries, k=5, nprobe=3
+    ).localCheckpoint(eager=True)
+    keep = corpus.where(~F.col("vec_id").isin(retracted))
+    coded_ctl = _pq_coded(
+        S.assign_cells(
+            keep.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            cents,
+        ),
+        books,
+    )
+    q = assign_queries(spark, index_dir, queries, nprobe=3)
+    control = score_assigned_pq(coded_ctl, q, books, k=5).localCheckpoint(
+        eager=True
+    )
+    # FULL compaction: retracted rows physically rewritten away,
+    # tombstones cleared in the same manifest swap — then search
+    # again; nothing may change
+    compact_ivf_index(spark, index_dir)
+    post_c = search_ivf_pq_index(
+        spark, index_dir, queries, k=5, nprobe=3
+    ).localCheckpoint(eager=True)
+
+    def _bad(a: DataFrame, b: DataFrame, flag: str) -> DataFrame:
+        return (
+            a.exceptAll(b)
+            .unionByName(b.exceptAll(a))
+            .select("query_id")
+            .distinct()
+            .withColumn(flag, F.lit(True))
+        )
+
+    hit = (
+        post.where(F.col("neighbor_id").isin(retracted))
+        .select("query_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        S.recall_verdicts(
+            post, emb, _KNN_QUERY_IDS, k=5, copies=3, min_query_hits=2
+        )
+        .join(hit, "query_id", "left")
+        .join(_bad(post, control, "__bc"), "query_id", "left")
+        .join(_bad(post_c, post, "__bk"), "query_id", "left")
+        .select(
+            "query_id",
+            "topk_full",
+            "query_recall_ok",
+            "overall_recall_ok",
+            "ids_disjoint",
+            F.coalesce(~F.col("__hit"), F.lit(True)).alias(
+                "retracted_absent"
+            ),
+            F.coalesce(~F.col("__bc"), F.lit(True)).alias(
+                "post_matches_control"
+            ),
+            F.coalesce(~F.col("__bk"), F.lit(True)).alias(
+                "compaction_invariant"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 @query("ann_index_retraction", _ANN_RETRACT_ORACLE)
 def ann_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR-style retraction + physical compaction on the persisted
@@ -1411,14 +1500,9 @@ def ann_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .operators.ann_index import (
-        _pq_coded,
-        assign_queries,
         build_ivf_pq_index,
-        compact_ivf_index,
         refresh_ivf_pq_index,
         retract_from_ann_index,
-        score_assigned_pq,
-        search_ivf_pq_index,
     )
     from .operators.similarity import PLANTED_OFFSET
 
@@ -1444,73 +1528,8 @@ def ann_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, index_dir, new, centroids=cents, codebooks=books
         )
         retract_from_ann_index(spark, index_dir, retracted)
-        post = search_ivf_pq_index(
-            spark, index_dir, queries, k=5, nprobe=3
-        ).localCheckpoint(eager=True)
-        # monolithic control: encode base-minus-retracted against the
-        # same frozen quantizers in one pass, score identically
-        keep = corpus.where(~F.col("vec_id").isin(retracted))
-        coded_ctl = _pq_coded(
-            S.assign_cells(
-                keep.select(
-                    "vec_id",
-                    F.col("embedding").cast("array<double>").alias("v"),
-                ),
-                cents,
-            ),
-            books,
-        )
-        q = assign_queries(spark, index_dir, queries, nprobe=3)
-        control = score_assigned_pq(coded_ctl, q, books, k=5).localCheckpoint(
-            eager=True
-        )
-        # FULL compaction: retracted rows physically rewritten away,
-        # tombstones cleared in the same manifest swap — then search
-        # again; nothing may change
-        compact_ivf_index(spark, index_dir)
-        post_c = search_ivf_pq_index(
-            spark, index_dir, queries, k=5, nprobe=3
-        ).localCheckpoint(eager=True)
-
-        def _bad(a: DataFrame, b: DataFrame, flag: str) -> DataFrame:
-            return (
-                a.exceptAll(b)
-                .unionByName(b.exceptAll(a))
-                .select("query_id")
-                .distinct()
-                .withColumn(flag, F.lit(True))
-            )
-
-        hit = (
-            post.where(F.col("neighbor_id").isin(retracted))
-            .select("query_id")
-            .distinct()
-            .withColumn("__hit", F.lit(True))
-        )
-        return (
-            S.recall_verdicts(
-                post, emb, _KNN_QUERY_IDS, k=5, copies=3, min_query_hits=2
-            )
-            .join(hit, "query_id", "left")
-            .join(_bad(post, control, "__bc"), "query_id", "left")
-            .join(_bad(post_c, post, "__bk"), "query_id", "left")
-            .select(
-                "query_id",
-                "topk_full",
-                "query_recall_ok",
-                "overall_recall_ok",
-                "ids_disjoint",
-                F.coalesce(~F.col("__hit"), F.lit(True)).alias(
-                    "retracted_absent"
-                ),
-                F.coalesce(~F.col("__bc"), F.lit(True)).alias(
-                    "post_matches_control"
-                ),
-                F.coalesce(~F.col("__bk"), F.lit(True)).alias(
-                    "compaction_invariant"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        return _ann_retraction_verdicts(
+            spark, index_dir, emb, corpus, queries, retracted
         )
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
@@ -10863,3 +10882,107 @@ def spearman_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bpb_milli").alias("y")
     )
     return spearman_rank_moments(x.join(y, "doc_id"), "x", "y")
+
+
+@query("streaming_ann_retraction", _ANN_RETRACT_ORACLE)
+def streaming_ann_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR retraction on the persisted IVF-PQ index with the
+    tombstones riding the SAME stream as the vector batches — the ANN
+    twin of streaming_index_retraction, closing the governance
+    symmetry between the two persisted-index stacks: a foreachBatch
+    loop dispatches build (batch 0, quantizers trained once) /
+    FAISS-add refresh (b{k}) / retract (t{k}) on batch-id-derived
+    labels, so an at-least-once redelivery of ANY batch — including
+    the retraction — overwrites its own ingest and converges.  After
+    the stream drains, the SAME verification as the batch gate runs
+    (_ann_retraction_verdicts — search, monolithic
+    base-minus-retracted control under the stored frozen quantizers,
+    full compaction invariance, planted recall): the streaming
+    transport must be invisible in every verdict.  Restart recovery of
+    the shared checkpoint/foreachBatch machinery is pinned by
+    tests/test_streaming.py's retraction-stream test."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .operators.ann_index import (
+        build_ivf_pq_index,
+        refresh_ivf_pq_index,
+        retract_from_ann_index,
+    )
+    from .operators.similarity import PLANTED_OFFSET
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = S.planted_corpus(emb, _KNN_QUERY_IDS, copies=5)
+    queries = corpus.where(F.col("vec_id").isin(_KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    retracted = [
+        q + j * PLANTED_OFFSET for q in _KNN_QUERY_IDS for j in (4, 5)
+    ]
+    work = tempfile.mkdtemp(prefix="ann_retract_stream_")
+    stream_dir = os.path.join(work, "in")
+    index_dir = os.path.join(work, "idx")
+    os.makedirs(stream_dir)
+    try:
+        vec = lambda df: df.select(  # noqa: E731 — local shaping lambda
+            F.lit("vec").alias("kind"),
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        ops = [
+            vec(corpus.where(F.col("vec_id") % 5 != 3)),
+            vec(corpus.where(F.col("vec_id") % 5 == 3)),
+            spark.createDataFrame(
+                [(i,) for i in retracted], "vec_id long"
+            ).select(
+                F.lit("retract").alias("kind"),
+                "vec_id",
+                F.lit(None).cast("array<double>").alias("embedding"),
+            ),
+        ]
+        now = _time.time()
+        for i, op in enumerate(ops):
+            tmp = os.path.join(work, f"tmp_{i}")
+            op.coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"op{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        def apply_ops(batch_df, batch_id: int) -> None:
+            vecs = batch_df.where(F.col("kind") == "vec").select(
+                "vec_id", "embedding"
+            )
+            if not vecs.isEmpty():
+                if batch_id == 0:
+                    build_ivf_pq_index(vecs, index_dir, n_cells=16, m=8, ksub=16)
+                else:
+                    refresh_ivf_pq_index(
+                        spark, index_dir, vecs, ingest_label=f"b{batch_id}"
+                    )
+            tombs = batch_df.where(F.col("kind") == "retract").select("vec_id")
+            if not tombs.isEmpty():
+                # bounded collect: the KB-sized tombstone id list (the
+                # retract_from_ann_index contract)
+                ids = [r.vec_id for r in tombs.collect()]
+                retract_from_ann_index(spark, index_dir, ids, label=f"t{batch_id}")
+
+        q = (
+            spark.readStream.schema(ops[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(apply_ops)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, what="ANN retraction stream")
+        return _ann_retraction_verdicts(
+            spark, index_dir, emb, corpus, queries, retracted
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
