@@ -582,3 +582,232 @@ def crossmodal_near_dup_pairs(
             "caption_id", "media_id", F.round("__cos", 4).alias("cosine")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal top-k retrieval (r10) — the SEARCH complement of
+# crossmodal_near_dup_pairs, exact end-to-end
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for caption (float) embeddings; media vectors are
+#: already integral (byte - center), so they stay at scale 1 — cosine
+#: is scale-invariant, and mixed scales keep every product inside
+#: BIGINT/DECIMAL(38,0)
+XMODAL_Q_SCALE = 1_000_000
+
+
+def _int_sketch(qv_col, n_planes: int, dim: int):
+    """Hyperplane sketch over an INTEGER vector column: bit p is the
+    sign of the exact integer projection against the md5-derived ±1
+    plane (operators/similarity.hyperplane_weights).  Unlike the float
+    sketch, the projection is an integer sum — engine-exact, so a SQL
+    oracle can replay the bits verbatim (the float sketch's summation
+    order can never hash across engines)."""
+    from ..operators.similarity import hyperplane_weights
+
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(int(w)) for w in hyperplane_weights(p, dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(qv_col, plane, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def crossmodal_topk(
+    captions: DataFrame,
+    media_vecs: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = CROSSMODAL_DIM,
+) -> DataFrame:
+    """Top-k media per caption — cross-modal RETRIEVAL (the CLIP
+    text→image search posture), where :func:`crossmodal_near_dup_pairs`
+    is the dedup join.  Exact end-to-end, which no float pipeline can
+    be: captions quantize to BIGINT micro-units (the k-means
+    discipline), media vectors are already integral, both towers
+    sketch with the SAME ±1 hyperplane family via exact integer
+    projections, candidates come from an exact-match bucket join —
+    never all-pairs — and ranking uses the exact integer key
+
+        cos2_micro = (dot·1000)² div (|c|²·|m|²),  dot >= 0
+
+    (monotone in cosine on the non-negative side, so the (cos2_micro
+    DESC, media_id) election is the exact cosine ranking with a
+    deterministic tie-break — floats never enter the ordering).
+
+    Output: ``(caption_id, rank, media_id, cos2_micro)`` for ranks
+    1..k per caption (captions with no same-bucket candidate emit
+    nothing — the LSH recall trade, measured by the probe families).
+
+    Scale: one bucket-keyed shuffle per side, AQE-splittable bucket
+    skew; the per-caption election is a caption-keyed window (bounded
+    by the caption's candidate count — never a global sort)."""
+    from pyspark.sql import Window
+
+    ca = captions.select(
+        F.col("vec_id").alias("caption_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * XMODAL_Q_SCALE).cast("bigint"),
+        ).alias("cq"),
+    )
+    ca = ca.select(
+        "caption_id",
+        "cq",
+        _int_sketch(F.col("cq"), n_planes, dim).alias("__sk"),
+        F.aggregate(
+            F.expr("transform(cq, x -> x * x)"),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("na"),
+    )
+    me = media_vecs.select(
+        F.col("doc_id").alias("media_id"),
+        F.transform(F.col("v"), lambda x: x.cast("bigint")).alias("mq"),
+    )
+    me = me.select(
+        "media_id",
+        "mq",
+        _int_sketch(F.col("mq"), n_planes, dim).alias("__sk"),
+        F.aggregate(
+            F.expr("transform(mq, x -> x * x)"),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("nb"),
+    )
+    cand = (
+        ca.join(me, "__sk")
+        .where(F.col("na") > 0)
+        .where(F.col("nb") > 0)
+        .select(
+            "caption_id",
+            "media_id",
+            F.aggregate(
+                F.zip_with("cq", "mq", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            "na",
+            "nb",
+        )
+        .where(F.col("dot") >= 0)
+        .select(
+            "caption_id",
+            "media_id",
+            F.expr(
+                "CAST(CAST(dot * 1000 AS DECIMAL(19,0)) * CAST(dot * 1000 AS DECIMAL(19,0)) * 1000000 "
+                "div (CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)) * 1000000) AS BIGINT)"
+            ).alias("cos2_micro"),
+        )
+    )
+    w = Window.partitionBy("caption_id").orderBy(
+        F.desc("cos2_micro"), "media_id"
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("caption_id", "rank", "media_id", "cos2_micro")
+    )
+
+
+def crossmodal_topk_oracle_sql(
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = CROSSMODAL_DIM,
+    center: int = PAYLOAD_EMB_CENTER,
+    cap_off: int = 1_000_000,
+    plant_mod: int = 25,
+) -> str:
+    """DuckDB replay of :func:`crossmodal_topk` over the driver views:
+    media vectors re-derived from the fixture payload bytes, captions
+    = embeddings plus the planted ×2 media twins, the ±1 plane weights
+    baked as literals (they are md5-derived constants), integer
+    sketches, the bucket join, the exact cos2_micro key and the
+    (key DESC, media_id) row_number election."""
+    from ..operators.similarity import hyperplane_weights
+
+    planes = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join(str(int(w)) for w in hyperplane_weights(p, dim))
+        )
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH planes AS MATERIALIZED (
+      SELECT * FROM (VALUES {planes}) AS t(p, w)
+    ),
+    mv AS MATERIALIZED (
+      SELECT doc_id AS media_id,
+             list_transform(range(0, {dim}), d ->
+               CAST(ord(substr(text,
+                               CAST((d * strlen(text)) // {dim} AS BIGINT) + 1,
+                               1)) - {center} AS BIGINT)) AS mq
+      FROM documents WHERE strlen(text) > 0
+    ),
+    cap0 AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      UNION ALL
+      SELECT media_id + {cap_off} AS vec_id,
+             list_transform(mq, x -> CAST(x * 2 AS DOUBLE)) AS embedding
+      FROM mv WHERE media_id % {plant_mod} = 0
+    ),
+    ca AS MATERIALIZED (
+      SELECT vec_id AS caption_id,
+             list_transform(embedding,
+               x -> CAST(floor(x * {XMODAL_Q_SCALE}) AS BIGINT)) AS cq
+      FROM cap0
+    ),
+    cas AS MATERIALIZED (
+      SELECT caption_id, cq, na,
+             string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY p) AS sk
+      FROM (
+        SELECT caption_id, cq, pw.p,
+               list_sum(list_transform(generate_series(1, {dim}),
+                 d -> cq[d] * pw.w[d])) AS proj,
+               CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS na
+        FROM ca, planes pw
+      ) GROUP BY caption_id, cq, na
+    ),
+    mes AS MATERIALIZED (
+      SELECT media_id, mq, nb,
+             string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY p) AS sk
+      FROM (
+        SELECT media_id, mq, pw.p,
+               list_sum(list_transform(generate_series(1, {dim}),
+                 d -> mq[d] * pw.w[d])) AS proj,
+               CAST(list_sum(list_transform(mq, x -> x * x)) AS BIGINT) AS nb
+        FROM mv, planes pw
+      ) GROUP BY media_id, mq, nb
+    ),
+    cand AS MATERIALIZED (
+      SELECT caption_id, media_id,
+             CAST(list_sum(list_transform(generate_series(1, {dim}),
+                  d -> c.cq[d] * m.mq[d])) AS BIGINT) AS dot,
+             na, nb
+      FROM cas c JOIN mes m USING (sk)
+      WHERE na > 0 AND nb > 0
+    ),
+    scored AS (
+      SELECT caption_id, media_id,
+             CAST((CAST(dot AS HUGEINT) * 1000) * (dot * 1000) * 1000000 //
+                  (CAST(na AS HUGEINT) * nb * 1000000) AS BIGINT)
+               AS cos2_micro
+      FROM cand WHERE dot >= 0
+    ),
+    ranked AS (
+      SELECT caption_id, media_id, cos2_micro,
+             CAST(row_number() OVER (PARTITION BY caption_id
+                  ORDER BY cos2_micro DESC, media_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT caption_id, rank, media_id, cos2_micro
+    FROM ranked WHERE rank <= {k}
+    """

@@ -10986,3 +10986,45 @@ def streaming_ann_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _xmodal_topk_oracle() -> str:
+    from .multimodal import crossmodal_topk_oracle_sql
+
+    return crossmodal_topk_oracle_sql(
+        k=3, cap_off=_XMODAL_CAP_OFF, plant_mod=25
+    )
+
+
+@query("crossmodal_topk_retrieval", _xmodal_topk_oracle())
+def crossmodal_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal top-k RETRIEVAL (multimodal/binary.crossmodal_topk)
+    — the text→image SEARCH complement of crossmodal_near_dup's dedup
+    join, exact end-to-end where no float pipeline can be: captions
+    quantize to BIGINT micro-units, both towers sketch with the shared
+    ±1 hyperplane family via EXACT INTEGER projections (the float
+    sketch's summation order could never hash), candidates come from
+    the exact-match bucket join, and the top-3 election per caption
+    ranks by the exact integer key (dot·1000)² div (|c|²·|m|²) —
+    monotone in cosine, deterministic media_id tie-break, floats never
+    enter the ordering.  Planted ×2 caption twins land at rank 1 with
+    cos2_micro exactly 1e6; every other rank is the exactly-replayed
+    bucketed answer, not a recall-trusted one.  Scale: one bucket-keyed
+    shuffle per side; the election is a caption-keyed window, never a
+    global sort."""
+    from .multimodal import attach_fake_media, crossmodal_topk, payload_embedding
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    media_vecs = payload_embedding(attach_fake_media(docs)).localCheckpoint(
+        eager=True
+    )
+    planted = media_vecs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + _XMODAL_CAP_OFF).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    captions = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(planted)
+    )
+    return crossmodal_topk(captions, media_vecs, k=3)
