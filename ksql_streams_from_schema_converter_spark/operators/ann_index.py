@@ -67,17 +67,33 @@ _BASE = "base"
 
 
 def read_cells(
-    spark: SparkSession, index_dir: str, id_col: str = "vec_id"
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "vec_id",
+    as_of: str | None = None,
 ) -> DataFrame:
     """All committed cell assignments (manifest-scoped — torn ingests
     are invisible); retracted vectors are subtracted
-    (:func:`retract_from_ann_index`).  A pre-manifest index fails
-    loudly instead of reading as empty (ADVICE r7)."""
+    (:func:`retract_from_ann_index`).  ``as_of`` reads the SNAPSHOT as
+    of a committed label — the manifest prefix ending there, exactly
+    incremental.read_verdicts' Delta-style time travel: later ingests
+    are invisible and only tombstones committed up to that point
+    apply (compaction rewrites history; as-of labels must predate it).
+    A pre-manifest index fails loudly instead of reading as empty
+    (ADVICE r7)."""
+    from .indexstore import entries_as_of
+
     require_manifested(index_dir, _CELLS)
-    df = read_ingests(spark, index_dir, _CELLS, data_labels(index_dir))
+    if as_of is None:
+        dl, tl = data_labels(index_dir), None
+    else:
+        pre = entries_as_of(index_dir, as_of)
+        dl = [e["label"] for e in pre if e.get("kind") != "tombstone"]
+        tl = [e["label"] for e in pre if e.get("kind") == "tombstone"]
+    df = read_ingests(spark, index_dir, _CELLS, dl)
     if df is None:
         raise ValueError(f"empty index (no committed ingests): {index_dir}")
-    return subtract_tombstones(spark, index_dir, df, id_col)
+    return subtract_tombstones(spark, index_dir, df, id_col, tl)
 
 
 def retract_from_ann_index(
@@ -248,14 +264,16 @@ def search_ivf_index(
     k: int = 5,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    as_of: str | None = None,
 ) -> DataFrame:
     """Top-k cosine search over the persisted index; ``queries`` is
     ``(query_id, qv: array<double>)``.  The probed-cell collect is
     |queries| × nprobe ints; the ``isin`` filter partition-prunes the
-    ``cells/`` scan to those directories."""
+    ``cells/`` scan to those directories.  ``as_of`` searches the
+    snapshot at a committed label (:func:`read_cells`)."""
     q = assign_queries(spark, index_dir, queries, nprobe)
     probed = sorted({r.qcell for r in q.select("qcell").distinct().collect()})
-    cells = read_cells(spark, index_dir, id_col).where(
+    cells = read_cells(spark, index_dir, id_col, as_of).where(
         F.col("cell").isin(probed)
     )
     return score_assigned(cells, q, k, id_col)
@@ -509,13 +527,15 @@ def search_ivf_pq_index(
     k: int = 5,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    as_of: str | None = None,
 ) -> DataFrame:
     """Top-k search over the PQ-coded persisted index: probe-cell
     partition prune exactly as :func:`search_ivf_index`, then ADC
-    scoring (exact query side, 8-bit-coded database side)."""
+    scoring (exact query side, 8-bit-coded database side).  ``as_of``
+    searches the snapshot at a committed label (:func:`read_cells`)."""
     q = assign_queries(spark, index_dir, queries, nprobe)
     probed = sorted({r.qcell for r in q.select("qcell").distinct().collect()})
-    coded = read_cells(spark, index_dir, id_col).where(
+    coded = read_cells(spark, index_dir, id_col, as_of).where(
         F.col("cell").isin(probed)
     )
     return score_assigned_pq(

@@ -11028,3 +11028,136 @@ def crossmodal_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(planted)
     )
     return crossmodal_topk(captions, media_vecs, k=3)
+
+
+def _ann_tt_oracle() -> str:
+    from .operators.similarity import PLANTED_OFFSET
+
+    retracted = ", ".join(
+        str(q + j * PLANTED_OFFSET) for q in _KNN_QUERY_IDS for j in (4, 5)
+    )
+    qids = ", ".join(map(str, _KNN_QUERY_IDS))
+    return f"""
+    WITH allv AS (
+      SELECT vec_id FROM embeddings
+      UNION ALL
+      SELECT e.vec_id + {PLANTED_OFFSET} * j AS vec_id
+      FROM embeddings e, (SELECT unnest(range(1, 6)) AS j)
+      WHERE e.vec_id IN ({qids})
+    ),
+    snaps AS (
+      SELECT 'base' AS snapshot, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(vec_id) AS BIGINT) AS sum_ids
+      FROM allv WHERE vec_id % 5 <> 3
+      UNION ALL
+      SELECT 'b1', CAST(count(*) AS BIGINT), CAST(sum(vec_id) AS BIGINT)
+      FROM allv
+      UNION ALL
+      SELECT 'latest', CAST(count(*) AS BIGINT), CAST(sum(vec_id) AS BIGINT)
+      FROM allv WHERE vec_id NOT IN ({retracted})
+    )
+    SELECT snapshot, n_vecs, sum_ids, TRUE AS search_matches_control
+    FROM snaps
+    """
+
+
+@query("ann_index_time_travel", _ann_tt_oracle())
+def ann_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of time travel on the persisted IVF-PQ index — the ANN twin
+    of dedup_index_time_travel, completing the governance symmetry
+    (retraction: both stacks; streaming retraction: both; time travel:
+    now both): ``read_cells(as_of=label)`` / ``search_*(as_of=)``
+    resolve the manifest PREFIX ending at a committed label — later
+    ingests invisible, only tombstones committed by then applied, zero
+    data copies (compaction is the explicit history-rewrite point, so
+    as-of labels must predate it — the log-compaction trade).  The
+    sequence build(base) → add(b1) → retract(t2) is read at all three
+    snapshots; per snapshot the gate emits the visible vector count +
+    id-sum (VALUE-checked against the planted-corpus arithmetic — the
+    retracted ids must be PRESENT at base/b1 and GONE at latest) and a
+    ``search_matches_control`` verdict: the as-of SEARCH must be
+    row-identical to a monolithic index over exactly that snapshot's
+    vector set under the same frozen quantizers.  The mismatch count
+    per snapshot is a bounded |queries|·k-row driver check."""
+    import shutil
+    import tempfile
+
+    from .operators.ann_index import (
+        _pq_coded,
+        assign_queries,
+        build_ivf_pq_index,
+        load_centroids,
+        load_codebooks,
+        read_cells,
+        refresh_ivf_pq_index,
+        retract_from_ann_index,
+        score_assigned_pq,
+        search_ivf_pq_index,
+    )
+    from .operators.similarity import PLANTED_OFFSET
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = S.planted_corpus(emb, _KNN_QUERY_IDS, copies=5)
+    old = corpus.where(F.col("vec_id") % 5 != 3)
+    new = corpus.where(F.col("vec_id") % 5 == 3)
+    queries = corpus.where(F.col("vec_id").isin(_KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    retracted = [
+        q + j * PLANTED_OFFSET for q in _KNN_QUERY_IDS for j in (4, 5)
+    ]
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_tt_")
+    try:
+        build_ivf_pq_index(old, index_dir, n_cells=16, m=8, ksub=16)
+        refresh_ivf_pq_index(spark, index_dir, new, ingest_label="b1")
+        retract_from_ann_index(spark, index_dir, retracted, label="t2")
+        cents = load_centroids(spark, index_dir)
+        books = load_codebooks(spark, index_dir)
+        snaps = [
+            ("base", "base", corpus.where(F.col("vec_id") % 5 != 3)),
+            ("b1", "b1", corpus),
+            ("latest", None, corpus.where(~F.col("vec_id").isin(retracted))),
+        ]
+        rows = []
+        for snap, as_of, keep in snaps:
+            post = search_ivf_pq_index(
+                spark, index_dir, queries, k=5, nprobe=3, as_of=as_of
+            ).localCheckpoint(eager=True)
+            coded_ctl = _pq_coded(
+                S.assign_cells(
+                    keep.select(
+                        "vec_id",
+                        F.col("embedding").cast("array<double>").alias("v"),
+                    ),
+                    cents,
+                ),
+                books,
+            )
+            q = assign_queries(spark, index_dir, queries, nprobe=3)
+            control = score_assigned_pq(coded_ctl, q, books, k=5)
+            # bounded driver check: |queries| * k rows on each side
+            mism = (
+                post.exceptAll(control)
+                .unionByName(control.exceptAll(post))
+                .count()
+            )
+            rows.append(
+                read_cells(spark, index_dir, as_of=as_of)
+                .agg(
+                    F.count("*").cast("long").alias("n_vecs"),
+                    F.sum("vec_id").cast("long").alias("sum_ids"),
+                )
+                .select(
+                    F.lit(snap).alias("snapshot"),
+                    "n_vecs",
+                    "sum_ids",
+                    F.lit(mism == 0).alias("search_matches_control"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
