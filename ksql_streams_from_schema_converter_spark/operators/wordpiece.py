@@ -472,3 +472,58 @@ def wordpiece_encode_chain_sql(
     )"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer persistence (r10): versioned vocabularies through the
+# indexstore manifest — the save_quality_weights discipline
+# ---------------------------------------------------------------------------
+
+#: store subdirectory for tokenizer vocabularies
+TOKENIZER_SUB = "tokenizers"
+
+
+def save_wordpiece_vocab(spark, store_dir: str, vocab: set[str], seq: int) -> str:
+    """Persist a trained WordPiece vocabulary as version ``t{seq}``
+    through the indexstore manifest (operators/indexstore.py — the
+    quality-weights discipline): parquet data FIRST, atomic manifest
+    commit LAST, so a torn save is invisible and a label-scoped replay
+    overwrites its own directory and commits once.  Idempotent per
+    seq.  Returns the label."""
+    import os
+
+    from .indexstore import commit_ingest, ingest_paths
+
+    label = f"t{seq}"
+    path = ingest_paths(store_dir, TOKENIZER_SUB, [label])[0]
+    spark.createDataFrame(
+        sorted((p,) for p in vocab), "piece string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    os.makedirs(store_dir, exist_ok=True)
+    commit_ingest(store_dir, label, max_id=None, kind="tokenizer", seq=seq)
+    return label
+
+
+def load_wordpiece_vocab(
+    spark, store_dir: str, seq: int | None = None
+) -> tuple[set[str], str]:
+    """Read a committed vocabulary version (highest ``seq`` when None)
+    — manifest-scoped, so torn saves are invisible; the collect is the
+    bounded trained artifact (alphabet + n_merges rows)."""
+    from .indexstore import read_ingests, read_manifest
+
+    entries = [
+        e for e in read_manifest(store_dir) if e.get("kind") == "tokenizer"
+    ]
+    if seq is not None:
+        entries = [e for e in entries if e.get("seq") == seq]
+    if not entries:
+        raise ValueError(
+            f"tokenizer store {store_dir} has no committed vocabulary"
+            + (f" with seq={seq}" if seq is not None else "")
+        )
+    best = max(entries, key=lambda e: e["seq"])
+    rows = read_ingests(
+        spark, store_dir, TOKENIZER_SUB, [best["label"]]
+    ).collect()
+    return {r["piece"] for r in rows}, best["label"]

@@ -11161,3 +11161,51 @@ def ann_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+@query("wordpiece_tokenizer_lifecycle", _wordpiece_encode_oracle())
+def wordpiece_tokenizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer PERSISTENCE lifecycle (operators/wordpiece.py
+    save/load_wordpiece_vocab — the save_quality_weights manifest
+    discipline applied to the tokenizer family): train the full 10-merge
+    vocabulary and commit it as version t0, then commit a DIFFERENT
+    (truncated, alphabet-only) vocabulary as the LATER version t1, load
+    ``seq=0`` back and encode the corpus under the LOADED artifact.
+    The oracle is the plain train→encode replay, so the gate passes
+    ONLY if (a) the round trip through the store is lossless and (b)
+    version selection honors ``seq`` — loading "latest" would encode
+    under the degenerate t1 vocabulary and hash-mismatch.  Torn-save
+    invisibility and replay idempotence are pinned by
+    tests/test_wordpiece.py.  Scale: the persisted artifact is the
+    bounded vocabulary (alphabet + n_merges rows); encode is the one
+    Arrow pass."""
+    import shutil
+    import tempfile
+
+    from .operators.wordpiece import (
+        load_wordpiece_vocab,
+        save_wordpiece_vocab,
+        wordpiece_alphabet,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = {
+        r.merged
+        for r in wordpiece_train(docs, n_merges=10, vocab_cap=4000).collect()
+    }
+    alphabet = {
+        r.piece for r in wordpiece_alphabet(docs, vocab_cap=4000).collect()
+    }
+    store = tempfile.mkdtemp(prefix="tok_store_")
+    try:
+        save_wordpiece_vocab(spark, store, alphabet | merges, seq=0)
+        # a later, deliberately degenerate version: loading "latest"
+        # instead of seq=0 would encode under this and fail the gate
+        save_wordpiece_vocab(spark, store, alphabet, seq=1)
+        vocab, label = load_wordpiece_vocab(spark, store, seq=0)
+        assert label == "t0"
+        return wordpiece_encode(docs, vocab).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

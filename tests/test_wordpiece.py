@@ -282,3 +282,37 @@ def test_spearman_rank_moments_identities(spark):
     m2 = spearman_rank_moments(rev, "x", "y").collect()[0]
     num2 = m2.n * int(m2.sxy) - int(m2.sx) * int(m2.sy)
     assert num2 == -num  # rho exactly -1
+
+
+def test_wordpiece_vocab_store_lifecycle(spark, tmp_path):
+    """Persistence discipline (the quality-weights contract): torn
+    saves are invisible, replay overwrites idempotently, and load
+    without seq returns the highest committed version."""
+    import os
+
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        ingest_paths,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.wordpiece import (
+        TOKENIZER_SUB,
+        load_wordpiece_vocab,
+        save_wordpiece_vocab,
+    )
+
+    store = str(tmp_path / "tok")
+    save_wordpiece_vocab(spark, store, {"a", "b", "ab"}, seq=0)
+    assert load_wordpiece_vocab(spark, store) == ({"a", "b", "ab"}, "t0")
+    # torn save: data lands for t1 but no manifest commit -> invisible
+    torn = ingest_paths(store, TOKENIZER_SUB, ["t1"])[0]
+    spark.createDataFrame([("zz",)], "piece string").write.mode(
+        "overwrite"
+    ).parquet(torn)
+    assert os.path.exists(torn)
+    assert load_wordpiece_vocab(spark, store) == ({"a", "b", "ab"}, "t0")
+    # committed t1 becomes latest; seq=0 still addressable
+    save_wordpiece_vocab(spark, store, {"a"}, seq=1)
+    assert load_wordpiece_vocab(spark, store)[1] == "t1"
+    assert load_wordpiece_vocab(spark, store, seq=0)[0] == {"a", "b", "ab"}
+    # replay idempotence: re-saving seq=1 replaces it
+    save_wordpiece_vocab(spark, store, {"a", "b"}, seq=1)
+    assert load_wordpiece_vocab(spark, store) == ({"a", "b"}, "t1")
