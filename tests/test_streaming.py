@@ -286,3 +286,113 @@ def test_streaming_retraction_restart_recovery_and_replay(spark, tmp_path):
     labels = [e["label"] for e in read_manifest(index_dir)]
     assert labels.count("t2") == 1 and labels.count("b3") == 1
     assert sorted(map(tuple, read_verdicts(spark, index_dir).collect())) == before
+
+
+def test_streaming_ann_retraction_restart_recovery(spark, tmp_path):
+    """The ANN twin of the LSH restart test (workload
+    streaming_ann_retraction): the IVF-PQ retraction stream survives a
+    restart between batches — the checkpoint resumes with continuing
+    batch ids — and an at-least-once redelivery of the tombstone batch
+    commits its label exactly once and changes no read."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ksql_streams_from_schema_converter_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        read_cells,
+        refresh_ivf_pq_index,
+        retract_from_ann_index,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        read_manifest,
+    )
+
+    work = str(tmp_path)
+    stream_dir = os.path.join(work, "in")
+    index_dir = os.path.join(work, "idx")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(stream_dir)
+    base = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    copies = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    vec = lambda df: df.select(  # noqa: E731
+        F.lit("vec").alias("kind"), "vec_id", "embedding"
+    )
+    ops = [
+        vec(base),
+        vec(copies),
+        spark.createDataFrame(
+            [("retract", 100 + i) for i in range(5)],
+            "kind string, vec_id long",
+        ).select(
+            "kind", "vec_id", F.lit(None).cast("array<double>").alias("embedding")
+        ),
+    ]
+
+    def _drop(i, op, t0):
+        tmp = os.path.join(work, f"tmp_{i}")
+        op.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"op{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    def apply_ops(batch_df, batch_id: int) -> None:
+        vecs = batch_df.where(F.col("kind") == "vec").select(
+            "vec_id", "embedding"
+        )
+        if not vecs.isEmpty():
+            if batch_id == 0:
+                build_ivf_pq_index(vecs, index_dir, n_cells=4, m=4, ksub=4)
+            else:
+                refresh_ivf_pq_index(
+                    spark, index_dir, vecs, ingest_label=f"b{batch_id}"
+                )
+        tombs = batch_df.where(F.col("kind") == "retract").select("vec_id")
+        if not tombs.isEmpty():
+            ids = [r.vec_id for r in tombs.collect()]
+            retract_from_ann_index(spark, index_dir, ids, label=f"t{batch_id}")
+
+    def _run():
+        q = (
+            spark.readStream.schema(ops[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(apply_ops)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    t0 = time.time()
+    # phase 1: build + refresh only; the "crash" is the drain ending
+    _drop(0, ops[0], t0)
+    _drop(1, ops[1], t0)
+    _run()
+    ids1 = {r.vec_id for r in read_cells(spark, index_dir).collect()}
+    assert ids1 == set(range(30)) | {100 + i for i in range(5)}
+    # phase 2: the tombstone arrives; restart from the SAME checkpoint
+    _drop(2, ops[2], t0)
+    _run()
+    ids2 = {r.vec_id for r in read_cells(spark, index_dir).collect()}
+    assert ids2 == set(range(30))
+    labels = [e["label"] for e in read_manifest(index_dir)]
+    assert labels.count("t2") == 1 and labels.count("b1") == 1
+    # redelivery of the tombstone: same label, nothing changes
+    retract_from_ann_index(
+        spark, index_dir, [100 + i for i in range(5)], label="t2"
+    )
+    labels = [e["label"] for e in read_manifest(index_dir)]
+    assert labels.count("t2") == 1
+    assert {r.vec_id for r in read_cells(spark, index_dir).collect()} == ids2
