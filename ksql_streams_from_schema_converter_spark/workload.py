@@ -10898,9 +10898,9 @@ def streaming_ann_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_ann_retraction_verdicts — search, monolithic
     base-minus-retracted control under the stored frozen quantizers,
     full compaction invariance, planted recall): the streaming
-    transport must be invisible in every verdict.  Restart recovery of
-    the shared checkpoint/foreachBatch machinery is pinned by
-    tests/test_streaming.py's retraction-stream test."""
+    transport must be invisible in every verdict.  Restart recovery and
+    tombstone redelivery are pinned directly by tests/test_streaming.py::
+    test_streaming_ann_retraction_restart_recovery."""
     import glob as _glob
     import os
     import shutil
