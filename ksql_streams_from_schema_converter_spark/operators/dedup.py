@@ -990,3 +990,82 @@ def lsh_dedup_blame(
         .groupBy(F.col(f"b.{id_col}").alias(id_col))
         .agg(F.min(F.col(f"a.{id_col}")).alias("blame_id"))
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS via Hamming banding (Charikar,
+    STOC 2002; the Google near-dup crawl posture of Manku et al., WWW
+    2007) — the pair-discovery stage the :func:`simhash_signatures`
+    map-side signature exists for, and the text twin of the multimodal
+    dHash banding (multimodal/binary.near_dup_pairs): split the
+    ``bits``-bit signature into ``bands`` equal integer bands; any two
+    signatures within Hamming ``<= bands - 1`` agree on at least one
+    whole band (pigeonhole), so exact-match (band, value) buckets are
+    an EXHAUSTIVE candidate set — never all-pairs — and the native
+    ``bit_count(a ^ b)`` verify keeps exactly the true pairs.
+    ``max_hamming > bands - 1`` would silently miss pairs and raises
+    instead (the ADVICE r9 banding guard).
+
+    Output: ``(id_a, id_b, hamming)``, id_a < id_b.
+
+    Scale: one signature pass (partial-aggregated bit sums), one
+    shuffle keyed by the (band, value) bucket — random 8-bit band
+    values collide at ~N²/2⁸ per band, the documented LSH candidate
+    budget; bucket skew (boilerplate-dominated corpora collapse to few
+    signatures) is AQE-splittable."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding with {bands} bands is only exhaustive for "
+            f"max_hamming <= {bands - 1} (pigeonhole); got {max_hamming}"
+        )
+    assert bits % bands == 0
+    width = bits // bands
+    sig = simhash_signatures(docs, text_col, id_col, bits)
+    bandrows = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(
+                            f"CAST((simhash div {1 << (j * width)}) "
+                            f"% {1 << width} AS BIGINT)"
+                        ).alias("v"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.j", "b.v")
+    l, r = bandrows.alias("l"), bandrows.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.j") == F.col("r.j"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

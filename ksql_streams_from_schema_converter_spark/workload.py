@@ -1013,7 +1013,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(bits: int = 32) -> str:
+def _simhash_total(bits: int = 32) -> str:
+    """The per-document simhash as one SQL aggregate expression (per-bit
+    md5-nibble majority votes summed into a BIGINT) — shared by the
+    signature gate and the Hamming-banded pair gate."""
     nib = "strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1"
     terms = []
     for j in range(bits):
@@ -1023,12 +1026,15 @@ def _simhash_oracle(bits: int = 32) -> str:
         terms.append(
             f"CASE WHEN 2 * sum({bit}) > count(*) THEN CAST({2 ** (bits - 1 - j)} AS BIGINT) ELSE 0 END"
         )
-    total = "\n         + ".join(terms)
+    return "\n         + ".join(terms)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
     )
-    SELECT doc_id, {total} AS simhash
+    SELECT doc_id, {_simhash_total(bits)} AS simhash
     FROM toks GROUP BY doc_id
     """
 
@@ -11209,3 +11215,36 @@ def wordpiece_tokenizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
         return wordpiece_encode(docs, vocab).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def _simhash_pairs_oracle(bits: int = 32) -> str:
+    return f"""
+    WITH {_CORPUS_CTE.strip()},
+    toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM corpus
+    ),
+    mh AS MATERIALIZED (
+      SELECT doc_id, {_simhash_total(bits)} AS simhash
+      FROM toks GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("simhash_near_dup", _simhash_pairs_oracle(32))
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 3 via 4-band bucketing
+    (operators/dedup.simhash_near_dup_pairs — Charikar 2002 / Manku et
+    al. 2007) over the planted dedup corpus: exact copies land at
+    Hamming 0, the first-token-dropped near-dups perturb the majority
+    vote by at most a few bits, and the oracle is BRUTE-FORCE all-pairs
+    over the same signatures — the gate proves the 4-band pigeonhole
+    loses no pair at distance <= 3 (the multimodal near_dup discipline
+    applied to text).  Scale: one signature pass + one (band, value)-
+    keyed bucket join, ~N²/2⁸ candidates per band — never all-pairs."""
+    return D.simhash_near_dup_pairs(
+        dedup_corpus(spark, sf_dir), max_hamming=3, bands=4
+    )

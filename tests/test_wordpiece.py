@@ -316,3 +316,31 @@ def test_wordpiece_vocab_store_lifecycle(spark, tmp_path):
     # replay idempotence: re-saving seq=1 replaces it
     save_wordpiece_vocab(spark, store, {"a", "b"}, seq=1)
     assert load_wordpiece_vocab(spark, store) == ({"a", "b"}, "t1")
+
+
+def test_simhash_banding_guard_and_exact_pairs(spark):
+    """The 4-band pigeonhole guard (ADVICE r9 rule): max_hamming >
+    bands-1 raises; identical texts pair at Hamming 0; disjoint-token
+    texts never pair."""
+    import pytest as _pytest
+
+    from ksql_streams_from_schema_converter_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),  # exact copy
+            (2, "zz qq ww rr tt yy uu ii oo pp"),
+        ],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert all(2 not in p for p in pairs)
