@@ -1025,7 +1025,15 @@ def simhash_near_dup_pairs(
             f"banding with {bands} bands is only exhaustive for "
             f"max_hamming <= {bands - 1} (pigeonhole); got {max_hamming}"
         )
-    assert bits % bands == 0
+    if bits % bands != 0:
+        # a ValueError like the max_hamming guard above, NOT an assert:
+        # under `python -O` an assert vanishes and a non-dividing bands
+        # value would silently truncate the band width, leaving the top
+        # bits unbucketed — the pigeonhole exhaustiveness guarantee
+        # would be lost without any signal (ADVICE r10)
+        raise ValueError(
+            f"bits ({bits}) must divide evenly into {bands} bands"
+        )
     width = bits // bands
     sig = simhash_signatures(docs, text_col, id_col, bits)
     bandrows = sig.select(

@@ -576,7 +576,19 @@ def spearman_rank_moments(
     two keyed join-backs, one map-side-combined 1-row aggregation.
     Doubled ranks stay under 2^63 to ~4.6e18 rows; the DECIMAL(38,0)
     moment sums carry ~1e9-row corpora with headroom (beyond that,
-    shard the moments and merge — they are plain sums)."""
+    shard the moments and merge — they are plain sums).
+
+    Domain rule (ADVICE r10): ranks are computed over the JOINED
+    sample — rows where BOTH scores are non-null — never over each
+    score's own domain.  Ranking each column's full domain first and
+    inner-joining after would leave gaps in the ranks wherever the
+    domains differ, and Pearson over gapped ranks is not Spearman of
+    the joined sample.  The filter is a no-op when the caller already
+    inner-joined two complete score tables (the spearman_lm_scores
+    gate), so existing hashes are unchanged."""
+    scored = scored.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
     xr = _avg_ranks2(
         scored.select(id_col, F.col(x_col).alias("__x")), "__x"
     ).select(id_col, F.col("__r2").alias("__rx"))

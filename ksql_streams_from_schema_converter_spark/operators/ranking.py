@@ -113,8 +113,15 @@ def global_prefix_sum(
     out_col: str = "psum",
 ) -> DataFrame:
     """Exact EXCLUSIVE prefix sum of ``weight_col`` under ``ORDER BY
-    order_cols`` (a total order): each row gains the sum of the weights
-    of all STRICTLY preceding rows — the weighted generalization of
+    order_cols`` — ``order_cols`` MUST be a total order (no two rows
+    may tie on it): rows tying within a range partition get arbitrary
+    relative window positions, so their prefix sums would be
+    nondeterministic across runs.  Callers that rank raw rows must
+    pre-collapse to unique keys first (the :func:`~.quality._avg_ranks2`
+    / ``auc_ranksum`` discipline: groupBy the order key, sum the
+    weights, prefix-sum the collapsed table, join back) or append a
+    deterministic tie-break column.  This is the weighted
+    generalization of
     :func:`global_row_number`, same TeraSort shape: range partition,
     per-partition weight totals prefix-summed into offsets on the
     driver (``n_partitions`` integers — KBs), then a per-partition

@@ -138,6 +138,7 @@ def wordpiece_train(
             )
         )
         best = scored.orderBy(F.desc("score_q"), "pair").limit(1).localCheckpoint()
+        exhausted = best.count() == 0
         merge_rows.append(
             best.select(
                 F.lit(i + 1).cast("bigint").alias("merge_rank"),
@@ -147,6 +148,16 @@ def wordpiece_train(
                 "score_q",
             )
         )
+        if exhausted:
+            # every word fused to a single symbol: no pairs remain, so
+            # no further merge is learnable.  Stop — the old code
+            # cross-joined the word table against this EMPTY broadcast,
+            # silently wiping it so all later rounds yielded empty rows
+            # (ADVICE r10).  The emitted rows are identical (the empty
+            # rounds contributed nothing), this just stops the wasted
+            # work and leaves the short-vocabulary case visible to
+            # callers via row count
+            break
         if i == n_merges - 1:
             break
         sub = best.select(
