@@ -133,18 +133,28 @@ def _kmeans_chain_sql(
     dims: int,
     emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
     with_kw: bool = True,
-) -> tuple[str, str]:
+    keymul: int = KM_KEYMUL,
+) -> tuple[str, str, int]:
     """The :func:`kmeans_fixed_point` replay as a ``WITH`` chain
     (quantize → [assign → update]ⁿ⁻¹) over an arbitrary
-    ``(vec_id, embedding)`` source; returns ``(chain, key_expr)``
-    where the chain ends at ``cents{n_iter-1}`` + ``pts`` and the key
-    expression is the final-assignment argmin key — shared by the
-    plain k-means oracle and the SemDeDup oracle."""
+    ``(vec_id, embedding)`` source; returns ``(chain, key_expr,
+    keymul)`` where the chain ends at ``cents{n_iter-1}`` + ``pts``
+    and the key expression is the final-assignment argmin key —
+    shared by the plain k-means oracle and the SemDeDup oracle.
+    ``keymul`` must exceed ``k`` exactly as in
+    :func:`kmeans_fixed_point` — a k ≥ keymul oracle would silently
+    alias distinct clusters through the ``% keymul`` decode
+    (ADVICE r10), so it raises here like the Spark twin asserts."""
+    if k >= keymul:
+        raise ValueError(
+            f"k ({k}) must be < keymul ({keymul}): the argmin key "
+            "decodes cluster as key % keymul"
+        )
     dist_expr = (
         "CAST(list_sum(list_transform(generate_series(1, {d}), "
         "i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))) AS BIGINT)"
     ).format(d=dims)
-    key = f"({dist_expr} * {KM_KEYMUL} + c.cluster)"
+    key = f"({dist_expr} * {keymul} + c.cluster)"
     lead = "WITH " if with_kw else ""
     parts = [
         f"""
@@ -163,7 +173,7 @@ def _kmeans_chain_sql(
         parts.append(
             f""",
     asg{it} AS (
-      SELECT p.pid, CAST(min({key}) % {KM_KEYMUL} AS BIGINT) AS cluster
+      SELECT p.pid, CAST(min({key}) % {keymul} AS BIGINT) AS cluster
       FROM pts p CROSS JOIN cents{it} c
       GROUP BY p.pid
     ),
@@ -183,20 +193,22 @@ def _kmeans_chain_sql(
       SELECT * FROM cents{it} WHERE cluster NOT IN (SELECT cluster FROM newc{it})
     )"""
         )
-    return "".join(parts), key
+    return "".join(parts), key, keymul
 
 
-def kmeans_oracle_sql(k: int = 4, n_iter: int = 2, dims: int = 64) -> str:
+def kmeans_oracle_sql(
+    k: int = 4, n_iter: int = 2, dims: int = 64, keymul: int = KM_KEYMUL
+) -> str:
     """DuckDB replay of :func:`kmeans_fixed_point` over the
     ``embeddings`` view: the same recurrence unrolled as chained CTEs
     (quantize → [assign → update]ⁿ⁻¹ → final assign+dist)."""
-    chain, key = _kmeans_chain_sql(k, n_iter, dims)
+    chain, key, keymul = _kmeans_chain_sql(k, n_iter, dims, keymul=keymul)
     last = n_iter - 1
     return (
         chain
         + f"""
-    SELECT p.pid, CAST(min({key}) % {KM_KEYMUL} AS BIGINT) AS cluster,
-           CAST(min({key}) // {KM_KEYMUL} AS BIGINT) AS dist
+    SELECT p.pid, CAST(min({key}) % {keymul} AS BIGINT) AS cluster,
+           CAST(min({key}) // {keymul} AS BIGINT) AS dist
     FROM pts p CROSS JOIN cents{last} c
     GROUP BY p.pid
     """
@@ -240,6 +252,23 @@ def semdedup_kmeans(
     bounded; assignment is a broadcast-k map pass and the drop rule is
     one EXISTS (pairs → distinct → anti-join), never a window."""
     asg = kmeans_fixed_point(emb, k, n_iter, vec_col, id_col, keymul)
+    return _semdedup_prune(emb, asg, tau_centi, vec_col, id_col)
+
+
+def _semdedup_prune(
+    emb: DataFrame,
+    asg: DataFrame,
+    tau_centi: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The SemDeDup prune stage over an arbitrary assignment ``(pid,
+    cluster, dist)``: within-cluster dominated-pair join under the
+    exact integer cosine test, keep anti-join — shared by the
+    single-level (:func:`semdedup_kmeans`, paper-exact control) and
+    two-level (:func:`semdedup_two_level`, the k ∝ corpus scale path)
+    front ends; the DataFrame ops are byte-identical to the original
+    inlined body so existing hashes are unchanged."""
     tau2 = tau_centi * tau_centi
     feat = (
         asg.join(quantize_points(emb, vec_col, id_col), "pid")
@@ -304,13 +333,14 @@ def semdedup_oracle_sql(
     dims: int = 64,
     tau_centi: int = SD_TAU_CENTI,
     emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    keymul: int = KM_KEYMUL,
 ) -> str:
     """DuckDB replay of :func:`semdedup_kmeans`: the k-means chain,
     the final assignment with distances, per-point squared norms, the
     within-cluster dominated-pair join under the identical integer
     cosine test (HUGEINT), and the keep anti-join."""
     return (
-        semdedup_chain_sql(k, n_iter, dims, tau_centi, emb_sql)
+        semdedup_chain_sql(k, n_iter, dims, tau_centi, emb_sql, keymul=keymul)
         + """
     SELECT vec_id, cluster, dist, keep FROM sdres
     """
@@ -324,23 +354,39 @@ def semdedup_chain_sql(
     tau_centi: int = SD_TAU_CENTI,
     emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
     with_kw: bool = True,
+    keymul: int = KM_KEYMUL,
 ) -> str:
     """The :func:`semdedup_kmeans` replay as a ``WITH`` chain ending at
     the ``sdres`` CTE ``(vec_id, cluster, dist, keep)`` — spliceable
     into composed-pipeline oracles; ``emb_sql`` may reference CTEs the
     caller defined earlier."""
-    chain, key = _kmeans_chain_sql(k, n_iter, dims, emb_sql, with_kw)
+    chain, key, keymul = _kmeans_chain_sql(
+        k, n_iter, dims, emb_sql, with_kw, keymul
+    )
     last = n_iter - 1
-    tau2 = tau_centi * tau_centi
     return (
         chain
         + f""",
     asgf AS MATERIALIZED (
-      SELECT p.pid, CAST(min({key}) % {KM_KEYMUL} AS BIGINT) AS cluster,
-             CAST(min({key}) // {KM_KEYMUL} AS BIGINT) AS dist
+      SELECT p.pid, CAST(min({key}) % {keymul} AS BIGINT) AS cluster,
+             CAST(min({key}) // {keymul} AS BIGINT) AS dist
       FROM pts p CROSS JOIN cents{last} c
       GROUP BY p.pid
-    ),
+    )"""
+        + _semdedup_tail_sql(dims, tau_centi)
+    )
+
+
+def _semdedup_tail_sql(dims: int, tau_centi: int) -> str:
+    """The SemDeDup prune tail over an ``asgf`` ``(pid, cluster,
+    dist)`` CTE + ``pts``: per-point squared norms, the within-cluster
+    dominated-pair join under the exact integer cosine test (HUGEINT),
+    and the keep anti-join ending at ``sdres`` — the SQL twin of
+    :func:`_semdedup_prune`, shared by the single-level and two-level
+    oracles (text byte-identical to the previously inlined tail, so
+    existing oracle hashes are unchanged)."""
+    tau2 = tau_centi * tau_centi
+    return f""",
     feat AS MATERIALIZED (
       SELECT a.pid, a.cluster, a.dist, p.q,
              CAST(list_sum(list_transform(generate_series(1, {dims}),
@@ -366,4 +412,388 @@ def semdedup_chain_sql(
       SELECT f.pid AS vec_id, f.cluster, f.dist, d.pid IS NULL AS keep
       FROM feat f LEFT JOIN drops d ON d.pid = f.pid
     )"""
+
+
+# ===========================================================================
+# Two-level (coarse-then-fine) k-means — the k ∝ corpus configuration
+# ===========================================================================
+
+
+def kmeans_two_level(
+    emb: DataFrame,
+    k: int = 16,
+    kc: int = 4,
+    n_iter: int = 2,
+    nc_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keymul: int = 32,
+    ckeymul: int = KM_KEYMUL,
+) -> DataFrame:
+    """Lloyd's k-means with a TWO-LEVEL assignment (VERDICT r10 #1):
+    instead of testing every point against all k centroids (the n·k
+    flop term that goes quadratic when SemDeDup scales k with the
+    corpus), each round first clusters the k CENTROIDS themselves into
+    ``kc`` super-cells (an exact integer Lloyd over a k-row table —
+    k·kc·nc_iter flops, negligible), then every point routes to its
+    nearest non-empty super-cell (n·kc) and runs the exact argmin only
+    against the fine centroids INSIDE that super-cell (n·k/kc expected)
+    — the IVF ``assign_cells`` discipline (similarity.py:71) applied
+    to the trainer itself.  With kc ≈ √k the per-point work drops from
+    k to ~2√k distance evaluations.
+
+    This changes WHICH clustering is produced (a point whose true
+    nearest centroid lives in a different super-cell takes the in-cell
+    argmin instead — standard IVF behavior), NOT whether it hashes:
+    every step is the same deterministic integer arithmetic as
+    :func:`kmeans_fixed_point` — quantized BIGINT vectors, argmin keys
+    ``dist·mul + id``, integer-mean updates, empty cells keeping their
+    previous centroid — and the DuckDB oracle
+    (:func:`kmeans_two_level_oracle_sql`) replays the identical
+    two-level recurrence round for round.
+
+    Returns the final assignment ``(pid, cluster, dist)`` exactly like
+    :func:`kmeans_fixed_point` (dist decodes from the argmin key, so it
+    is the integer squared L2 to the ASSIGNED fine centroid).
+
+    Scale: the coarse Lloyd runs on the k-row centroid table; point
+    routing broadcasts kc rows; the in-cell argmin broadcasts the k
+    (cluster, super-cell, centroid) rows but each point row only joins
+    its routed super-cell's bucket, so the flop budget is
+    n·(kc + k/kc) per round instead of n·k.  All collects remain
+    bounded (none — everything stays in DataFrames)."""
+    if k >= keymul:
+        raise ValueError(f"k ({k}) must be < keymul ({keymul})")
+    if kc >= ckeymul:
+        raise ValueError(f"kc ({kc}) must be < ckeymul ({ckeymul})")
+    if kc > k:
+        raise ValueError(f"kc ({kc}) must be <= k ({k})")
+    assert n_iter >= 1 and nc_iter >= 1
+    from pyspark.sql import Window
+
+    pts = quantize_points(emb, vec_col, id_col).persist()
+    seeds = pts.orderBy("pid").limit(k)
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("pid")) - 1).alias("cluster"),
+        F.col("q").alias("c"),
+    ).localCheckpoint()
+    for it in range(n_iter):
+        # ---- coarse Lloyd over the k centroid rows (exact, tiny) ----
+        cpts = cents.select(
+            F.col("cluster").alias("cpid"), F.col("c").alias("cq")
+        )
+        cseeds = cpts.orderBy("cpid").limit(kc)
+        ccents = cseeds.select(
+            (F.row_number().over(Window.orderBy("cpid")) - 1).alias("sc"),
+            F.col("cq").alias("cc"),
+        )
+        cmap = None
+        for j in range(nc_iter):
+            ckey = _sq_dist(F.col("cq"), F.col("cc")) * ckeymul + F.col("sc")
+            cass = (
+                cpts.crossJoin(F.broadcast(ccents))
+                .groupBy("cpid")
+                .agg(F.min(ckey).alias("__ck"))
+                .select("cpid", (F.col("__ck") % ckeymul).alias("sc"))
+            )
+            if j == nc_iter - 1:
+                cmap = cass
+                break
+            csums = (
+                cpts.join(cass, "cpid")
+                .select("sc", F.posexplode("cq").alias("pos", "v"))
+                .groupBy("sc", "pos")
+                .agg(F.expr("sum(v) div count(*)").alias("cv"))
+            )
+            cnew = csums.groupBy("sc").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv,
+                ).alias("cc")
+            )
+            ckept = ccents.join(cnew.select("sc"), "sc", "left_anti")
+            ccents = cnew.unionByName(ckept).localCheckpoint()
+        # super-cells that own >= 1 fine centroid: a point routed to an
+        # EMPTY super-cell would find no fine candidates and silently
+        # drop out of the assignment, so routing is restricted to the
+        # non-empty cells (both engines replay the same rule)
+        ne = ccents.join(cmap.select("sc").distinct(), "sc")
+        # ---- route every point to its nearest non-empty super-cell ----
+        rkey = _sq_dist(F.col("q"), F.col("cc")) * ckeymul + F.col("sc")
+        route = (
+            pts.crossJoin(F.broadcast(ne))
+            .groupBy("pid")
+            .agg(F.min(rkey).alias("__rk"))
+            .select("pid", (F.col("__rk") % ckeymul).alias("sc"))
+        )
+        # ---- exact argmin over the routed super-cell's centroids ----
+        cellcents = cents.join(
+            cmap.select(F.col("cpid").alias("cluster"), "sc"), "cluster"
+        )
+        fkey = _sq_dist(F.col("q"), F.col("c")) * keymul + F.col("cluster")
+        assigned = (
+            pts.join(route, "pid")
+            .join(F.broadcast(cellcents), "sc")
+            .groupBy("pid")
+            .agg(F.min(fkey).alias("__key"))
+        )
+        if it == n_iter - 1:
+            final = assigned.select(
+                "pid",
+                (F.col("__key") % keymul).alias("cluster"),
+                F.expr(f"__key div {keymul}").alias("dist"),
+            )
+            from .lifecycle import eager_release
+
+            return eager_release(final, pts)
+        asg2 = assigned.select(
+            "pid", (F.col("__key") % keymul).alias("cluster")
+        )
+        sums = (
+            pts.join(asg2, "pid")
+            .select("cluster", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.expr("sum(v) div count(*)").alias("cv"))
+        )
+        new_cents = sums.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("c")
+        )
+        kept = cents.join(new_cents.select("cluster"), "cluster", "left_anti")
+        cents = new_cents.unionByName(kept).localCheckpoint()
+    return None  # unreachable: n_iter >= 1 returns inside the loop
+
+
+def _kmeans2_chain_sql(
+    k: int,
+    kc: int,
+    n_iter: int,
+    nc_iter: int,
+    dims: int,
+    emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    with_kw: bool = True,
+    keymul: int = 32,
+    ckeymul: int = KM_KEYMUL,
+) -> str:
+    """The :func:`kmeans_two_level` replay as a ``WITH`` chain ending
+    at ``asgf`` ``(pid, cluster, dist)`` + ``pts`` — per outer round:
+    coarse Lloyd over the centroid table (``c{t}s*``/``c{t}a*``), the
+    non-empty-cell filter, point routing, the in-cell fine argmin, and
+    (below the last round) the integer-mean fine update.  Guards match
+    the Spark twin."""
+    if k >= keymul:
+        raise ValueError(f"k ({k}) must be < keymul ({keymul})")
+    if kc >= ckeymul:
+        raise ValueError(f"kc ({kc}) must be < ckeymul ({ckeymul})")
+    if kc > k:
+        raise ValueError(f"kc ({kc}) must be <= k ({k})")
+
+    def _d(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, {dims}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+        )
+
+    lead = "WITH " if with_kw else ""
+    cj = nc_iter - 1  # final coarse round index
+    parts = [
+        f"""
+    {lead}pts AS (
+      SELECT vec_id AS pid,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {KM_SCALE}) AS BIGINT)) AS q
+      FROM ({emb_sql})
+    ),
+    f0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cluster, q AS c
+      FROM (SELECT pid, q FROM pts ORDER BY pid LIMIT {k})
+    )"""
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f""",
+    c{t}s0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY cluster) - 1 AS BIGINT) AS sc, c AS cc
+      FROM (SELECT cluster, c FROM f{t} ORDER BY cluster LIMIT {kc})
+    )"""
+        )
+        for j in range(nc_iter):
+            ckey = f"({_d('p.c', 'c.cc')} * {ckeymul} + c.sc)"
+            parts.append(
+                f""",
+    c{t}a{j} AS (
+      SELECT p.cluster AS cpid, CAST(min({ckey}) % {ckeymul} AS BIGINT) AS sc
+      FROM f{t} p CROSS JOIN c{t}s{j} c
+      GROUP BY p.cluster
+    )"""
+            )
+            if j < nc_iter - 1:
+                parts.append(
+                    f""",
+    c{t}u{j} AS (
+      SELECT a.sc, s.pos, CAST(sum(p.c[s.pos]) // count(*) AS BIGINT) AS cv
+      FROM f{t} p
+      JOIN c{t}a{j} a ON a.cpid = p.cluster
+      CROSS JOIN (SELECT unnest(generate_series(1, {dims})) AS pos) s
+      GROUP BY a.sc, s.pos
+    ),
+    c{t}n{j} AS (
+      SELECT sc, list(cv ORDER BY pos) AS cc FROM c{t}u{j} GROUP BY sc
+    ),
+    c{t}s{j + 1} AS (
+      SELECT * FROM c{t}n{j}
+      UNION ALL
+      SELECT * FROM c{t}s{j} WHERE sc NOT IN (SELECT sc FROM c{t}n{j})
+    )"""
+                )
+        rkey = f"({_d('p.q', 'c.cc')} * {ckeymul} + c.sc)"
+        fkey = f"({_d('p.q', 'g.c')} * {keymul} + g.cluster)"
+        parts.append(
+            f""",
+    ne{t} AS (
+      SELECT s.sc, s.cc FROM c{t}s{cj} s
+      WHERE s.sc IN (SELECT sc FROM c{t}a{cj})
+    ),
+    r{t} AS (
+      SELECT p.pid, CAST(min({rkey}) % {ckeymul} AS BIGINT) AS sc
+      FROM pts p CROSS JOIN ne{t} c
+      GROUP BY p.pid
+    ),
+    fa{t} AS (
+      SELECT p.pid, min({fkey}) AS fk
+      FROM pts p
+      JOIN r{t} r ON r.pid = p.pid
+      JOIN c{t}a{cj} m ON m.sc = r.sc
+      JOIN f{t} g ON g.cluster = m.cpid
+      GROUP BY p.pid
+    )"""
+        )
+        if t < n_iter - 1:
+            parts.append(
+                f""",
+    fd{t} AS (
+      SELECT pid, CAST(fk % {keymul} AS BIGINT) AS cluster FROM fa{t}
+    ),
+    fu{t} AS (
+      SELECT a.cluster, s.pos, CAST(sum(p.q[s.pos]) // count(*) AS BIGINT) AS cv
+      FROM pts p
+      JOIN fd{t} a USING (pid)
+      CROSS JOIN (SELECT unnest(generate_series(1, {dims})) AS pos) s
+      GROUP BY a.cluster, s.pos
+    ),
+    fn{t} AS (
+      SELECT cluster, list(cv ORDER BY pos) AS c FROM fu{t} GROUP BY cluster
+    ),
+    f{t + 1} AS (
+      SELECT * FROM fn{t}
+      UNION ALL
+      SELECT * FROM f{t} WHERE cluster NOT IN (SELECT cluster FROM fn{t})
+    )"""
+            )
+    parts.append(
+        f""",
+    asgf AS MATERIALIZED (
+      SELECT pid, CAST(fk % {keymul} AS BIGINT) AS cluster,
+             CAST(fk // {keymul} AS BIGINT) AS dist
+      FROM fa{n_iter - 1}
+    )"""
+    )
+    return "".join(parts)
+
+
+def kmeans_two_level_oracle_sql(
+    k: int = 16,
+    kc: int = 4,
+    n_iter: int = 2,
+    nc_iter: int = 2,
+    dims: int = 64,
+    emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    keymul: int = 32,
+    ckeymul: int = KM_KEYMUL,
+) -> str:
+    """DuckDB replay of :func:`kmeans_two_level` over the
+    ``embeddings`` view."""
+    return (
+        _kmeans2_chain_sql(
+            k, kc, n_iter, nc_iter, dims, emb_sql, True, keymul, ckeymul
+        )
+        + """
+    SELECT pid, cluster, dist FROM asgf
+    """
+    )
+
+
+def semdedup_two_level(
+    emb: DataFrame,
+    k: int = 16,
+    kc: int = 4,
+    n_iter: int = 2,
+    nc_iter: int = 2,
+    tau_centi: int = SD_TAU_CENTI,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keymul: int = 32,
+    ckeymul: int = KM_KEYMUL,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 §3) over the TWO-LEVEL k-means
+    assignment (VERDICT r10 #1): identical prune semantics to
+    :func:`semdedup_kmeans` — within-cluster dominated pairs under the
+    exact integer cosine test, farther-from-centroid member kept —
+    but the clustering stage is :func:`kmeans_two_level`, whose
+    coarse-then-fine assignment replaces the n·k flop term with
+    n·(kc + k/kc).  With the paper's k ∝ corpus recipe and kc ≈ √k
+    this is the configuration that survives a 100× scale-up; the
+    single-level operator remains the paper-exact control.
+
+    Output: ``(vec_id, cluster, dist, keep)`` for every input vector,
+    exactly like :func:`semdedup_kmeans`."""
+    asg = kmeans_two_level(
+        emb, k, kc, n_iter, nc_iter, vec_col, id_col, keymul, ckeymul
+    )
+    return _semdedup_prune(emb, asg, tau_centi, vec_col, id_col)
+
+
+def semdedup_two_level_chain_sql(
+    k: int = 16,
+    kc: int = 4,
+    n_iter: int = 2,
+    nc_iter: int = 2,
+    dims: int = 64,
+    tau_centi: int = SD_TAU_CENTI,
+    emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    with_kw: bool = True,
+    keymul: int = 32,
+    ckeymul: int = KM_KEYMUL,
+) -> str:
+    """The :func:`semdedup_two_level` replay as a ``WITH`` chain ending
+    at ``sdres`` ``(vec_id, cluster, dist, keep)``: the two-level
+    assignment chain (:func:`_kmeans2_chain_sql`, ending at ``asgf``)
+    spliced onto the same prune tail the single-level oracle uses."""
+    return _kmeans2_chain_sql(
+        k, kc, n_iter, nc_iter, dims, emb_sql, with_kw, keymul, ckeymul
+    ) + _semdedup_tail_sql(dims, tau_centi)
+
+
+def semdedup_two_level_oracle_sql(
+    k: int = 16,
+    kc: int = 4,
+    n_iter: int = 2,
+    nc_iter: int = 2,
+    dims: int = 64,
+    tau_centi: int = SD_TAU_CENTI,
+    emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    keymul: int = 32,
+    ckeymul: int = KM_KEYMUL,
+) -> str:
+    """DuckDB replay of :func:`semdedup_two_level`."""
+    return (
+        semdedup_two_level_chain_sql(
+            k, kc, n_iter, nc_iter, dims, tau_centi, emb_sql, True,
+            keymul, ckeymul,
+        )
+        + """
+    SELECT vec_id, cluster, dist, keep FROM sdres
+    """
     )

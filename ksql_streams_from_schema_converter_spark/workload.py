@@ -10523,6 +10523,56 @@ def semdedup_kmeans_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_kmeans(emb.unionByName(planted), k=4, n_iter=2)
 
 
+def _semdedup_two_level_oracle() -> str:
+    from .operators.clustering import semdedup_two_level_oracle_sql
+
+    return semdedup_two_level_oracle_sql(
+        k=16,
+        kc=4,
+        n_iter=2,
+        nc_iter=2,
+        dims=64,
+        keymul=32,
+        emb_sql="""
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+        """,
+    )
+
+
+@query("semdedup_two_level", _semdedup_two_level_oracle())
+def semdedup_two_level_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the TWO-LEVEL (coarse-then-fine) k-means
+    assignment (VERDICT r10 #1 — operators/clustering.semdedup_two_level):
+    the paper scales cluster count with the corpus, and with k ∝ n the
+    single-level Lloyd assignment is an n·k ≈ n²/250 flop term (probe
+    marginal 1.30); here every round first clusters the k CENTROIDS
+    into kc ≈ √k super-cells with the same exact integer Lloyd, routes
+    each point to its nearest non-empty super-cell, and runs the exact
+    argmin only inside that cell — n·(kc + k/kc) per round, the IVF
+    assign_cells discipline applied to the trainer itself.  Same
+    planted-copy construction as semdedup_kmeans (k=16 so the coarse
+    level genuinely prunes at sf0.01): every 25th vector gets an exact
+    copy, which lands in the same cluster at the same dist and loses
+    the tie to the original — the copies are provably the dropped set.
+    All arithmetic stays fixed-point integer, so cluster/dist/keep all
+    hash; the oracle replays the two-level recurrence round for round
+    (coarse seeds → coarse assign/update → non-empty filter → routing →
+    in-cell argmin → fine update) as unrolled CTEs.  The single-level
+    gate remains the paper-exact control."""
+    from .operators.clustering import semdedup_two_level
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return semdedup_two_level(
+        emb.unionByName(planted), k=16, kc=4, n_iter=2, nc_iter=2, keymul=32
+    )
+
+
 def _v6_oracle() -> str:
     """pretrain_pipeline_v6 replay: planted corpus/embeddings, the
     bigram-LM backoff block, the exact-NTILE gate, the SemDeDup chain
@@ -11120,27 +11170,40 @@ def ann_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         retract_from_ann_index(spark, index_dir, retracted, label="t2")
         cents = load_centroids(spark, index_dir)
         books = load_codebooks(spark, index_dir)
+        # PQ-code the FULL planted corpus ONCE under the frozen
+        # quantizers and checkpoint it (VERDICT r10 #3): cell
+        # assignment and PQ codes are per-vector functions of frozen
+        # centroids/codebooks, so they are snapshot-INVARIANT by
+        # construction — each snapshot's monolithic control is the
+        # coded table filtered to that snapshot's visible id set,
+        # row-identical to re-encoding the filtered corpus but ~3×
+        # less encode work across the three snapshots
+        coded_all = _pq_coded(
+            S.assign_cells(
+                corpus.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"),
+                ),
+                cents,
+            ),
+            books,
+        ).localCheckpoint(eager=True)
+        # query cell-probes depend only on the frozen centroids —
+        # hoist out of the snapshot loop (|queries|·nprobe rows)
+        q = assign_queries(
+            spark, index_dir, queries, nprobe=3
+        ).localCheckpoint(eager=True)
         snaps = [
-            ("base", "base", corpus.where(F.col("vec_id") % 5 != 3)),
-            ("b1", "b1", corpus),
-            ("latest", None, corpus.where(~F.col("vec_id").isin(retracted))),
+            ("base", "base", F.col("vec_id") % 5 != 3),
+            ("b1", "b1", F.lit(True)),
+            ("latest", None, ~F.col("vec_id").isin(retracted)),
         ]
         rows = []
-        for snap, as_of, keep in snaps:
+        for snap, as_of, visible in snaps:
             post = search_ivf_pq_index(
                 spark, index_dir, queries, k=5, nprobe=3, as_of=as_of
             ).localCheckpoint(eager=True)
-            coded_ctl = _pq_coded(
-                S.assign_cells(
-                    keep.select(
-                        "vec_id",
-                        F.col("embedding").cast("array<double>").alias("v"),
-                    ),
-                    cents,
-                ),
-                books,
-            )
-            q = assign_queries(spark, index_dir, queries, nprobe=3)
+            coded_ctl = coded_all.where(visible)
             control = score_assigned_pq(coded_ctl, q, books, k=5)
             # bounded driver check: |queries| * k rows on each side
             mism = (

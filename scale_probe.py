@@ -143,6 +143,10 @@ DEFAULT_QUERIES = (
     "corpus_line_dedup",
     # r10 — SemDeDup with k ∝ corpus (see _semdedup_scaled_k)
     "semdedup_scaled_k",
+    # r11 — same k ∝ corpus recipe through the two-level assignment
+    # (VERDICT r10 #1); the marginal exponent must drop decisively
+    # below the single-level's 1.30 (see _semdedup_two_level_scaled_k)
+    "semdedup_two_level_scaled_k",
 )
 #: key / FK columns shifted per replica (referential integrity holds
 #: within a replica; replicas never cross-reference)
@@ -456,6 +460,34 @@ def _semdedup_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_kmeans(emb, k=k, n_iter=2, keymul=256)
 
 
+def _semdedup_two_level_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same k = n/250 paper recipe through the TWO-LEVEL
+    assignment (VERDICT r10 #1): coarse Lloyd over the k centroids
+    into kc = ⌈√k⌉ super-cells, point routing to the nearest non-empty
+    cell, exact argmin only within it — n·(kc + k/kc) flops per round
+    instead of the single-level's n·k.  Same prune stage, same pair
+    budget Σ|cᵢ|²; the delta this family must show vs semdedup_scaled_k
+    is the assignment term's marginal exponent dropping from 1.30
+    toward linear."""
+    import math as _math
+
+    import pyarrow.parquet as pq
+
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        semdedup_two_level,
+    )
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+    k = max(4, min(200, n // 250))
+    kc = max(2, _math.isqrt(k))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup_two_level(
+        emb, k=k, kc=kc, n_iter=2, nc_iter=2, keymul=256, ckeymul=16
+    )
+
+
 #: probe families that are not WORKLOAD queries: name -> (untimed
 #: per-scale setup, timed query body)
 SPECIAL_QUERIES = {
@@ -464,6 +496,8 @@ SPECIAL_QUERIES = {
     # replica so cross-replica vectors decorrelate — see
     # generate_scaled_dir)
     "semdedup_scaled_k": (_noop_setup, _semdedup_scaled_k),
+    # r11 — two-level assignment under the same recipe (VERDICT r10 #1)
+    "semdedup_two_level_scaled_k": (_noop_setup, _semdedup_two_level_scaled_k),
     "incremental_refresh_base_axis": (
         _setup_refresh_base_axis,
         _refresh_base_axis,

@@ -344,3 +344,99 @@ def test_simhash_banding_guard_and_exact_pairs(spark):
     }
     assert pairs.get((0, 1)) == 0
     assert all(2 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Two-level (coarse-then-fine) k-means + SemDeDup (VERDICT r10 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_two_level_guards(spark):
+    """k/kc modulus guards raise on BOTH engines' generators — a k >=
+    keymul run would silently alias clusters through the % decode."""
+    import pytest as _pytest
+
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        _kmeans2_chain_sql,
+        kmeans_two_level,
+    )
+
+    emb = _emb(spark, [(0, [1.0, 0.0])])
+    with _pytest.raises(ValueError):
+        kmeans_two_level(emb, k=32, kc=4, keymul=32)
+    with _pytest.raises(ValueError):
+        kmeans_two_level(emb, k=16, kc=8, keymul=32, ckeymul=8)
+    with _pytest.raises(ValueError):
+        kmeans_two_level(emb, k=4, kc=8, keymul=32, ckeymul=16)
+    with _pytest.raises(ValueError):
+        _kmeans2_chain_sql(32, 4, 2, 2, 2, keymul=32)
+    with _pytest.raises(ValueError):
+        _kmeans2_chain_sql(16, 8, 2, 2, 2, keymul=32, ckeymul=8)
+
+
+def test_kmeans_two_level_matches_oracle(spark):
+    """Differential gate at sf0.001: the Spark two-level recurrence and
+    the unrolled DuckDB chain agree cell for cell (assignment, cluster
+    id, and decoded integer distance)."""
+    import duckdb
+
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        kmeans_two_level,
+        kmeans_two_level_oracle_sql,
+    )
+    from ksql_streams_from_schema_converter_spark.sources.parquet import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    got = sorted(
+        (r.pid, r.cluster, r.dist)
+        for r in kmeans_two_level(
+            emb, k=16, kc=4, n_iter=2, nc_iter=2, keymul=32
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(x)
+        for x in con.execute(
+            kmeans_two_level_oracle_sql(k=16, kc=4, n_iter=2, nc_iter=2)
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) == 500
+
+
+def test_semdedup_two_level_copies_drop_and_originals_survive(spark):
+    """The planted-copy contract carries over from the single-level
+    gate: an exact copy shares its source's quantized vector — same
+    (two-level) cluster, same dist — and loses the id tie-break, so
+    exactly the copies drop."""
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        semdedup_two_level,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.0, -1.0]),
+        (100, [1.0, 0.0]),  # exact copy of vec 0
+        (101, [-1.0, 0.0]),  # exact copy of vec 1
+    ]
+    out = {
+        r.vec_id: r
+        for r in semdedup_two_level(
+            _emb(spark, rows), k=4, kc=2, n_iter=2, nc_iter=2, keymul=8
+        ).collect()
+    }
+    assert len(out) == 6
+    assert not out[100].keep and not out[101].keep
+    assert out[0].keep and out[1].keep and out[2].keep and out[3].keep
+    assert out[100].cluster == out[0].cluster
+    assert out[100].dist == out[0].dist
