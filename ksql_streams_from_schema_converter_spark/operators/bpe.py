@@ -295,3 +295,62 @@ def bpe_encode_oracle_sql(
     FROM d{n_merges}"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer persistence (r11): versioned merge lists through the
+# indexstore manifest — the save_wordpiece_vocab discipline applied to
+# the BPE family (VERDICT r10 #5)
+# ---------------------------------------------------------------------------
+
+#: store subdirectory for BPE merge lists
+BPE_SUB = "bpe_tokenizers"
+
+
+def save_bpe_merges(spark, store_dir: str, merges: list[str], seq: int) -> str:
+    """Persist a trained, ORDERED BPE merge list as version ``b{seq}``
+    through the indexstore manifest (operators/indexstore.py): parquet
+    data FIRST, atomic manifest commit LAST, so a torn save is
+    invisible and a label-scoped replay overwrites its own directory
+    and commits once.  Order is the artifact for BPE — encode applies
+    merges in training order — so rows carry an explicit
+    ``merge_rank``.  Idempotent per seq.  Returns the label."""
+    import os
+
+    from .indexstore import commit_ingest, ingest_paths
+
+    label = f"b{seq}"
+    path = ingest_paths(store_dir, BPE_SUB, [label])[0]
+    spark.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(merges)],
+        "merge_rank long, pair string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    os.makedirs(store_dir, exist_ok=True)
+    commit_ingest(store_dir, label, max_id=None, kind="bpe_tokenizer", seq=seq)
+    return label
+
+
+def load_bpe_merges(
+    spark, store_dir: str, seq: int | None = None
+) -> tuple[list[str], str]:
+    """Read a committed merge list (highest ``seq`` when None) in
+    training order — manifest-scoped, so torn saves are invisible; the
+    collect is the bounded trained artifact (n_merges rows)."""
+    from .indexstore import read_ingests, read_manifest
+
+    entries = [
+        e for e in read_manifest(store_dir) if e.get("kind") == "bpe_tokenizer"
+    ]
+    if seq is not None:
+        entries = [e for e in entries if e.get("seq") == seq]
+    if not entries:
+        raise ValueError(
+            f"tokenizer store {store_dir} has no committed BPE merge list"
+            + (f" with seq={seq}" if seq is not None else "")
+        )
+    best = max(entries, key=lambda e: e["seq"])
+    rows = read_ingests(spark, store_dir, BPE_SUB, [best["label"]]).collect()
+    return (
+        [r["pair"] for r in sorted(rows, key=lambda r: r["merge_rank"])],
+        best["label"],
+    )

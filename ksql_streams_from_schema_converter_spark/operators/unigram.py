@@ -543,3 +543,64 @@ def unigram_encode_oracle_sql(
     LEFT JOIN eseg g ON g.word = dw.word
     GROUP BY d.doc_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer persistence (r11): versioned scoring tables through the
+# indexstore manifest — the save_wordpiece_vocab discipline applied to
+# the unigram-LM family (VERDICT r10 #5)
+# ---------------------------------------------------------------------------
+
+#: store subdirectory for unigram-LM scoring tables
+UNIGRAM_SUB = "unigram_tokenizers"
+
+
+def save_unigram_vocab(
+    spark, store_dir: str, vocab: dict[str, int], seq: int
+) -> str:
+    """Persist a trained unigram-LM scoring table ``{piece: score}``
+    as version ``u{seq}`` through the indexstore manifest: parquet
+    data FIRST, atomic manifest commit LAST — torn saves invisible,
+    replays idempotent per seq.  Returns the label."""
+    import os
+
+    from .indexstore import commit_ingest, ingest_paths
+
+    label = f"u{seq}"
+    path = ingest_paths(store_dir, UNIGRAM_SUB, [label])[0]
+    spark.createDataFrame(
+        sorted(vocab.items()), "piece string, score long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    os.makedirs(store_dir, exist_ok=True)
+    commit_ingest(
+        store_dir, label, max_id=None, kind="unigram_tokenizer", seq=seq
+    )
+    return label
+
+
+def load_unigram_vocab(
+    spark, store_dir: str, seq: int | None = None
+) -> tuple[dict[str, int], str]:
+    """Read a committed scoring table (highest ``seq`` when None) —
+    manifest-scoped; the collect is the bounded trained artifact
+    (≤ piece_cap + alphabet rows, the shape :func:`unigram_encode`
+    holds in its task closure anyway)."""
+    from .indexstore import read_ingests, read_manifest
+
+    entries = [
+        e
+        for e in read_manifest(store_dir)
+        if e.get("kind") == "unigram_tokenizer"
+    ]
+    if seq is not None:
+        entries = [e for e in entries if e.get("seq") == seq]
+    if not entries:
+        raise ValueError(
+            f"tokenizer store {store_dir} has no committed unigram vocabulary"
+            + (f" with seq={seq}" if seq is not None else "")
+        )
+    best = max(entries, key=lambda e: e["seq"])
+    rows = read_ingests(
+        spark, store_dir, UNIGRAM_SUB, [best["label"]]
+    ).collect()
+    return {r["piece"]: r["score"] for r in rows}, best["label"]

@@ -2015,6 +2015,154 @@ def multimodal_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_near_dup_pairs(fhashes, max_hamming=3, min_frames=4)
 
 
+def _mm_index_retraction_oracle() -> str:
+    """Sequenced replay of the multimodal signature-index lifecycle
+    (VERDICT r10 #2): per snapshot, the VISIBLE media set is derived
+    from the planted-corpus arithmetic (base = the original docs, b1 =
+    everything, latest = everything minus the 25 retracted exact-copy
+    ids), signatures re-derive from the same fake-pixel decode, and
+    both the in-index near-dup pairing AND the probe search replay
+    brute-force over the visible set — value-checking that manifest-
+    prefix reads and tombstone subtraction produce exactly the banded
+    engine's counts at every point in the sequence."""
+    bands = ", ".join(f"({_mm_band_expr(i)}) AS h{i}" for i in range(4))
+    ham = " + ".join(
+        f"bit_count(xor(CAST(a.h{i} AS BIGINT), CAST(b.h{i} AS BIGINT)))"
+        for i in range(4)
+    )
+    return f"""
+    WITH {_MM_CORPUS_CTE},
+    p AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 71), j ->
+               ord(substr(text,
+                          CAST((j * strlen(text)) // 72 AS BIGINT) + 1,
+                          1))) AS px
+      FROM mm
+    ),
+    h AS (SELECT doc_id, {bands} FROM p),
+    vis AS (
+      SELECT 'base' AS snapshot, * FROM h WHERE doc_id < 30000
+      UNION ALL
+      SELECT 'b1' AS snapshot, * FROM h
+      UNION ALL
+      SELECT 'latest' AS snapshot, * FROM h
+      WHERE NOT (doc_id BETWEEN 40000 AND 40024)
+    ),
+    pairs AS (
+      SELECT a.snapshot, a.doc_id AS id_a, b.doc_id AS id_b
+      FROM vis a JOIN vis b
+        ON a.snapshot = b.snapshot AND a.doc_id < b.doc_id
+      WHERE {ham} <= 3
+    ),
+    probes AS (SELECT doc_id, h0, h1, h2, h3 FROM h
+               WHERE doc_id BETWEEN 30000 AND 30024),
+    srch AS (
+      SELECT b.snapshot, a.doc_id AS probe_id, b.doc_id AS stored_id
+      FROM probes a JOIN vis b ON a.doc_id <> b.doc_id
+      WHERE {ham} <= 3
+    ),
+    sig AS (SELECT snapshot, CAST(count(*) AS BIGINT) AS n_sigs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM vis GROUP BY snapshot),
+    pg AS (SELECT snapshot, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(id_a + id_b) AS BIGINT) AS sum_pair_ids
+           FROM pairs GROUP BY snapshot),
+    sg AS (SELECT snapshot, CAST(count(*) AS BIGINT) AS n_search
+           FROM srch GROUP BY snapshot)
+    SELECT s.snapshot, s.n_sigs, s.sum_ids,
+           COALESCE(pg.n_pairs, 0) AS n_pairs,
+           COALESCE(pg.sum_pair_ids, 0) AS sum_pair_ids,
+           COALESCE(sg.n_search, 0) AS n_search
+    FROM sig s
+    LEFT JOIN pg USING (snapshot)
+    LEFT JOIN sg USING (snapshot)
+    """
+
+
+@query("multimodal_index_retraction", _mm_index_retraction_oracle())
+def multimodal_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance symmetry for the MULTIMODAL index (VERDICT r10 #2):
+    dedup and ANN both carry persisted indexes with retraction and
+    time travel; this gate gives the perceptual-signature family the
+    same surface (multimodal/index.py — signatures persisted band-
+    partitioned through the indexstore manifest).  Sequence:
+    build(base = original docs) → refresh(b1 = the planted near +
+    exact copies) → retract(t2 = the 25 exact-copy ids).  Read at all
+    three snapshots; per snapshot emit the visible signature count +
+    id-sum, the in-index near-dup pair count + pair-id-sum (banded
+    4×16 Hamming buckets over the PERSISTED postings — signatures
+    never recompute), and the count of stored matches for the 25
+    near-copy PROBES (the search path obeys the same as-of and
+    tombstone scoping).  The oracle replays every snapshot brute-force
+    from the planted-corpus arithmetic — manifest-prefix reads and the
+    tombstone anti-join must land on exactly those values."""
+    import shutil
+    import tempfile
+
+    from .multimodal import attach_fake_media
+    from .multimodal.index import (
+        build_dhash_index,
+        index_near_dup_pairs,
+        read_dhash_signatures,
+        refresh_dhash_index,
+        retract_from_dhash_index,
+        search_dhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = _mm_corpus(spark, sf_dir)
+    planted = corpus.where(F.col("doc_id") >= 30000)
+    probes = attach_fake_media(
+        corpus.where(
+            (F.col("doc_id") >= 30000) & (F.col("doc_id") < 30025)
+        )
+    ).localCheckpoint(eager=True)
+    retracted = [40000 + i for i in range(25)]
+    index_dir = tempfile.mkdtemp(prefix="mmidx_")
+    try:
+        build_dhash_index(attach_fake_media(docs), index_dir)
+        refresh_dhash_index(
+            spark, index_dir, attach_fake_media(planted), ingest_label="b1"
+        )
+        retract_from_dhash_index(spark, index_dir, retracted, label="t2")
+        rows = []
+        for snap, as_of in [("base", "base"), ("b1", "b1"), ("latest", None)]:
+            sig = read_dhash_signatures(spark, index_dir, as_of=as_of).agg(
+                F.count("*").cast("long").alias("n_sigs"),
+                F.sum("doc_id").cast("long").alias("sum_ids"),
+            )
+            pg = index_near_dup_pairs(spark, index_dir, as_of=as_of).agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum(F.col("id_a") + F.col("id_b"))
+                .cast("long")
+                .alias("sum_pair_ids"),
+            )
+            sg = search_dhash_index(
+                spark, index_dir, probes, as_of=as_of
+            ).agg(F.count("*").cast("long").alias("n_search"))
+            rows.append(
+                sig.crossJoin(pg)
+                .crossJoin(sg)
+                .select(
+                    F.lit(snap).alias("snapshot"),
+                    "n_sigs",
+                    "sum_ids",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    F.coalesce("sum_pair_ids", F.lit(0)).alias(
+                        "sum_pair_ids"
+                    ),
+                    F.coalesce("n_search", F.lit(0)).alias("n_search"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 #: planted caption ids sit above every natural embeddings vec_id
 _XMODAL_CAP_OFF = 1_000_000
 
@@ -9898,6 +10046,86 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return bpe_segment_docs(docs, merges)
+
+
+@query("bpe_tokenizer_lifecycle", _bpe_encode_oracle())
+def bpe_tokenizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer PERSISTENCE lifecycle (VERDICT r10 #5 —
+    operators/bpe.save/load_bpe_merges, the wordpiece_tokenizer_lifecycle
+    discipline applied to the BPE family): train the 10-merge list,
+    commit it as version b0, then commit a DIFFERENT (single-merge,
+    deliberately degenerate) list as the LATER version b1, load
+    ``seq=0`` back and encode the corpus under the LOADED artifact.
+    The oracle is the plain train→encode replay, so the gate passes
+    ONLY if (a) the round trip is lossless INCLUDING merge order —
+    BPE's artifact is the ordered list, a set-shaped store would
+    re-segment differently — and (b) version selection honors ``seq``:
+    loading "latest" would encode under the degenerate b1 list and
+    hash-mismatch.  Torn-save invisibility and replay idempotence are
+    pinned by tests/test_bpe.py."""
+    import shutil
+    import tempfile
+
+    from .operators.bpe import (
+        bpe_segment_docs,
+        bpe_train,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        r.pair
+        for r in bpe_train(docs, n_merges=10, vocab_cap=4000)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    store = tempfile.mkdtemp(prefix="bpe_store_")
+    try:
+        save_bpe_merges(spark, store, merges, seq=0)
+        # a later, deliberately degenerate version: loading "latest"
+        # instead of seq=0 would segment with ONE merge and hash-fail
+        save_bpe_merges(spark, store, merges[:1], seq=1)
+        loaded, label = load_bpe_merges(spark, store, seq=0)
+        assert label == "b0"
+        return bpe_segment_docs(docs, loaded).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+@query("unigram_tokenizer_lifecycle", _unigram_encode_oracle())
+def unigram_tokenizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer PERSISTENCE lifecycle (VERDICT r10 #5):
+    train the scoring table, commit it as version u0, commit a
+    DEGENERATE later version (single characters only — every word
+    shatters to letters) as u1, load ``seq=0`` back and
+    Viterbi-encode the corpus under the LOADED scores.  The oracle is
+    the plain train→encode replay (unigram_encode_oracle_sql), so the
+    gate passes only if the {piece: score} round trip is lossless and
+    version selection honors ``seq``.  Torn-save invisibility and
+    replay idempotence are pinned by tests/test_unigram.py."""
+    import shutil
+    import tempfile
+
+    from .operators.unigram import (
+        load_unigram_vocab,
+        save_unigram_vocab,
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {r.piece: r.score for r in unigram_train(docs).collect()}
+    store = tempfile.mkdtemp(prefix="uni_store_")
+    try:
+        save_unigram_vocab(spark, store, scores, seq=0)
+        degenerate = {p: s for p, s in scores.items() if len(p) == 1}
+        save_unigram_vocab(spark, store, degenerate, seq=1)
+        loaded, label = load_unigram_vocab(spark, store, seq=0)
+        assert label == "u0"
+        return unigram_encode(docs, loaded).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 @query(

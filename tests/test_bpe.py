@@ -82,3 +82,45 @@ def test_segment_docs_round_trip_and_boundaries(spark):
     assert out.n_base_symbols == 22  # letters only (6+7+5+4)
     assert out.n_tokens == 4 + 3 + 4 + 2
     assert len(out.seg_fp) == 32
+
+
+def test_bpe_merge_store_lifecycle(spark, tmp_path):
+    """Persistence discipline for the BPE family (VERDICT r10 #5 —
+    the wordpiece store contract): torn saves are invisible, replay
+    overwrites idempotently, load without seq returns the highest
+    committed version, and ORDER round-trips (BPE's artifact is the
+    ordered merge list)."""
+    import os
+
+    from ksql_streams_from_schema_converter_spark.operators.bpe import (
+        BPE_SUB,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        ingest_paths,
+    )
+
+    store = str(tmp_path / "bpe")
+    merges = ["t h", "th e", "a n"]  # order is the artifact
+    save_bpe_merges(spark, store, merges, seq=0)
+    assert load_bpe_merges(spark, store) == (merges, "b0")
+    # torn save: data lands for b1 but no manifest commit -> invisible
+    torn = ingest_paths(store, BPE_SUB, ["b1"])[0]
+    spark.createDataFrame(
+        [(1, "zz zz")], "merge_rank long, pair string"
+    ).write.mode("overwrite").parquet(torn)
+    assert os.path.exists(torn)
+    assert load_bpe_merges(spark, store) == (merges, "b0")
+    # committed b1 becomes latest; seq=0 still addressable
+    save_bpe_merges(spark, store, merges[:1], seq=1)
+    assert load_bpe_merges(spark, store) == (merges[:1], "b1")
+    assert load_bpe_merges(spark, store, seq=0) == (merges, "b0")
+    # replay idempotence: re-saving seq=1 replaces it
+    save_bpe_merges(spark, store, merges[:2], seq=1)
+    assert load_bpe_merges(spark, store) == (merges[:2], "b1")
+    # missing version is a hard error, not a silent empty tokenizer
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_bpe_merges(spark, store, seq=7)
