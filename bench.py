@@ -199,10 +199,57 @@ def main() -> None:
         ),
         "sf": sf,
     }
+    # Ambient-drift calibration (VERDICT r10 #6): whole-run variance
+    # (VM/steal noise inflating EVERY query 25-40% in one run) has
+    # dominated regression adjudication.  Against the PREVIOUS
+    # committed BENCH_FULL.json, the median timing ratio over the
+    # large stable sub-2s query class estimates the run's ambient
+    # factor; per-query regressions are then flagged on the
+    # NORMALIZED ratio (raw ratio / ambient factor) > 1.5, so a
+    # uniformly slow run flags nothing and a genuinely regressed
+    # query still stands out.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    calibration: dict = {"ambient_factor": None}
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh).get("queries", {})
+        ratios = sorted(
+            timings[n] / p
+            for n, p in prev.items()
+            if isinstance(p, float)
+            and 0.05 <= p < 2.0
+            and isinstance(timings.get(n), float)
+        )
+        if len(ratios) >= 20:
+            amb = ratios[len(ratios) // 2]
+            flags = {
+                n: {
+                    "prev": p,
+                    "now": timings[n],
+                    "raw_ratio": round(timings[n] / p, 3),
+                    "normalized_ratio": round(timings[n] / p / amb, 3),
+                }
+                for n, p in prev.items()
+                if isinstance(p, float)
+                and p >= 0.5
+                and isinstance(timings.get(n), float)
+                and timings[n] / p / amb > 1.5
+            }
+            calibration = {
+                "ambient_factor": round(amb, 4),
+                "n_calibration_queries": len(ratios),
+                "calibration_class": "prev median in [0.05s, 2s)",
+                "normalized_flags": flags,
+            }
+    except (OSError, ValueError, ZeroDivisionError):
+        pass  # first run in a tree: no previous record to calibrate to
+    result["ambient_calibration"] = calibration
     # Full per-query record (incl. both run times) to a file: the
     # driver's stdout tail truncates the head of long lines, losing the
     # first ~45 timings of the single-line JSON.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
+    with open(full_path, "w") as fh:
         json.dump({**result, "runs": both_runs}, fh, indent=1, sort_keys=True)
     # Print exactly ONE JSON line (VERDICT r4 nit: multiple printed
     # records pile up in the driver's tail capture).  The driver records

@@ -515,7 +515,10 @@ BACKOFF_BITS = 2
 
 
 def bigram_backoff_surprisal(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Bigram-LM document scoring with stupid backoff — the next rung
     of the CCNet-style LM-quality ladder above
@@ -548,27 +551,41 @@ def bigram_backoff_surprisal(
     total broadcast, and the doc-sum is ``sum(s*n)``.  Nothing
     vocabulary-sized reaches the driver."""
     toks = F.filter(tokens(text_col), lambda t: t != "")
-    base = docs.select(F.col(id_col), toks.alias("t"))
-    occ = (
-        base.where(F.size("t") >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t)-1), "
-                    "j -> struct(element_at(t, j) AS w1, "
-                    "element_at(t, j+1) AS w2))"
-                )
-            ).alias("p"),
+
+    def _occ(frame: DataFrame) -> DataFrame:
+        b = frame.select(F.col(id_col), toks.alias("t"))
+        return (
+            b.where(F.size("t") >= 2)
+            .select(
+                id_col,
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t)-1), "
+                        "j -> struct(element_at(t, j) AS w1, "
+                        "element_at(t, j+1) AS w2))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(id_col, "p.w1", "p.w2")
+            .agg(F.count("*").alias("n"))
         )
-        .groupBy(id_col, "p.w1", "p.w2")
-        .agg(F.count("*").alias("n"))
-    )
-    ref = occ.where((F.col(id_col) % 2) == 0)
+
+    base = docs.select(F.col(id_col), toks.alias("t"))
+    occ = _occ(docs)
+    # reference corpus: the even-id half of the scored input (the
+    # default CCNet posture), or an EXPLICIT frozen corpus — the
+    # streaming gate trains once on the reference and scores every
+    # later batch under the same counts (VERDICT r10 #7)
+    if ref_docs is None:
+        ref = occ.where((F.col(id_col) % 2) == 0)
+        ref_base = base.where((F.col(id_col) % 2) == 0)
+    else:
+        ref = _occ(ref_docs)
+        ref_base = ref_docs.select(F.col(id_col), toks.alias("t"))
     c2 = ref.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     cu = (
-        base.where((F.col(id_col) % 2) == 0)
+        ref_base
         .select(F.explode("t").alias("w2"))
         .groupBy("w2")
         .agg(F.count("*").alias("cu"))

@@ -389,14 +389,23 @@ def wordpiece_encode_chain_sql(
     vocab_cap: int = 4000,
     corpus_sql: str = "SELECT doc_id, text FROM documents",
     with_kw: bool = True,
+    train_sql: str | None = None,
 ) -> str:
     """The train-then-encode replay as a ``WITH`` chain ending at the
     ``encres`` CTE ``(doc_id, n_words, n_unk, n_tokens, seg_fp)`` —
     spliceable into composed-pipeline oracles (pretrain_pipeline_v6);
-    ``corpus_sql`` may reference CTEs the caller defined earlier."""
+    ``corpus_sql`` may reference CTEs the caller defined earlier.
+    ``train_sql`` (optional) trains the vocabulary on a DIFFERENT
+    corpus than the one encoded — the persisted-tokenizer posture
+    (streaming_pretrain_v6 trains on the frozen reference half and
+    encodes each arriving batch); default trains on ``corpus_sql``
+    itself, byte-identical to the pre-r11 generator."""
     W = MAX_WP_WORD
     chain = _wp_cte_chain(
-        n_merges, vocab_cap, f"SELECT text FROM ({corpus_sql})", with_kw
+        n_merges,
+        vocab_cap,
+        f"SELECT text FROM ({train_sql or corpus_sql})",
+        with_kw,
     )
     merges = " UNION ALL ".join(
         f"SELECT replace(pair, ' ', '') AS piece FROM b{i}"

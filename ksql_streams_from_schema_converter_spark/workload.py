@@ -11460,6 +11460,205 @@ def ann_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def _streaming_v6_oracle() -> str:
+    """streaming_pretrain_v6 replay: the frozen-reference bigram-LM
+    block (counts from the even-id half of the FULL corpus), the
+    PER-BATCH exact NTILE gate (batches are id-deterministic, so the
+    window partitions by doc_id % 3 — replaying the batch sequence in
+    one expression), and the WordPiece encode of every batch's
+    survivors under the vocabulary trained on the reference half (the
+    persisted-tokenizer posture: train once, score every batch)."""
+    from .operators.wordpiece import wordpiece_encode_chain_sql
+
+    wp_chain = wordpiece_encode_chain_sql(
+        n_merges=10,
+        vocab_cap=4000,
+        corpus_sql=(
+            "SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)"
+        ),
+        with_kw=False,
+        train_sql="SELECT text FROM documents WHERE doc_id % 2 = 0",
+    )
+    return f"""
+    WITH vbase AS MATERIALIZED (
+      SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t FROM documents
+    ),
+    vocc AS MATERIALIZED (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                       j -> {{'w1': t[j], 'w2': t[j + 1]}})) AS p
+        FROM vbase WHERE len(t) >= 2
+      ) GROUP BY doc_id, p.w1, p.w2
+    ),
+    vc2 AS MATERIALIZED (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2
+           FROM vocc WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+    vc1 AS MATERIALIZED (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+           FROM vc2 GROUP BY w1),
+    vcu AS MATERIALIZED (SELECT w2, CAST(count(*) AS BIGINT) AS cu FROM (
+             SELECT unnest(t) AS w2 FROM vbase WHERE doc_id % 2 = 0)
+           GROUP BY w2),
+    vtot AS (SELECT CAST(sum(cu) AS BIGINT) AS U FROM vcu),
+    vsc AS MATERIALIZED (
+      SELECT o.doc_id, o.n,
+             CASE WHEN vc2.c2 IS NOT NULL
+                  THEN CAST(length(bin(CAST(vc1.c1 // vc2.c2 AS BIGINT))) AS BIGINT)
+                  WHEN vcu.cu IS NOT NULL
+                  THEN 2 + CAST(length(bin(CAST(U // vcu.cu AS BIGINT))) AS BIGINT)
+                  ELSE 2 + CAST(length(bin(U)) AS BIGINT) + 1 END AS s
+      FROM vocc o
+      LEFT JOIN vc2 ON vc2.w1 = o.w1 AND vc2.w2 = o.w2
+      LEFT JOIN vc1 ON vc1.w1 = o.w1
+      LEFT JOIN vcu ON vcu.w2 = o.w2
+      CROSS JOIN vtot
+    ),
+    lmagg AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(CAST(sum(s * n) AS BIGINT) * 1000 // sum(n) AS BIGINT)
+               AS bpb_milli
+      FROM vsc GROUP BY doc_id
+    ),
+    nt AS MATERIALIZED (
+      SELECT doc_id, n_bigrams, bpb_milli,
+             ntile(3) OVER (PARTITION BY doc_id % 3
+                            ORDER BY bpb_milli, doc_id) AS b
+      FROM lmagg
+    ),
+    surv AS MATERIALIZED (SELECT doc_id FROM nt WHERE b <= 2),
+    {wp_chain.strip()}
+    SELECT d.doc_id, nt.n_bigrams, nt.bpb_milli,
+           COALESCE(nt.b <= 2, FALSE) AS lm_kept,
+           enc.n_tokens, enc.seg_fp
+    FROM documents d
+    LEFT JOIN nt USING (doc_id)
+    LEFT JOIN encres enc USING (doc_id)
+    """
+
+
+@query("streaming_pretrain_v6", _streaming_v6_oracle())
+def streaming_pretrain_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity for the v6 pipeline's gate stage (VERDICT r10
+    #7): the batch composition (LM gate → … → WordPiece) gains a
+    foreachBatch twin where the models are FROZEN ARTIFACTS and the
+    corpus arrives in batches.  Setup trains once on the reference
+    half (even doc ids): the bigram backoff LM's counts and a
+    WordPiece vocabulary persisted through the tokenizer store
+    (save_wordpiece_vocab — the r10 lifecycle discipline).  Then
+    documents stream in three id-deterministic files (doc_id % 3,
+    the streaming_quality_gate harness); each batch is scored under
+    the frozen reference LM, gated by the PER-BATCH exact NTILE
+    (head+middle thirds by milli-bits-per-bigram), and its survivors
+    are encoded under the tokenizer LOADED FROM THE STORE inside the
+    batch — verdicts persist as label-scoped ingests with atomic
+    manifest commits, so an at-least-once redelivery converges
+    (restart recovery pinned by tests/test_streaming.py).  The oracle
+    replays the batch sequence in one expression: the frozen LM block,
+    NTILE partitioned by doc_id % 3 (batch = id class), and the
+    WordPiece chain trained on the reference but encoding every
+    batch's survivors."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .operators.indexstore import (
+        commit_ingest,
+        ingest_paths,
+        read_ingests,
+        read_manifest,
+    )
+    from .operators.ranking import global_ntile
+    from .operators.text import bigram_backoff_surprisal
+    from .operators.wordpiece import (
+        load_wordpiece_vocab,
+        save_wordpiece_vocab,
+        wordpiece_alphabet,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    work = tempfile.mkdtemp(prefix="v6_stream_")
+    stream_dir = os.path.join(work, "in")
+    store = os.path.join(work, "store")
+    os.makedirs(stream_dir)
+    try:
+        # train ONCE on the reference half; persist the tokenizer
+        merges = {
+            r.merged
+            for r in wordpiece_train(ref, n_merges=10, vocab_cap=4000).collect()
+        }
+        alpha = {
+            r.piece for r in wordpiece_alphabet(ref, vocab_cap=4000).collect()
+        }
+        save_wordpiece_vocab(spark, store, alpha | merges, seq=0)
+        now = _time.time()
+        for i in range(3):
+            tmp = os.path.join(work, f"tmp_b{i}")
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"b{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        def v6_batch(batch_df, batch_id: int) -> None:
+            lm = bigram_backoff_surprisal(batch_df, ref_docs=ref).select(
+                "doc_id", "n_bigrams", "bpb_milli"
+            )
+            binned = global_ntile(
+                lm, ["bpb_milli", "doc_id"], 3, out_col="__b"
+            ).localCheckpoint(eager=True)
+            surv = binned.where(F.col("__b") <= 2).select("doc_id")
+            # the tokenizer comes FROM THE STORE inside the batch — the
+            # stream depends on the persisted artifact, not a closure
+            vocab, _ = load_wordpiece_vocab(spark, store, seq=0)
+            enc = wordpiece_encode(batch_df.join(surv, "doc_id"), vocab)
+            v = (
+                batch_df.select("doc_id")
+                .join(binned, "doc_id", "left")
+                .join(enc.select("doc_id", "n_tokens", "seg_fp"), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "n_bigrams",
+                    "bpb_milli",
+                    F.coalesce(F.col("__b") <= 2, F.lit(False)).alias(
+                        "lm_kept"
+                    ),
+                    "n_tokens",
+                    "seg_fp",
+                )
+            )
+            vpath = ingest_paths(store, "v6_verdicts", [f"v{batch_id}"])[0]
+            v.write.mode("overwrite").parquet(vpath)
+            commit_ingest(store, f"v{batch_id}", kind="v6", seq=batch_id)
+
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(v6_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, what="v6 stream")
+        vl = [
+            e["label"] for e in read_manifest(store) if e.get("kind") == "v6"
+        ]
+        return (
+            read_ingests(spark, store, "v6_verdicts", vl)
+            .select(
+                "doc_id", "n_bigrams", "bpb_milli", "lm_kept",
+                "n_tokens", "seg_fp",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("wordpiece_tokenizer_lifecycle", _wordpiece_encode_oracle())
 def wordpiece_tokenizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer PERSISTENCE lifecycle (operators/wordpiece.py

@@ -396,3 +396,124 @@ def test_streaming_ann_retraction_restart_recovery(spark, tmp_path):
     labels = [e["label"] for e in read_manifest(index_dir)]
     assert labels.count("t2") == 1
     assert {r.vec_id for r in read_cells(spark, index_dir).collect()} == ids2
+
+
+def test_streaming_pretrain_v6_restart_recovery(spark, tmp_path):
+    """The v6 streaming gate (workload streaming_pretrain_v6) survives
+    a restart between batches: the checkpoint resumes with continuing
+    batch ids, each batch's verdicts commit under a batch-id-derived
+    label exactly once, every batch scores under the SAME persisted
+    tokenizer artifact, and a replayed batch body (at-least-once
+    redelivery) overwrites its own ingest and changes no read."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        commit_ingest,
+        ingest_paths,
+        read_ingests,
+        read_manifest,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.ranking import (
+        global_ntile,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.text import (
+        bigram_backoff_surprisal,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.wordpiece import (
+        load_wordpiece_vocab,
+        save_wordpiece_vocab,
+        wordpiece_alphabet,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    work = str(tmp_path)
+    stream_dir = os.path.join(work, "in")
+    store = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(stream_dir)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(words[(i + j) % len(words)] for j in range(12)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    merges = {
+        r.merged for r in wordpiece_train(ref, n_merges=4, vocab_cap=100).collect()
+    }
+    alpha = {r.piece for r in wordpiece_alphabet(ref, vocab_cap=100).collect()}
+    save_wordpiece_vocab(spark, store, alpha | merges, seq=0)
+
+    def v6_batch(batch_df, batch_id: int) -> None:
+        lm = bigram_backoff_surprisal(batch_df, ref_docs=ref).select(
+            "doc_id", "bpb_milli"
+        )
+        binned = global_ntile(
+            lm, ["bpb_milli", "doc_id"], 3, out_col="__b"
+        ).localCheckpoint(eager=True)
+        surv = binned.where(F.col("__b") <= 2).select("doc_id")
+        vocab, _ = load_wordpiece_vocab(spark, store, seq=0)
+        enc = wordpiece_encode(batch_df.join(surv, "doc_id"), vocab)
+        v = (
+            batch_df.select("doc_id")
+            .join(binned, "doc_id", "left")
+            .join(enc.select("doc_id", "n_tokens"), "doc_id", "left")
+        )
+        vpath = ingest_paths(store, "v6_verdicts", [f"v{batch_id}"])[0]
+        v.write.mode("overwrite").parquet(vpath)
+        commit_ingest(store, f"v{batch_id}", kind="v6", seq=batch_id)
+
+    def _drop(i):
+        tmp = os.path.join(work, f"tmp_{i}")
+        docs.where(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        t0 = time.time()
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    def _run():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(v6_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    def _verdicts():
+        vl = [e["label"] for e in read_manifest(store) if e.get("kind") == "v6"]
+        return {
+            (r.doc_id, r.n_tokens)
+            for r in read_ingests(spark, store, "v6_verdicts", vl).collect()
+        }
+
+    # phase 1: first batch only; the "crash" is the drain ending
+    _drop(0)
+    _run()
+    v1 = _verdicts()
+    assert {d for d, _ in v1} == set(range(0, 40, 2))
+    # phase 2: restart from the SAME checkpoint — batch id continues
+    _drop(1)
+    _run()
+    v2 = _verdicts()
+    assert {d for d, _ in v2} == set(range(40))
+    labels = [e["label"] for e in read_manifest(store) if e.get("kind") == "v6"]
+    assert sorted(labels) == ["v0", "v1"]
+    # at-least-once redelivery: replaying batch 1's body with the same
+    # label overwrites its own ingest and converges (no duplicates, no
+    # drift — the tokenizer comes from the store either way)
+    v6_batch(docs.where(F.col("doc_id") % 2 == 1), 1)
+    assert _verdicts() == v2
+    labels = [e["label"] for e in read_manifest(store) if e.get("kind") == "v6"]
+    assert sorted(labels) == ["v0", "v1"]
