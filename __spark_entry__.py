@@ -68,32 +68,36 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: driver row is r02 fill the remaining 44 slots first (VERDICT r5
 #: #2 — after r6, no query's newest driver row should be older
 #: than r3).
-#: r10: the 4 NEW queries (ANN-index retraction+compaction gate,
-#: cross-modal caption↔image near-dup join, unigram-LM tokenizer
-#: training, streaming GDPR retraction), plus every query whose code
-#: path changed this round — streaming_quality_gate (scheduled refits
-#: now read persisted per-batch FEATURE tables, weights bit-identical),
-#: the three ANN queries whose search path gained id_col plumbing
-#: (ADVICE r9), the two multimodal near-dups (banding exactness guard),
-#: and dedup_index_retraction/dedup_incremental_index (tombstone
-#: subtraction on the no-append read path, shared-oracle refactor).
-#: The remaining ~37 slots rotate to the 34 queries whose newest
-#: driver row is r5.
+#: r11: the 5 NEW queries (two-level SemDeDup, the multimodal
+#: signature-index retraction gate, the streaming v6 gate, and the
+#: BPE/unigram tokenizer lifecycle gates), plus every query whose code
+#: path changed this round — ann_index_time_travel (snapshot-invariant
+#: PQ coding hoisted out of the control loop), semdedup_kmeans +
+#: pretrain_pipeline_v6 (prune stage factored into _semdedup_prune),
+#: kmeans_embeddings_exact (keymul threaded through the oracle
+#: generators), spearman_lm_scores (ranks now provably over the joined
+#: sample), bigram_backoff_surprisal_scores (the LM block gained the
+#: frozen-ref_docs path), the three wordpiece gates (empty-pair early
+#: stop in wordpiece_train; encode chain gained train_sql), and
+#: simhash_near_dup (bands-divisibility assert promoted to
+#: ValueError).  The remaining ~32 slots rotate to the 11 queries
+#: whose newest driver row is r5, then the r6 tail.
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
-    "ann_index_retraction",
-    "crossmodal_near_dup",
-    "unigram_lm_tokenizer",
-    "unigram_encode_tokens",
-    "streaming_index_retraction",
-    "streaming_quality_gate",
-    "ann_incremental_index",
-    "ann_incremental_pq",
-    "streaming_ann_refresh",
-    "multimodal_near_dup",
-    "multimodal_frame_near_dup",
-    "dedup_index_retraction",
-    "dedup_incremental_index",
-    "dedup_index_time_travel",
+    "semdedup_two_level",
+    "multimodal_index_retraction",
+    "streaming_pretrain_v6",
+    "bpe_tokenizer_lifecycle",
+    "unigram_tokenizer_lifecycle",
+    "ann_index_time_travel",
+    "pretrain_pipeline_v6",
+    "semdedup_kmeans",
+    "kmeans_embeddings_exact",
+    "spearman_lm_scores",
+    "bigram_backoff_surprisal_scores",
+    "wordpiece_train_merges",
+    "wordpiece_encode_greedy",
+    "wordpiece_tokenizer_lifecycle",
+    "simhash_near_dup",
 )
 
 _WINDOW_SIZE = 50
