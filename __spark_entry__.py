@@ -84,6 +84,7 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: whose newest driver row is r5, then the r6 tail.
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "semdedup_two_level",
+    "pretrain_pipeline_v7",
     "multimodal_index_retraction",
     "streaming_pretrain_v6",
     "bpe_tokenizer_lifecycle",

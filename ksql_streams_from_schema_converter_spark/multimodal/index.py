@@ -264,3 +264,53 @@ def search_dhash_index(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def compact_dhash_index(
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "doc_id",
+) -> str:
+    """FULL compaction: rewrite every committed signature ingest into
+    ONE (refresh cadence accumulates an ``ingest=`` directory per
+    batch — the small-file problem at real cadence) and make
+    retraction PHYSICAL — visible rows are re-read with tombstones
+    applied, so no stored row can still carry a retracted id, and the
+    tombstone entries are swapped out in the SAME atomic manifest
+    commit (the compact_lsh_index / ANN-compaction discipline).  Reads
+    are identical before and after; torn compactions are invisible
+    (the new directory only becomes visible at the swap) and a re-run
+    overwrites it.  As-of labels predating the compaction stop
+    resolving — compaction is the explicit history-rewrite point.
+    Returns the new label."""
+    from ..operators.indexstore import (
+        TOMBSTONES,
+        drop_ingest_dirs,
+        replace_ingests,
+        tombstone_labels,
+    )
+
+    require_manifested(index_dir, SIG_SUB)
+    labels = data_labels(index_dir)
+    if not labels:
+        raise ValueError("nothing to compact")
+    tombs = tombstone_labels(index_dir)
+    rows = read_dhash_band_rows(spark, index_dir, id_col).localCheckpoint(
+        eager=True
+    )
+    new_label = next_auto_label(index_dir, prefix="c")
+    _write_sigs(rows.select(id_col, "h0", "h1", "h2", "h3", "band", "v"),
+                index_dir, new_label)
+    stats = rows.agg(
+        F.max(id_col).alias("mx"), (F.count("*") / 4).cast("long").alias("n")
+    ).head()
+    replace_ingests(
+        index_dir,
+        labels + tombs,
+        new_label,
+        max_id=stats["mx"],
+        rows=stats["n"],
+    )
+    drop_ingest_dirs(index_dir, SIG_SUB, labels)
+    drop_ingest_dirs(index_dir, TOMBSTONES, tombs)
+    return new_label

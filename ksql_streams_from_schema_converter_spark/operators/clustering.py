@@ -497,7 +497,10 @@ def kmeans_two_level(
                 .select("cpid", (F.col("__ck") % ckeymul).alias("sc"))
             )
             if j == nc_iter - 1:
-                cmap = cass
+                # k rows, read by BOTH the non-empty filter and the
+                # fine-candidate join — checkpoint once so neither
+                # downstream leg re-derives the coarse argmin chain
+                cmap = cass.localCheckpoint(eager=True)
                 break
             csums = (
                 cpts.join(cass, "cpid")

@@ -10801,25 +10801,43 @@ def semdedup_two_level_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _v6_oracle() -> str:
-    """pretrain_pipeline_v6 replay: planted corpus/embeddings, the
-    bigram-LM backoff block, the exact-NTILE gate, the SemDeDup chain
-    over the gate's survivors (spliced via semdedup_chain_sql), the
-    WordPiece train+encode chain over the FINAL survivors (spliced via
-    wordpiece_encode_chain_sql), and the per-document verdict join."""
-    from .operators.clustering import semdedup_chain_sql
+def _v6_oracle(two_level: bool = False) -> str:
+    """pretrain_pipeline_v6 (and _v7, ``two_level=True``) replay:
+    planted corpus/embeddings, the bigram-LM backoff block, the
+    exact-NTILE gate, the SemDeDup chain over the gate's survivors
+    (spliced via semdedup_chain_sql — or the two-level chain for v7),
+    the WordPiece train+encode chain over the FINAL survivors (spliced
+    via wordpiece_encode_chain_sql), and the per-document verdict
+    join."""
+    from .operators.clustering import (
+        semdedup_chain_sql,
+        semdedup_two_level_chain_sql,
+    )
     from .operators.wordpiece import wordpiece_encode_chain_sql
 
-    sd_chain = semdedup_chain_sql(
-        k=4,
-        n_iter=2,
-        dims=64,
-        emb_sql=(
-            "SELECT e.vec_id, e.embedding FROM emb2 e "
-            "JOIN lmk ON lmk.doc_id = e.vec_id"
-        ),
-        with_kw=False,
+    emb_sql = (
+        "SELECT e.vec_id, e.embedding FROM emb2 e "
+        "JOIN lmk ON lmk.doc_id = e.vec_id"
     )
+    if two_level:
+        sd_chain = semdedup_two_level_chain_sql(
+            k=16,
+            kc=4,
+            n_iter=2,
+            nc_iter=2,
+            dims=64,
+            emb_sql=emb_sql,
+            with_kw=False,
+            keymul=32,
+        )
+    else:
+        sd_chain = semdedup_chain_sql(
+            k=4,
+            n_iter=2,
+            dims=64,
+            emb_sql=emb_sql,
+            with_kw=False,
+        )
     wp_chain = wordpiece_encode_chain_sql(
         n_merges=10,
         vocab_cap=4000,
@@ -10933,7 +10951,16 @@ def pretrain_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed once: the tokenizer's 10 training rounds + the
     alphabet + the encode would otherwise each replay the whole
     LM+SemDeDup funnel."""
-    from .operators.clustering import semdedup_kmeans
+    return _pretrain_v6_impl(spark, sf_dir, two_level=False)
+
+
+def _pretrain_v6_impl(
+    spark: SparkSession, sf_dir: str, two_level: bool
+) -> DataFrame:
+    """Shared body of pretrain_pipeline_v6 / _v7 — identical DataFrame
+    ops except the SemDeDup clusterer (single-level paper control vs
+    the two-level k ∝ corpus scale path)."""
+    from .operators.clustering import semdedup_kmeans, semdedup_two_level
     from .operators.ranking import global_ntile
     from .operators.text import bigram_backoff_surprisal
     from .operators.wordpiece import (
@@ -10962,7 +10989,12 @@ def pretrain_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     lmk = binned.where(F.col("__b") <= 2).select("doc_id")
     sub = emb2.join(lmk.select(F.col("doc_id").alias("vec_id")), "vec_id")
-    sd = semdedup_kmeans(sub, k=4, n_iter=2).localCheckpoint(eager=True)
+    if two_level:
+        sd = semdedup_two_level(
+            sub, k=16, kc=4, n_iter=2, nc_iter=2, keymul=32
+        ).localCheckpoint(eager=True)
+    else:
+        sd = semdedup_kmeans(sub, k=4, n_iter=2).localCheckpoint(eager=True)
     surv = (
         lmk.join(
             sd.select(F.col("vec_id").alias("doc_id"), "keep"),
@@ -11008,6 +11040,22 @@ def pretrain_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_fp",
         )
     )
+
+
+@query("pretrain_pipeline_v7", _v6_oracle(two_level=True))
+def pretrain_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v6 composition on the SCALE PATH (r11): identical LM gate →
+    SemDeDup → WordPiece funnel, but the SemDeDup stage runs the
+    TWO-LEVEL clusterer (operators/clustering.semdedup_two_level,
+    k=16/kc=4 — coarse Lloyd over the centroids, route to the nearest
+    non-empty super-cell, exact in-cell argmin) instead of the
+    single-level paper control — the configuration whose scaled-k
+    probe marginal is 0.19 where single-level reads 1.30.  Same
+    planted duplicates, same checkpointed survivor corpus, same
+    verdict schema; the oracle splices the two-level assignment chain
+    into the otherwise-identical v6 replay, so the ENTIRE composed
+    funnel is hash-proven on the scale path too."""
+    return _pretrain_v6_impl(spark, sf_dir, two_level=True)
 
 
 @query(

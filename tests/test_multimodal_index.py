@@ -155,3 +155,50 @@ def test_mm_search_excludes_self_and_respects_tombstones(spark, tmp_path):
     }
     assert (0, 1000) not in hits2
     assert (1, 1001) in hits2
+
+
+def test_mm_index_compaction_physical_removal(spark, tmp_path):
+    """FULL compaction rewrites every ingest into one, makes
+    retraction physical (no stored row carries a retracted id), clears
+    the tombstone entries in the same manifest commit, and leaves every
+    read identical."""
+    import glob
+
+    from ksql_streams_from_schema_converter_spark.multimodal.index import (
+        compact_dhash_index,
+        read_dhash_band_rows,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        read_manifest,
+    )
+
+    idx = str(tmp_path / "mm")
+    build_dhash_index(_media(spark, 0, 30), idx)
+    refresh_dhash_index(spark, idx, _media(spark, 100, 110), ingest_label="b1")
+    retract_from_dhash_index(spark, idx, [0, 100], label="t1")
+    before = {
+        (r.doc_id, r.h0, r.h1, r.h2, r.h3)
+        for r in read_dhash_signatures(spark, idx).collect()
+    }
+    label = compact_dhash_index(spark, idx)
+    after = {
+        (r.doc_id, r.h0, r.h1, r.h2, r.h3)
+        for r in read_dhash_signatures(spark, idx).collect()
+    }
+    assert after == before
+    entries = read_manifest(idx)
+    assert [e["label"] for e in entries] == [label]
+    assert not [e for e in entries if e.get("kind") == "tombstone"]
+    # physical: one ingest directory, no tombstone dirs, retracted ids
+    # absent from the RAW store (not just the filtered read)
+    dirs = glob.glob(os.path.join(idx, SIG_SUB, "ingest=*"))
+    assert [os.path.basename(d) for d in dirs] == [f"ingest={label}"]
+    assert not glob.glob(os.path.join(idx, "tombstones", "ingest=*"))
+    raw_ids = {r.doc_id for r in read_dhash_band_rows(spark, idx).collect()}
+    assert 0 not in raw_ids and 100 not in raw_ids
+    # search still works against the compacted store
+    hits = {
+        (r.probe_id, r.stored_id, r.hamming)
+        for r in search_dhash_index(spark, idx, _media(spark, 5, 6)).collect()
+    }
+    assert all(h[1] != 0 and h[1] != 100 for h in hits)
