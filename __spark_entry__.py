@@ -94,7 +94,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "semdedup_kmeans",
     "kmeans_embeddings_exact",
     "spearman_lm_scores",
-    "bigram_backoff_surprisal_scores",
+    "bigram_backoff_surprisal",
     "wordpiece_train_merges",
     "wordpiece_encode_greedy",
     "wordpiece_tokenizer_lifecycle",

@@ -514,11 +514,56 @@ def _bitlen(col: Column) -> Column:
 BACKOFF_BITS = 2
 
 
+def bigram_lm_counts(
+    ref_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The trained bigram-LM ARTIFACT over a reference corpus: one
+    table ``(kind, w1, w2, c)`` holding the bigram counts
+    (kind='c2') and unigram counts (kind='cu'; w1 NULL) — exactly the
+    counts :func:`bigram_backoff_surprisal` derives internally, so
+    scoring under this table is value-identical to scoring with
+    ``ref_docs``.  The unigram-context totals c1 and the corpus total
+    U are derived at load (sums over the stored rows), keeping the
+    persisted artifact minimal and internally consistent by
+    construction.  Vocabulary-sized: persist and load it as a
+    DataFrame (save/load_bigram_lm) — it must never be collected."""
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    base = ref_docs.select(toks.alias("t"))
+    c2 = (
+        base.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1), "
+                    "j -> struct(element_at(t, j) AS w1, "
+                    "element_at(t, j+1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count("*").alias("c"))
+        .select(F.lit("c2").alias("kind"), "w1", "w2", "c")
+    )
+    cu = (
+        base.select(F.explode("t").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.lit("cu").alias("kind"),
+            F.lit(None).cast("string").alias("w1"),
+            "w2",
+            "c",
+        )
+    )
+    return c2.unionByName(cu)
+
+
 def bigram_backoff_surprisal(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ref_docs: DataFrame | None = None,
+    lm: DataFrame | None = None,
 ) -> DataFrame:
     """Bigram-LM document scoring with stupid backoff — the next rung
     of the CCNet-style LM-quality ladder above
@@ -572,24 +617,40 @@ def bigram_backoff_surprisal(
 
     base = docs.select(F.col(id_col), toks.alias("t"))
     occ = _occ(docs)
-    # reference corpus: the even-id half of the scored input (the
-    # default CCNet posture), or an EXPLICIT frozen corpus — the
-    # streaming gate trains once on the reference and scores every
-    # later batch under the same counts (VERDICT r10 #7)
-    if ref_docs is None:
-        ref = occ.where((F.col(id_col) % 2) == 0)
-        ref_base = base.where((F.col(id_col) % 2) == 0)
-    else:
+    # reference model: a PERSISTED count table (``lm`` — the frozen-
+    # artifact posture: save_bigram_lm/load_bigram_lm, nothing
+    # retrained or re-counted at scoring time), an explicit frozen
+    # reference corpus (``ref_docs`` — counts derived here once), or
+    # the even-id half of the scored input (the default CCNet
+    # posture).
+    if lm is not None:
+        c2 = lm.where(F.col("kind") == "c2").select(
+            "w1", "w2", F.col("c").alias("c2")
+        )
+        cu = lm.where(F.col("kind") == "cu").select(
+            "w2", F.col("c").alias("cu")
+        )
+    elif ref_docs is not None:
         ref = _occ(ref_docs)
         ref_base = ref_docs.select(F.col(id_col), toks.alias("t"))
-    c2 = ref.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+        c2 = ref.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+        cu = (
+            ref_base
+            .select(F.explode("t").alias("w2"))
+            .groupBy("w2")
+            .agg(F.count("*").alias("cu"))
+        )
+    else:
+        ref = occ.where((F.col(id_col) % 2) == 0)
+        ref_base = base.where((F.col(id_col) % 2) == 0)
+        c2 = ref.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+        cu = (
+            ref_base
+            .select(F.explode("t").alias("w2"))
+            .groupBy("w2")
+            .agg(F.count("*").alias("cu"))
+        )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    cu = (
-        ref_base
-        .select(F.explode("t").alias("w2"))
-        .groupBy("w2")
-        .agg(F.count("*").alias("cu"))
-    )
     total = cu.agg(F.sum("cu").alias("U"))
     sc = (
         occ.join(c2, ["w1", "w2"], "left")
@@ -620,3 +681,57 @@ def bigram_backoff_surprisal(
         "surprisal",
         F.expr("surprisal * 1000 div n_bigrams").alias("bpb_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM persistence (r11): versioned count tables through the
+# indexstore manifest — the tokenizer-store discipline applied to the
+# LM family, completing the frozen-artifact symmetry the streaming v6
+# gate depends on (tokenizer AND language model both load from a store)
+# ---------------------------------------------------------------------------
+
+#: store subdirectory for bigram-LM count tables
+BIGRAM_LM_SUB = "bigram_lms"
+
+
+def save_bigram_lm(spark, store_dir: str, lm: DataFrame, seq: int) -> str:
+    """Persist a trained bigram-LM count table
+    (:func:`bigram_lm_counts`) as version ``lm{seq}``: parquet data
+    FIRST, atomic manifest commit LAST — torn saves invisible,
+    label-scoped replay idempotent.  The artifact is
+    VOCABULARY-SIZED, so unlike the tokenizer stores it is written
+    and read as a DataFrame (never collected); the write keeps
+    Spark's parallelism.  Returns the label."""
+    import os
+
+    from .indexstore import commit_ingest, ingest_paths
+
+    label = f"lm{seq}"
+    path = ingest_paths(store_dir, BIGRAM_LM_SUB, [label])[0]
+    lm.select("kind", "w1", "w2", "c").write.mode("overwrite").parquet(path)
+    os.makedirs(store_dir, exist_ok=True)
+    commit_ingest(store_dir, label, max_id=None, kind="bigram_lm", seq=seq)
+    return label
+
+
+def load_bigram_lm(
+    spark, store_dir: str, seq: int | None = None
+) -> tuple[DataFrame, str]:
+    """Read a committed LM count table (highest ``seq`` when None) as
+    a DataFrame — manifest-scoped, so torn saves are invisible.  Feed
+    the result to ``bigram_backoff_surprisal(lm=...)``."""
+    from .indexstore import read_ingests, read_manifest
+
+    entries = [
+        e for e in read_manifest(store_dir) if e.get("kind") == "bigram_lm"
+    ]
+    if seq is not None:
+        entries = [e for e in entries if e.get("seq") == seq]
+    if not entries:
+        raise ValueError(
+            f"store {store_dir} has no committed bigram LM"
+            + (f" with seq={seq}" if seq is not None else "")
+        )
+    best = max(entries, key=lambda e: e["seq"])
+    df = read_ingests(spark, store_dir, BIGRAM_LM_SUB, [best["label"]])
+    return df.select("kind", "w1", "w2", "c"), best["label"]

@@ -11617,7 +11617,12 @@ def streaming_pretrain_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_manifest,
     )
     from .operators.ranking import global_ntile
-    from .operators.text import bigram_backoff_surprisal
+    from .operators.text import (
+        bigram_backoff_surprisal,
+        bigram_lm_counts,
+        load_bigram_lm,
+        save_bigram_lm,
+    )
     from .operators.wordpiece import (
         load_wordpiece_vocab,
         save_wordpiece_vocab,
@@ -11633,7 +11638,10 @@ def streaming_pretrain_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join(work, "store")
     os.makedirs(stream_dir)
     try:
-        # train ONCE on the reference half; persist the tokenizer
+        # train ONCE on the reference half; persist BOTH frozen
+        # artifacts — the tokenizer vocabulary and the bigram-LM count
+        # table — so every batch scores under stored state and nothing
+        # re-counts the reference corpus at scoring time
         merges = {
             r.merged
             for r in wordpiece_train(ref, n_merges=10, vocab_cap=4000).collect()
@@ -11642,6 +11650,7 @@ def streaming_pretrain_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.piece for r in wordpiece_alphabet(ref, vocab_cap=4000).collect()
         }
         save_wordpiece_vocab(spark, store, alpha | merges, seq=0)
+        save_bigram_lm(spark, store, bigram_lm_counts(ref), seq=0)
         now = _time.time()
         for i in range(3):
             tmp = os.path.join(work, f"tmp_b{i}")
@@ -11652,7 +11661,11 @@ def streaming_pretrain_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (now + 10 * i, now + 10 * i))
 
         def v6_batch(batch_df, batch_id: int) -> None:
-            lm = bigram_backoff_surprisal(batch_df, ref_docs=ref).select(
+            # BOTH models come from the store inside the batch: the
+            # persisted count table (a DataFrame read — vocabulary-
+            # sized, never collected) and the tokenizer vocabulary
+            lm_table, _ = load_bigram_lm(spark, store, seq=0)
+            lm = bigram_backoff_surprisal(batch_df, lm=lm_table).select(
                 "doc_id", "n_bigrams", "bpb_milli"
             )
             binned = global_ntile(

@@ -142,3 +142,63 @@ def test_unigram_vocab_store_lifecycle(spark, tmp_path):
     assert load_unigram_vocab(spark, store) == ({"a": 5, "b": 7}, "u1")
     with _pytest.raises(ValueError):
         load_unigram_vocab(spark, store, seq=7)
+
+
+def test_bigram_lm_store_lifecycle_and_frozen_scoring(spark, tmp_path):
+    """Bigram-LM persistence (r11 — the tokenizer-store discipline on
+    the LM family): scoring under the LOADED count table is
+    value-identical to scoring with the reference corpus itself; torn
+    saves invisible; seq-addressed loads; missing versions raise."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        ingest_paths,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.text import (
+        BIGRAM_LM_SUB,
+        bigram_backoff_surprisal,
+        bigram_lm_counts,
+        load_bigram_lm,
+        save_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the log"),
+            (2, "a cat and a dog met"),
+            (3, "entirely novel zebra words here"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    store = str(tmp_path / "lm")
+    save_bigram_lm(spark, store, bigram_lm_counts(ref), seq=0)
+    loaded, label = load_bigram_lm(spark, store, seq=0)
+    assert label == "lm0"
+    got = sorted(
+        map(tuple, bigram_backoff_surprisal(docs, lm=loaded).collect())
+    )
+    want = sorted(
+        map(tuple, bigram_backoff_surprisal(docs, ref_docs=ref).collect())
+    )
+    assert got == want
+    # and both equal the default even-id path (ref IS the even half)
+    dflt = sorted(map(tuple, bigram_backoff_surprisal(docs).collect()))
+    assert got == dflt
+    # torn save invisible
+    torn = ingest_paths(store, BIGRAM_LM_SUB, ["lm1"])[0]
+    spark.createDataFrame(
+        [("c2", "x", "y", 1)], "kind string, w1 string, w2 string, c long"
+    ).write.mode("overwrite").parquet(torn)
+    assert os.path.exists(torn)
+    assert load_bigram_lm(spark, store)[1] == "lm0"
+    # committed lm1 becomes latest; seq=0 still addressable
+    save_bigram_lm(spark, store, bigram_lm_counts(docs), seq=1)
+    assert load_bigram_lm(spark, store)[1] == "lm1"
+    assert load_bigram_lm(spark, store, seq=0)[1] == "lm0"
+    with _pytest.raises(ValueError):
+        load_bigram_lm(spark, store, seq=7)
