@@ -86,6 +86,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "semdedup_two_level",
     "pretrain_pipeline_v7",
     "multimodal_index_retraction",
+    "streaming_multimodal_retraction",
     "streaming_pretrain_v6",
     "bpe_tokenizer_lifecycle",
     "unigram_tokenizer_lifecycle",

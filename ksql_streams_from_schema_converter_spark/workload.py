@@ -2163,6 +2163,143 @@ def multimodal_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+@query("streaming_multimodal_retraction", _mm_index_retraction_oracle())
+def streaming_multimodal_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR retraction on the persisted multimodal signature index with
+    the tombstones riding the SAME stream as the media batches —
+    closing streaming governance symmetry across all THREE
+    persisted-index stacks (LSH: streaming_index_retraction; IVF-PQ:
+    streaming_ann_retraction; dHash signatures: here).  A foreachBatch
+    loop dispatches build (batch 0) / signature refresh (b{k}) /
+    retract (t{k}) on batch-id-derived labels, so an at-least-once
+    redelivery of ANY batch — including the retraction — overwrites
+    its own ingest and converges.  After the stream drains, the SAME
+    per-snapshot verification as the batch gate runs (signature
+    count + id-sum, banded in-index pairs, probe search at base / b1 /
+    latest): the streaming transport must be invisible in every value,
+    so the gate shares multimodal_index_retraction's brute-force
+    sequenced-replay oracle verbatim."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .multimodal import attach_fake_media
+    from .multimodal.index import (
+        build_dhash_index,
+        index_near_dup_pairs,
+        read_dhash_signatures,
+        refresh_dhash_index,
+        retract_from_dhash_index,
+        search_dhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = _mm_corpus(spark, sf_dir)
+    planted = corpus.where(F.col("doc_id") >= 30000)
+    probes = attach_fake_media(
+        corpus.where((F.col("doc_id") >= 30000) & (F.col("doc_id") < 30025))
+    ).localCheckpoint(eager=True)
+    retracted = [40000 + i for i in range(25)]
+    work = tempfile.mkdtemp(prefix="mm_retract_stream_")
+    stream_dir = os.path.join(work, "in")
+    index_dir = os.path.join(work, "idx")
+    os.makedirs(stream_dir)
+    try:
+        media = lambda df: df.select(  # noqa: E731 — local shaping lambda
+            F.lit("media").alias("kind"), "doc_id", "text"
+        )
+        ops = [
+            media(docs),
+            media(planted),
+            spark.createDataFrame(
+                [(i,) for i in retracted], "doc_id long"
+            ).select(
+                F.lit("retract").alias("kind"),
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+            ),
+        ]
+        now = _time.time()
+        for i, op in enumerate(ops):
+            tmp = os.path.join(work, f"tmp_{i}")
+            op.coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"op{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        def apply_ops(batch_df, batch_id: int) -> None:
+            m = batch_df.where(F.col("kind") == "media").select(
+                "doc_id", "text"
+            )
+            if not m.isEmpty():
+                if batch_id == 0:
+                    build_dhash_index(attach_fake_media(m), index_dir)
+                else:
+                    refresh_dhash_index(
+                        spark,
+                        index_dir,
+                        attach_fake_media(m),
+                        ingest_label=f"b{batch_id}",
+                    )
+            tombs = batch_df.where(F.col("kind") == "retract").select("doc_id")
+            if not tombs.isEmpty():
+                retract_from_dhash_index(
+                    spark,
+                    index_dir,
+                    [r.doc_id for r in tombs.collect()],
+                    label=f"t{batch_id}",
+                )
+
+        q = (
+            spark.readStream.schema(ops[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(apply_ops)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, what="multimodal retraction stream")
+        rows = []
+        for snap, as_of in [("base", "base"), ("b1", "b1"), ("latest", None)]:
+            sig = read_dhash_signatures(spark, index_dir, as_of=as_of).agg(
+                F.count("*").cast("long").alias("n_sigs"),
+                F.sum("doc_id").cast("long").alias("sum_ids"),
+            )
+            pg = index_near_dup_pairs(spark, index_dir, as_of=as_of).agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum(F.col("id_a") + F.col("id_b"))
+                .cast("long")
+                .alias("sum_pair_ids"),
+            )
+            sg = search_dhash_index(
+                spark, index_dir, probes, as_of=as_of
+            ).agg(F.count("*").cast("long").alias("n_search"))
+            rows.append(
+                sig.crossJoin(pg)
+                .crossJoin(sg)
+                .select(
+                    F.lit(snap).alias("snapshot"),
+                    "n_sigs",
+                    "sum_ids",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    F.coalesce("sum_pair_ids", F.lit(0)).alias(
+                        "sum_pair_ids"
+                    ),
+                    F.coalesce("n_search", F.lit(0)).alias("n_search"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 #: planted caption ids sit above every natural embeddings vec_id
 _XMODAL_CAP_OFF = 1_000_000
 

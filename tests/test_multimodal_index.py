@@ -202,3 +202,106 @@ def test_mm_index_compaction_physical_removal(spark, tmp_path):
         for r in search_dhash_index(spark, idx, _media(spark, 5, 6)).collect()
     }
     assert all(h[1] != 0 and h[1] != 100 for h in hits)
+
+
+def test_streaming_multimodal_retraction_restart_recovery(spark, tmp_path):
+    """The dHash-index twin of the LSH/ANN restart tests (workload
+    streaming_multimodal_retraction): the retraction stream survives a
+    restart between batches — the checkpoint resumes with continuing
+    batch ids — and an at-least-once redelivery of the tombstone batch
+    commits its label exactly once and changes no read."""
+    import glob
+    import shutil
+    import time
+
+    from ksql_streams_from_schema_converter_spark.multimodal.index import (
+        build_dhash_index,
+        refresh_dhash_index,
+        retract_from_dhash_index,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        read_manifest,
+    )
+
+    work = str(tmp_path)
+    stream_dir = os.path.join(work, "in")
+    index_dir = os.path.join(work, "idx")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(stream_dir)
+    base = _media(spark, 0, 20)
+    copies = _media(spark, 0, 4).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "payload"
+    )
+    med = lambda df: df.select(  # noqa: E731
+        F.lit("media").alias("kind"), "doc_id", "payload"
+    )
+    ops = [
+        med(base),
+        med(copies),
+        spark.createDataFrame(
+            [("retract", 1000 + i) for i in range(4)],
+            "kind string, doc_id long",
+        ).select("kind", "doc_id", F.lit(None).cast("binary").alias("payload")),
+    ]
+
+    def _drop(i, op, t0):
+        tmp = os.path.join(work, f"tmp_{i}")
+        op.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"op{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    def apply_ops(batch_df, batch_id: int) -> None:
+        m = batch_df.where(F.col("kind") == "media").select("doc_id", "payload")
+        if not m.isEmpty():
+            if batch_id == 0:
+                build_dhash_index(m, index_dir)
+            else:
+                refresh_dhash_index(
+                    spark, index_dir, m, ingest_label=f"b{batch_id}"
+                )
+        tombs = batch_df.where(F.col("kind") == "retract").select("doc_id")
+        if not tombs.isEmpty():
+            retract_from_dhash_index(
+                spark,
+                index_dir,
+                [r.doc_id for r in tombs.collect()],
+                label=f"t{batch_id}",
+            )
+
+    def _run():
+        q = (
+            spark.readStream.schema(ops[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(apply_ops)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    t0 = time.time()
+    # phase 1: build + refresh; the "crash" is the drain ending
+    _drop(0, ops[0], t0)
+    _drop(1, ops[1], t0)
+    _run()
+    ids1 = {r.doc_id for r in read_dhash_signatures(spark, index_dir).collect()}
+    assert ids1 == set(range(20)) | {1000 + i for i in range(4)}
+    # phase 2: the tombstone arrives; restart from the SAME checkpoint
+    _drop(2, ops[2], t0)
+    _run()
+    ids2 = {r.doc_id for r in read_dhash_signatures(spark, index_dir).collect()}
+    assert ids2 == set(range(20))
+    labels = [e["label"] for e in read_manifest(index_dir)]
+    assert labels.count("t2") == 1 and labels.count("b1") == 1
+    # redelivery of the tombstone: same label, nothing changes
+    retract_from_dhash_index(
+        spark, index_dir, [1000 + i for i in range(4)], label="t2"
+    )
+    labels = [e["label"] for e in read_manifest(index_dir)]
+    assert labels.count("t2") == 1
+    assert {
+        r.doc_id for r in read_dhash_signatures(spark, index_dir).collect()
+    } == ids2
