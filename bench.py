@@ -203,19 +203,37 @@ def main() -> None:
     # Ambient-drift calibration (VERDICT r10 #6): whole-run variance
     # (VM/steal noise inflating EVERY query 25-40% in one run) has
     # dominated regression adjudication.  Against the PREVIOUS
-    # committed BENCH_FULL.json, the median timing ratio over the
+    # COMMITTED BENCH_FULL.json — read via ``git show HEAD:`` so
+    # back-to-back runs in one tree keep calibrating against the same
+    # committed baseline instead of each other (ADVICE r11: the
+    # on-disk file is overwritten below, so reading it would compound
+    # drift run over run); the working-tree file is only the fallback
+    # when git is unavailable — the median timing ratio over the
     # large stable sub-2s query class estimates the run's ambient
     # factor; per-query regressions are then flagged on the
     # NORMALIZED ratio (raw ratio / ambient factor) > 1.5, so a
     # uniformly slow run flags nothing and a genuinely regressed
     # query still stands out.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL.json")
     calibration: dict = {"ambient_factor": None}
     try:
-        with open(full_path) as fh:
-            prev = json.load(fh).get("queries", {})
+        import subprocess
+
+        try:
+            blob = subprocess.run(
+                ["git", "-C", here, "show", "HEAD:BENCH_FULL.json"],
+                capture_output=True,
+                text=True,
+                timeout=30,
+                check=True,
+            ).stdout
+            prev = json.loads(blob).get("queries", {})
+            baseline_src = "git:HEAD"
+        except (subprocess.SubprocessError, OSError, ValueError):
+            with open(full_path) as fh:
+                prev = json.load(fh).get("queries", {})
+            baseline_src = "working-tree (git unavailable)"
         ratios = sorted(
             timings[n] / p
             for n, p in prev.items()
@@ -242,6 +260,7 @@ def main() -> None:
                 "ambient_factor": round(amb, 4),
                 "n_calibration_queries": len(ratios),
                 "calibration_class": "prev median in [0.05s, 2s)",
+                "baseline": baseline_src,
                 "normalized_flags": flags,
             }
     except (OSError, ValueError, ZeroDivisionError):

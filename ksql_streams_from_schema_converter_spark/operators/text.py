@@ -620,25 +620,18 @@ def bigram_backoff_surprisal(
     # reference model: a PERSISTED count table (``lm`` — the frozen-
     # artifact posture: save_bigram_lm/load_bigram_lm, nothing
     # retrained or re-counted at scoring time), an explicit frozen
-    # reference corpus (``ref_docs`` — counts derived here once), or
-    # the even-id half of the scored input (the default CCNet
-    # posture).
+    # reference corpus (``ref_docs`` — counted via bigram_lm_counts,
+    # which needs only ``text_col``; ADVICE r11 flagged the old
+    # _occ(ref_docs) path's undocumented id_col requirement), or the
+    # even-id half of the scored input (the default CCNet posture).
+    if ref_docs is not None and lm is None:
+        lm = bigram_lm_counts(ref_docs, text_col)
     if lm is not None:
         c2 = lm.where(F.col("kind") == "c2").select(
             "w1", "w2", F.col("c").alias("c2")
         )
         cu = lm.where(F.col("kind") == "cu").select(
             "w2", F.col("c").alias("cu")
-        )
-    elif ref_docs is not None:
-        ref = _occ(ref_docs)
-        ref_base = ref_docs.select(F.col(id_col), toks.alias("t"))
-        c2 = ref.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
-        cu = (
-            ref_base
-            .select(F.explode("t").alias("w2"))
-            .groupBy("w2")
-            .agg(F.count("*").alias("cu"))
         )
     else:
         ref = occ.where((F.col(id_col) % 2) == 0)

@@ -1881,13 +1881,15 @@ _MM_CORPUS_CTE = """mm AS (
     )"""
 
 
-def _mm_near_dup_oracle() -> str:
+def _mm_near_dup_oracle(extra_where: str = "") -> str:
     """Brute-force all-pairs mirror of the banded near-dup: banding
     with 4 disjoint 16-bit bands finds EVERY pair within Hamming
     distance 3 (pigeonhole — <=3 flipped bits leave >=1 band intact),
     so the exhaustive join over the same dHash values is value-equal
     to the bucketed plan.  The oracle being all-pairs while the engine
-    is bucketed is the point: it PROVES the banding loses nothing."""
+    is bucketed is the point: it PROVES the banding loses nothing.
+    ``extra_where`` restricts the pair set (the incremental gate keeps
+    only batch-touching pairs)."""
     bands = ", ".join(
         f"({_mm_band_expr(i)}) AS h{i}" for i in range(4)
     )
@@ -1909,7 +1911,7 @@ def _mm_near_dup_oracle() -> str:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST({ham} AS BIGINT) AS hamming
     FROM h a JOIN h b ON a.doc_id < b.doc_id
-    WHERE {ham} <= 3
+    WHERE {ham} <= 3{extra_where}
     """
 
 
@@ -10897,7 +10899,6 @@ def _semdedup_two_level_oracle() -> str:
         n_iter=2,
         nc_iter=2,
         dims=64,
-        keymul=32,
         emb_sql="""
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
@@ -10934,7 +10935,7 @@ def semdedup_two_level_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return semdedup_two_level(
-        emb.unionByName(planted), k=16, kc=4, n_iter=2, nc_iter=2, keymul=32
+        emb.unionByName(planted), k=16, kc=4, n_iter=2, nc_iter=2
     )
 
 
@@ -10965,7 +10966,6 @@ def _v6_oracle(two_level: bool = False) -> str:
             dims=64,
             emb_sql=emb_sql,
             with_kw=False,
-            keymul=32,
         )
     else:
         sd_chain = semdedup_chain_sql(
@@ -11128,7 +11128,7 @@ def _pretrain_v6_impl(
     sub = emb2.join(lmk.select(F.col("doc_id").alias("vec_id")), "vec_id")
     if two_level:
         sd = semdedup_two_level(
-            sub, k=16, kc=4, n_iter=2, nc_iter=2, keymul=32
+            sub, k=16, kc=4, n_iter=2, nc_iter=2
         ).localCheckpoint(eager=True)
     else:
         sd = semdedup_kmeans(sub, k=4, n_iter=2).localCheckpoint(eager=True)
@@ -11936,3 +11936,226 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(
         dedup_corpus(spark, sf_dir), max_hamming=3, bands=4
     )
+
+
+def _kmeans_lifecycle_oracle() -> str:
+    from .operators.clustering import semdedup_two_level_oracle_sql
+
+    return semdedup_two_level_oracle_sql(
+        k=8,
+        kc=3,
+        n_iter=2,
+        nc_iter=2,
+        dims=64,
+        emb_sql="SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0",
+    )
+
+
+@query("kmeans_lifecycle", _kmeans_lifecycle_oracle())
+def kmeans_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusterer PERSISTENCE lifecycle (VERDICT r11 #4 —
+    operators/clustering.save/load_kmeans_model): the k-means family
+    was the last trained artifact without a save/load path.  Train the
+    TWO-LEVEL model (fine centroids + their super-cell routing + the
+    coarse centroids) on the even-id half of the embeddings, commit it
+    as version km0, commit a DELIBERATELY DEGENERATE single-centroid
+    model as the LATER version km1, load ``seq=0`` back and run the
+    SemDeDup prune under the LOADED frozen model (semdedup_frozen =
+    assign_frozen + the shared prune stage).  The oracle is the plain
+    two-level train→assign→prune replay, so the gate passes ONLY if
+    (a) the centroid/routing round trip through the manifest store is
+    lossless and (b) version selection honors ``seq`` — loading
+    "latest" would collapse every vector into one cluster and
+    hash-fail.  The half-corpus slice keeps this gate from
+    re-training what semdedup_two_level already trains at full size
+    (VERDICT r11 #8).  Scale: the artifact is k rows (k ∝ corpus under
+    the SemDeDup recipe), written and read as a DataFrame — never
+    collected; frozen assignment is the trainer's final round, so
+    scoring under the store costs one two-level assignment pass."""
+    import shutil
+    import tempfile
+
+    from .operators.clustering import (
+        kmeans_fit,
+        kmeans_two_level_fit,
+        load_kmeans_model,
+        save_kmeans_model,
+        semdedup_frozen,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") % 2 == 0)
+    )
+    store = tempfile.mkdtemp(prefix="km_store_")
+    try:
+        model = kmeans_two_level_fit(emb, k=8, kc=3, n_iter=2, nc_iter=2)
+        save_kmeans_model(spark, store, model, seq=0)
+        # a later, deliberately degenerate version: loading "latest"
+        # instead of seq=0 would put every vector in cluster 0
+        save_kmeans_model(spark, store, kmeans_fit(emb, k=1, n_iter=1), seq=1)
+        loaded, label = load_kmeans_model(spark, store, seq=0)
+        assert label == "km0"
+        return semdedup_frozen(emb, loaded).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _streaming_semdedup_oracle() -> str:
+    from .operators.clustering import streaming_semdedup_oracle_sql
+
+    return streaming_semdedup_oracle_sql(k=4, n_iter=2, dims=64, n_batches=3)
+
+
+@query("streaming_semdedup", _streaming_semdedup_oracle())
+def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SemDeDup against the FROZEN persisted clusterer
+    (VERDICT r11 #4, second half — the streaming_pretrain_v6
+    frozen-artifact discipline applied to the dedup stage of the
+    funnel).  Setup trains the single-level model ONCE on the even-id
+    reference half and persists it (save_kmeans_model seq=0, plus a
+    degenerate seq=1 so seq-addressing is load-bearing).  Embeddings
+    then stream in three id-deterministic files (vec_id % 3); each
+    batch loads the model FROM THE STORE, assigns itself to the frozen
+    clusters, and a member drops iff a COMMITTED KEEPER from an
+    earlier batch passes the exact integer cosine test in its cluster
+    (append-only verdicts never flip) or the within-batch SemDeDup
+    dominance drops it; survivors append to the keeper store.  Every
+    write is a label-scoped overwrite + atomic manifest commit keyed
+    by batch id, and prior keepers are read by ``seq < batch_id`` —
+    so an at-least-once redelivery recomputes against the SAME prior
+    store and converges (restart recovery pinned by
+    tests/test_streaming.py).  Scratch ≢ incremental here (the keep
+    rule is distance-based, not id-monotone), so the oracle is the
+    SEQUENCED REPLAY: train chain, frozen assignment of every vector,
+    then the batch-by-batch drop/append recurrence unrolled as CTEs.
+    Scale: per batch the stored side is cluster-key-joined keepers
+    (never all-pairs), the model is a k-row broadcast, and state
+    lives in the manifest store — not in executor memory."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .operators.clustering import (
+        kmeans_fit,
+        load_kmeans_model,
+        save_kmeans_model,
+        semdedup_batch_verdicts,
+    )
+    from .operators.indexstore import (
+        commit_ingest,
+        ingest_paths,
+        read_ingests,
+        read_manifest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    work = tempfile.mkdtemp(prefix="sem_stream_")
+    stream_dir = os.path.join(work, "in")
+    store = os.path.join(work, "store")
+    os.makedirs(stream_dir)
+    try:
+        save_kmeans_model(
+            spark, store, kmeans_fit(ref, k=4, n_iter=2), seq=0
+        )
+        # degenerate later version — a batch loading "latest" would
+        # single-cluster every vector and hash-fail
+        save_kmeans_model(spark, store, kmeans_fit(ref, k=1, n_iter=1), seq=1)
+        now = _time.time()
+        for i in range(3):
+            tmp = os.path.join(work, f"tmp_b{i}")
+            emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"b{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        def sem_batch(batch_df, batch_id: int) -> None:
+            model, _ = load_kmeans_model(spark, store, seq=0)
+            prior = [
+                e["label"]
+                for e in read_manifest(store)
+                if e.get("kind") == "semkeep" and e.get("seq") < batch_id
+            ]
+            stored = (
+                read_ingests(spark, store, "sem_keepers", prior)
+                if prior
+                else None
+            )
+            verdicts, keepers = semdedup_batch_verdicts(
+                batch_df, model, stored
+            )
+            vq = verdicts.localCheckpoint(eager=True)
+            kpath = ingest_paths(store, "sem_keepers", [f"sk{batch_id}"])[0]
+            keepers.write.mode("overwrite").parquet(kpath)
+            commit_ingest(store, f"sk{batch_id}", kind="semkeep", seq=batch_id)
+            vpath = ingest_paths(store, "sem_verdicts", [f"sv{batch_id}"])[0]
+            vq.write.mode("overwrite").parquet(vpath)
+            commit_ingest(
+                store, f"sv{batch_id}", kind="semverdict", seq=batch_id
+            )
+
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sem_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, what="streaming semdedup")
+        vl = [
+            e["label"]
+            for e in read_manifest(store)
+            if e.get("kind") == "semverdict"
+        ]
+        return (
+            read_ingests(spark, store, "sem_verdicts", vl)
+            .select("vec_id", "cluster", "dist", "keep")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "multimodal_incremental_near_dup",
+    _mm_near_dup_oracle(" AND (a.doc_id >= 30000 OR b.doc_id >= 30000)"),
+)
+def multimodal_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup QUERY against the persisted dHash index
+    (VERDICT r11 #7 — multimodal/index.incremental_near_dup_pairs):
+    the base corpus signs ONCE at build time; the new batch (the
+    planted near + exact copies, doc_id >= 30000) signs only itself
+    and trades band buckets against the stored postings, plus pairs
+    within itself — the dedup_incremental_index contract on the
+    signature index.  The oracle is the FROM-SCRATCH brute-force
+    all-pairs answer over corpus ∪ batch restricted to batch-touching
+    pairs, so the hash gate proves incremental ≡ scratch (banding is
+    exhaustive at Hamming <= 3 on both legs — no pair escapes by
+    arriving late).  The no-old-rescan property (stored media never
+    re-signed; only postings in the plan) is plan-guarded by
+    tests/test_multimodal_index.py."""
+    import shutil
+    import tempfile
+
+    from .multimodal import attach_fake_media
+    from .multimodal.index import build_dhash_index, incremental_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = _mm_corpus(spark, sf_dir).where(F.col("doc_id") >= 30000)
+    index_dir = tempfile.mkdtemp(prefix="mmincr_")
+    try:
+        build_dhash_index(attach_fake_media(docs), index_dir)
+        return incremental_near_dup_pairs(
+            spark, index_dir, attach_fake_media(batch)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)

@@ -442,7 +442,7 @@ def _semdedup_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at scale THE WAY THE PAPER RUNS IT: cluster count
     grows with the corpus (Abbas et al. use 50k clusters on LAION) so
     the expected cluster size — and with it the per-cluster pair join
-    — stays bounded.  k = n/250 (floor 4, keymul widened to 256); the
+    — stays bounded.  k = n/250 (floor 4; the struct election has no k bound); the
     fit proves the Σ|cᵢ|² pair budget tracks n, not n², once k scales.
     The fixed-k gated query (semdedup_kmeans, k=4) is the correctness
     surface; THIS is the 100 TB configuration."""
@@ -457,7 +457,7 @@ def _semdedup_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).metadata.num_rows
     k = max(4, min(200, n // 250))
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return semdedup_kmeans(emb, k=k, n_iter=2, keymul=256)
+    return semdedup_kmeans(emb, k=k, n_iter=2)
 
 
 def _semdedup_two_level_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,9 +483,7 @@ def _semdedup_two_level_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(4, min(200, n // 250))
     kc = max(2, _math.isqrt(k))
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return semdedup_two_level(
-        emb, k=k, kc=kc, n_iter=2, nc_iter=2, keymul=256, ckeymul=16
-    )
+    return semdedup_two_level(emb, k=k, kc=kc, n_iter=2, nc_iter=2)
 
 
 #: probe families that are not WORKLOAD queries: name -> (untimed

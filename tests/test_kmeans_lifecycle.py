@@ -1,0 +1,179 @@
+"""Frozen k-means model lifecycle (VERDICT r11 #4) + the struct-
+election scale proof (VERDICT r11 weak #1).
+
+The clusterer was the last trained-artifact family without a save/load
+path; these tests pin (a) frozen-assignment == trainer equality for
+both levels, (b) the versioned round trip through the indexstore
+manifest incl. seq addressing, and (c) the election's freedom from the
+old ``dist·keymul`` int64 ceiling — a value domain where ANY modulus
+multiplier would overflow now hashes against DuckDB."""
+
+import duckdb
+import pytest
+
+from ksql_streams_from_schema_converter_spark.operators.clustering import (
+    assign_frozen,
+    kmeans_fit,
+    kmeans_fixed_point,
+    kmeans_oracle_sql,
+    kmeans_two_level,
+    kmeans_two_level_fit,
+    load_kmeans_model,
+    save_kmeans_model,
+    semdedup_frozen,
+    semdedup_kmeans,
+)
+from ksql_streams_from_schema_converter_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_assign_frozen_matches_trainer_single(spark):
+    """kmeans_fit + assign_frozen reproduces kmeans_fixed_point
+    cell-for-cell: the persisted model IS the trainer's final
+    centroid table, and the frozen assignment is the trainer's final
+    round."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    model = kmeans_fit(emb, k=4, n_iter=2)
+    assert _rows(assign_frozen(emb, model)) == _rows(
+        kmeans_fixed_point(emb, k=4, n_iter=2)
+    )
+
+
+def test_assign_frozen_matches_trainer_two_level(spark):
+    """Two-level twin: the model carries fine centroids WITH their
+    super-cell routing plus the coarse centroids, so the frozen
+    assignment replays the final round's route + in-cell argmin."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    model = kmeans_two_level_fit(emb, k=16, kc=4, n_iter=2, nc_iter=2)
+    assert _rows(assign_frozen(emb, model)) == _rows(
+        kmeans_two_level(emb, k=16, kc=4, n_iter=2, nc_iter=2)
+    )
+
+
+def test_semdedup_frozen_matches_in_query(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    model = kmeans_fit(emb, k=4, n_iter=2)
+    assert _rows(semdedup_frozen(emb, model)) == _rows(
+        semdedup_kmeans(emb, k=4, n_iter=2)
+    )
+
+
+def test_kmeans_model_roundtrip_and_seq(spark, tmp_path):
+    """Versioned round trip: save km0, save a DEGENERATE km1 (one
+    centroid), load seq=0 back losslessly; loading latest returns the
+    degenerate model — so seq addressing is load-bearing exactly like
+    the tokenizer lifecycles."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    store = str(tmp_path / "km_store")
+    model = kmeans_two_level_fit(emb, k=8, kc=3, n_iter=2, nc_iter=2)
+    save_kmeans_model(spark, store, model, seq=0)
+    degenerate = kmeans_fit(emb, k=1, n_iter=1)
+    save_kmeans_model(spark, store, degenerate, seq=1)
+    loaded, label = load_kmeans_model(spark, store, seq=0)
+    assert label == "km0"
+    assert _rows(loaded) == _rows(model)
+    latest, latest_label = load_kmeans_model(spark, store)
+    assert latest_label == "km1"
+    assert latest.where("level = 'f'").count() == 1
+    # frozen scoring under the loaded model == scoring under the
+    # in-memory one (the lossless-artifact contract)
+    assert _rows(assign_frozen(emb, loaded)) == _rows(
+        assign_frozen(emb, model)
+    )
+
+
+def test_load_kmeans_model_empty_store_raises(spark, tmp_path):
+    with pytest.raises(ValueError):
+        load_kmeans_model(spark, str(tmp_path / "nope"))
+
+
+def test_kmeans_struct_election_huge_value_domain(spark):
+    """The election's overflow-freedom proof: coordinates near ±1000
+    quantize to ±10⁹, so a 2-dim squared distance reaches ~8·10¹⁸ —
+    within int64, but the OLD ``dist·keymul + cluster`` key could not
+    multiply it by ANY keymul ≥ 2 without leaving int64.  The struct
+    election hashes against DuckDB on exactly that domain."""
+    rows = [
+        (0, [1000.0, -1000.0]),
+        (1, [-1000.0, 1000.0]),
+        (2, [999.5, 999.5]),
+        (3, [-999.5, -999.5]),
+        (4, [1000.0, -999.0]),
+        (5, [0.0, 0.0]),
+        (6, [123.456, -654.321]),
+        (7, [-1000.0, 999.0]),
+    ]
+    emb = _emb(spark, rows)
+    got = _rows(kmeans_fixed_point(emb, k=3, n_iter=2))
+    values = ", ".join(f"({i}, [{a!r}, {b!r}]::DOUBLE[])" for i, (a, b) in rows)
+    con = duckdb.connect()
+    want = sorted(
+        tuple(x)
+        for x in con.execute(
+            kmeans_oracle_sql(
+                k=3,
+                n_iter=2,
+                dims=2,
+                # huge-coordinate synthetic corpus, inline
+            ).replace(
+                "SELECT vec_id, embedding FROM embeddings",
+                "SELECT * FROM (VALUES "
+                + values
+                + ") AS t(vec_id, embedding)",
+            )
+        ).fetchall()
+    )
+    assert got == want
+    # the domain genuinely exceeds what the old modulus key could
+    # encode: dist * KM_KEYMUL (the former default, 8) leaves int64
+    assert max(d for _, _, d in got) * 8 > 2**63
+
+
+def test_kmeans_huge_k_runs_past_old_ceiling(spark):
+    """k above the old ~9·10⁴ ceiling RUNS under the election (the
+    modulus key would have needed keymul > k, overflowing int64 at
+    dist ≈ 10¹⁴): 100_008 points, k = 100_000 — every point with
+    pid < k seeds its own cluster, so the assignment must produce
+    dist = 0 for the seeds and a valid in-range cluster id for the
+    rest."""
+    n, k = 100_008, 100_000
+    emb = spark.range(n).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id % 2003 AS DOUBLE) / 7.0,"
+        " CAST((id * 13) % 1999 AS DOUBLE) / 11.0) AS embedding",
+    )
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        kmeans_two_level_fit,
+    )
+
+    model = kmeans_two_level_fit(emb, k=k, kc=316, n_iter=1, nc_iter=1)
+    out = assign_frozen(emb, model)
+    agg = out.selectExpr(
+        "count(*) AS n",
+        "max(cluster) AS mx",
+        "sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS zeros",
+    ).head()
+    assert agg["n"] == n
+    assert agg["mx"] >= 90_000  # clusters genuinely above the old bound
+    # every seed point is its own centroid (n_iter=1: centroids ARE
+    # the first k points), so >= k zero-distance assignments exist
+    assert agg["zeros"] >= k

@@ -517,3 +517,124 @@ def test_streaming_pretrain_v6_restart_recovery(spark, tmp_path):
     assert _verdicts() == v2
     labels = [e["label"] for e in read_manifest(store) if e.get("kind") == "v6"]
     assert sorted(labels) == ["v0", "v1"]
+
+
+def test_streaming_semdedup_restart_recovery(spark, tmp_path):
+    """The streaming SemDeDup gate (workload streaming_semdedup)
+    survives a restart between batches: the checkpoint resumes with
+    continuing batch ids, each batch reads the FROZEN persisted model
+    (seq=0) and the prior keeper store via ``seq < batch_id``, keeper
+    and verdict ingests commit under batch-id labels exactly once,
+    and a replayed batch body (at-least-once redelivery) recomputes
+    against the SAME prior store, overwrites its own ingests, and
+    changes no read.  Cross-batch semantics pinned by construction: a
+    batch-1 copy of a batch-0 KEEPER drops against the store; a
+    within-batch copy drops by dominance."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        kmeans_fit,
+        load_kmeans_model,
+        save_kmeans_model,
+        semdedup_batch_verdicts,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        commit_ingest,
+        ingest_paths,
+        read_ingests,
+        read_manifest,
+    )
+
+    work = str(tmp_path)
+    stream_dir = os.path.join(work, "in")
+    store = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(stream_dir)
+    rows = [
+        (0, [1.0, 0.0]),     # batch 0: keeper
+        (2, [1.0, 0.0]),     # batch 0: in-batch copy of 0 -> drops
+        (4, [-1.0, 0.0]),    # batch 0: keeper
+        (6, [0.0, 1.0]),     # batch 0: keeper
+        (1, [1.0, 0.0]),     # batch 1: copy of stored keeper 0 -> drops
+        (3, [0.0, -1.0]),    # batch 1: unique -> keeper
+        (5, [-1.0, 0.0]),    # batch 1: copy of stored keeper 4 -> drops
+        (7, [0.55, 0.84]),   # batch 1: cos vs 6 = 0.84/1.004 < 0.92 -> keeper
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    save_kmeans_model(spark, store, kmeans_fit(emb, k=2, n_iter=2), seq=0)
+
+    def sem_batch(batch_df, batch_id: int) -> None:
+        model, _ = load_kmeans_model(spark, store, seq=0)
+        prior = [
+            e["label"]
+            for e in read_manifest(store)
+            if e.get("kind") == "semkeep" and e.get("seq") < batch_id
+        ]
+        stored = (
+            read_ingests(spark, store, "sem_keepers", prior) if prior else None
+        )
+        verdicts, keepers = semdedup_batch_verdicts(batch_df, model, stored)
+        vq = verdicts.localCheckpoint(eager=True)
+        kpath = ingest_paths(store, "sem_keepers", [f"sk{batch_id}"])[0]
+        keepers.write.mode("overwrite").parquet(kpath)
+        commit_ingest(store, f"sk{batch_id}", kind="semkeep", seq=batch_id)
+        vpath = ingest_paths(store, "sem_verdicts", [f"sv{batch_id}"])[0]
+        vq.write.mode("overwrite").parquet(vpath)
+        commit_ingest(store, f"sv{batch_id}", kind="semverdict", seq=batch_id)
+
+    def _drop(i):
+        tmp = os.path.join(work, f"tmp_{i}")
+        emb.where(F.col("vec_id") % 2 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        t0 = time.time()
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    def _run():
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sem_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    def _verdicts():
+        vl = [
+            e["label"]
+            for e in read_manifest(store)
+            if e.get("kind") == "semverdict"
+        ]
+        return {
+            (r.vec_id, r.keep)
+            for r in read_ingests(spark, store, "sem_verdicts", vl).collect()
+        }
+
+    # phase 1: batch 0 only; the "crash" is the drain ending
+    _drop(0)
+    _run()
+    v1 = _verdicts()
+    assert v1 == {(0, True), (2, False), (4, True), (6, True)}
+    # phase 2: restart from the SAME checkpoint — batch id continues,
+    # batch 1 reads batch 0's keepers from the store
+    _drop(1)
+    _run()
+    v2 = _verdicts()
+    assert v2 == v1 | {(1, False), (3, True), (5, False), (7, True)}
+    labels = sorted(
+        e["label"] for e in read_manifest(store) if e.get("kind") == "semkeep"
+    )
+    assert labels == ["sk0", "sk1"]
+    # at-least-once redelivery: replaying batch 1's body recomputes
+    # against the SAME prior store (seq < 1), overwrites its own
+    # ingests, and converges
+    sem_batch(emb.where(F.col("vec_id") % 2 == 1), 1)
+    assert _verdicts() == v2

