@@ -68,38 +68,33 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: driver row is r02 fill the remaining 44 slots first (VERDICT r5
 #: #2 — after r6, no query's newest driver row should be older
 #: than r3).
-#: r11: the 5 NEW queries (two-level SemDeDup, the multimodal
-#: signature-index retraction gate, the streaming v6 gate, and the
-#: BPE/unigram tokenizer lifecycle gates), plus every query whose code
-#: path changed this round — ann_index_time_travel (snapshot-invariant
-#: PQ coding hoisted out of the control loop), semdedup_kmeans +
-#: pretrain_pipeline_v6 (prune stage factored into _semdedup_prune),
-#: kmeans_embeddings_exact (keymul threaded through the oracle
-#: generators), spearman_lm_scores (ranks now provably over the joined
-#: sample), bigram_backoff_surprisal_scores (the LM block gained the
-#: frozen-ref_docs path), the three wordpiece gates (empty-pair early
-#: stop in wordpiece_train; encode chain gained train_sql), and
-#: simhash_near_dup (bands-divisibility assert promoted to
-#: ValueError).  The remaining ~32 slots rotate to the 11 queries
-#: whose newest driver row is r5, then the r6 tail.
+#: r12: the 5 NEW queries (the clusterer-persistence lifecycle gate,
+#: streaming SemDeDup against the frozen persisted model, the
+#: multimodal incremental near-dup gate, and the two learned
+#: language-ID gates), plus every query whose code path changed this
+#: round — the whole k-means family (kmeans_embeddings_exact,
+#: semdedup_kmeans, semdedup_two_level, pretrain_pipeline_v6/_v7:
+#: the dist*keymul+cluster modulus argmin was replaced by the
+#: min(struct(dist, cluster)) election, VERDICT r11 weak #1), the two
+#: multimodal index gates (refresh gained the committed_max_id
+#: monotone guard; id_col plumbed through signing), and
+#: bigram_backoff_surprisal (the ref_docs path now counts through
+#: bigram_lm_counts).  The remaining ~37 slots rotate staleness-first:
+#: all 12 queries whose newest driver row is r6, then the r7 cohort.
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
+    "kmeans_lifecycle",
+    "streaming_semdedup",
+    "multimodal_incremental_near_dup",
+    "langid_classifier_train",
+    "langid_classifier_apply",
+    "kmeans_embeddings_exact",
+    "semdedup_kmeans",
     "semdedup_two_level",
+    "pretrain_pipeline_v6",
     "pretrain_pipeline_v7",
     "multimodal_index_retraction",
     "streaming_multimodal_retraction",
-    "streaming_pretrain_v6",
-    "bpe_tokenizer_lifecycle",
-    "unigram_tokenizer_lifecycle",
-    "ann_index_time_travel",
-    "pretrain_pipeline_v6",
-    "semdedup_kmeans",
-    "kmeans_embeddings_exact",
-    "spearman_lm_scores",
     "bigram_backoff_surprisal",
-    "wordpiece_train_merges",
-    "wordpiece_encode_greedy",
-    "wordpiece_tokenizer_lifecycle",
-    "simhash_near_dup",
 )
 
 _WINDOW_SIZE = 50

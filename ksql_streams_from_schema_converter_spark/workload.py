@@ -12159,3 +12159,217 @@ def multimodal_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+#: planted multilingual corpus for the LEARNED language-ID gates: the
+#: documents table (mostly 'en'/'und' under the stopword heuristic)
+#: plus de- and fr-stopword-salted copies of doc_id < 60 — the weak
+#: labeler genuinely emits 4 classes, and the salted tokens are
+#: exactly the linear signal a hashed-unigram perceptron can learn
+_LID_DE = ("der die das und ist nicht ein zu mit von " * 3).strip()
+_LID_FR = ("le la les et est un une des que pour " * 3).strip()
+_LID_CORPUS_CTE = f"""lcorp AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 50000 AS doc_id, '{_LID_DE} ' || text AS text
+      FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 60000 AS doc_id, '{_LID_FR} ' || text AS text
+      FROM documents WHERE doc_id < 60
+    )"""
+
+
+def _lid_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`_LID_CORPUS_CTE`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    de = docs.where(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.lit(_LID_DE + " "), F.col("text")).alias("text"),
+    )
+    fr = docs.where(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 60000).alias("doc_id"),
+        F.concat(F.lit(_LID_FR + " "), F.col("text")).alias("text"),
+    )
+    return docs.unionByName(de).unionByName(fr)
+
+
+def _langid_cls_sql(
+    n_buckets: int = 64,
+    n_rounds: int = 6,
+    fp_scale: int = 1_000,
+    src: str = "lcorp",
+    p: str = "lid",
+) -> str:
+    """CTE chain replaying operators/langid.py's MULTICLASS pocket
+    perceptron round-for-round (the _quality_cls_sql discipline lifted
+    to L classes): hashed unigram-count features + bias, weak labels
+    from the stopword-argmax heuristic, per-round argmax elections
+    (``min(struct(-score, lang))``), mistake-normalized 1/t-decayed
+    fixed-point class-pair updates, and the pocket argmin.  Ends with
+    ``{p}wfin`` (lang, b, w) and ``{p}predfin`` (doc_id, lang_pred
+    under the pocket weights over ALL of ``src``)."""
+    toks = _TOKS
+    sw_case = f"""CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+                ELSE 'fr' END"""
+    parts = [
+        f"""{p}toks AS (SELECT doc_id, unnest({toks}) AS tok FROM {src}),
+    {p}feat AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                  % {n_buckets} AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM {p}toks WHERE tok <> '' GROUP BY 1, 2
+      UNION ALL SELECT doc_id, {n_buckets} AS b, 1 AS c FROM {src}
+    ),
+    {p}lab AS MATERIALIZED (
+      SELECT doc_id, {sw_case} AS y
+      FROM (SELECT doc_id,
+                   len(list_filter({toks}, t -> t IN ({_SW['de']}))) AS s_de,
+                   len(list_filter({toks}, t -> t IN ({_SW['en']}))) AS s_en,
+                   len(list_filter({toks}, t -> t IN ({_SW['fr']}))) AS s_fr
+            FROM {src})
+    ),
+    {p}cls AS (SELECT DISTINCT y AS lang FROM {p}lab),
+    {p}w0 AS (SELECT lang, b, CAST(0 AS BIGINT) AS w
+            FROM {p}cls, (SELECT unnest(generate_series(0, {n_buckets})) AS b))"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""{p}s{r} AS MATERIALIZED (
+      SELECT f.doc_id, w.lang, CAST(sum(f.c * w.w) AS BIGINT) AS s
+      FROM {p}feat f JOIN {p}w{r - 1} w USING (b) GROUP BY 1, 2),
+    {p}pr{r} AS (SELECT doc_id, (min({{'ns': -s, 'lg': lang}})).lg AS pred
+              FROM {p}s{r} GROUP BY doc_id),
+    {p}m{r} AS MATERIALIZED (
+      SELECT l.doc_id, l.y, pr.pred
+      FROM {p}lab l JOIN {p}pr{r} pr USING (doc_id) WHERE l.y <> pr.pred),
+    {p}e{r} AS (SELECT count(*) AS e FROM {p}m{r}),
+    {p}u{r} AS (SELECT lang, b,
+                     CAST(((abs(s) * {fp_scale}) // (e * {r}))
+                          * (CASE WHEN s >= 0 THEN 1 ELSE -1 END)
+                          AS BIGINT) AS dw
+              FROM (SELECT lang, b, CAST(sum(d) AS BIGINT) AS s FROM (
+                      SELECT m.y AS lang, f.b, f.c AS d
+                      FROM {p}feat f JOIN {p}m{r} m USING (doc_id)
+                      UNION ALL
+                      SELECT m.pred AS lang, f.b, -f.c AS d
+                      FROM {p}feat f JOIN {p}m{r} m USING (doc_id)
+                    ) GROUP BY 1, 2), {p}e{r}
+              WHERE e > 0),
+    {p}w{r} AS MATERIALIZED (
+      SELECT {p}w{r - 1}.lang, {p}w{r - 1}.b,
+             {p}w{r - 1}.w + COALESCE({p}u{r}.dw, 0) AS w
+      FROM {p}w{r - 1} LEFT JOIN {p}u{r} USING (lang, b))"""
+        )
+    fin = n_rounds + 1
+    parts.append(
+        f"""{p}s{fin} AS MATERIALIZED (
+      SELECT f.doc_id, w.lang, CAST(sum(f.c * w.w) AS BIGINT) AS s
+      FROM {p}feat f JOIN {p}w{n_rounds} w USING (b) GROUP BY 1, 2),
+    {p}pr{fin} AS (SELECT doc_id, (min({{'ns': -s, 'lg': lang}})).lg AS pred
+              FROM {p}s{fin} GROUP BY doc_id),
+    {p}m{fin} AS (SELECT l.doc_id FROM {p}lab l JOIN {p}pr{fin} pr USING (doc_id)
+              WHERE l.y <> pr.pred),
+    {p}e{fin} AS (SELECT count(*) AS e FROM {p}m{fin})"""
+    )
+    errs = " UNION ALL ".join(
+        f"SELECT {r} AS r, e FROM {p}e{r}" for r in range(1, fin + 1)
+    )
+    wsel = "\n      UNION ALL ".join(
+        f"SELECT lang, b, w FROM {p}w{r - 1}, {p}best WHERE {p}best.r = {r}"
+        for r in range(1, fin + 1)
+    )
+    psel = "\n      UNION ALL ".join(
+        f"SELECT doc_id, pred FROM {p}pr{r}, {p}best WHERE {p}best.r = {r}"
+        for r in range(1, fin + 1)
+    )
+    parts.append(
+        f"""{p}err AS ({errs}),
+    {p}best AS (SELECT r FROM {p}err ORDER BY e, r LIMIT 1),
+    {p}wfin AS ({wsel}),
+    {p}predfin AS ({psel})"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _langid_train_oracle() -> str:
+    return f"""
+    WITH {_LID_CORPUS_CTE},
+    {_langid_cls_sql()}
+    SELECT lang, b, w FROM lidwfin
+    """
+
+
+@query("langid_classifier_train", _langid_train_oracle())
+def langid_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED language identification, training gate (VERDICT r11 #6
+    — operators/langid.py): a multiclass batch perceptron over hashed
+    unigram counts (the fastText shape), trained on WEAK labels from
+    the rule-based stopword heuristic (text.lang_id) — the standard
+    bootstrap where a cheap rule labels and a trainable model
+    generalizes.  The corpus plants de-/fr-stopword-salted copies so
+    the weak labeler genuinely emits 4 classes (en/de/fr/und) and the
+    salted tokens are the exact linear signal the classifier can
+    learn.  Exact integer fixed-point training with the pocket rule,
+    and the oracle replays EVERY round (features → per-class scores →
+    argmax election → mistake set → class-pair deltas → decayed
+    truncated update → pocket argmin), so the hash gate proves the
+    training, not just an application.  Output: the pocket weight
+    table (lang, b, w)."""
+    from .operators.langid import langid_weights_table, train_langid_perceptron
+    from .operators.text import lang_id
+
+    corpus = _lid_corpus(spark, sf_dir)
+    w = train_langid_perceptron(corpus, lang_id("text"))
+    return langid_weights_table(spark, w)
+
+
+def _langid_apply_oracle() -> str:
+    return f"""
+    WITH {_LID_CORPUS_CTE},
+    {_langid_cls_sql()}
+    SELECT doc_id, pred AS lang_pred FROM lidpredfin
+    """
+
+
+@query("langid_classifier_apply", _langid_apply_oracle())
+def langid_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED language ID, persistence + application gate: train on
+    the planted multilingual corpus, commit the weights as version
+    lid0 (operators/langid.save_langid_weights — the indexstore
+    manifest discipline), commit a DEGENERATE all-zero later version
+    as lid1 (an all-zero state predicts the lexicographically smallest
+    class for every document), load ``seq=0`` back and predict every
+    document under the LOADED artifact.  The oracle applies the pocket
+    weights from its own training replay, so the gate passes only if
+    the (lang, b, w) round trip is lossless and version selection
+    honors ``seq``.  Output: (doc_id, lang_pred) for the full planted
+    corpus — the language gate a 100-TB pretraining funnel runs per
+    candidate document, as one broadcast-weights scoring pass."""
+    import shutil
+    import tempfile
+
+    from .operators.langid import (
+        apply_langid_classifier,
+        load_langid_weights,
+        save_langid_weights,
+        train_langid_perceptron,
+    )
+    from .operators.text import lang_id
+
+    corpus = _lid_corpus(spark, sf_dir)
+    w = train_langid_perceptron(corpus, lang_id("text"))
+    store = tempfile.mkdtemp(prefix="lid_store_")
+    try:
+        save_langid_weights(spark, store, w, seq=0)
+        degenerate = {lg: {b: 0 for b in wb} for lg, wb in w.items()}
+        save_langid_weights(spark, store, degenerate, seq=1)
+        loaded, label = load_langid_weights(spark, store, seq=0)
+        assert label == "lid0"
+        return apply_langid_classifier(corpus, loaded).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

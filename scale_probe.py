@@ -147,6 +147,16 @@ DEFAULT_QUERIES = (
     # (VERDICT r10 #1); the marginal exponent must drop decisively
     # below the single-level's 1.30 (see _semdedup_two_level_scaled_k)
     "semdedup_two_level_scaled_k",
+    # r12 (VERDICT r11 #5) — the COMPOSED v7 funnel end-to-end: LM
+    # gate -> exact NTILE -> two-level SemDeDup -> WordPiece train +
+    # encode, with its checkpoints and cmap reuse; the stages are
+    # probed individually above, this pins the composition
+    "pretrain_pipeline_v7",
+    # r12 (VERDICT r11 #1) — the struct-election datapoint ABOVE the
+    # old dist*keymul int64 ceiling: k = min(n, 100_000) grows with
+    # the replica corpus and crosses 9e4 at x64 (see
+    # _kmeans_scaled_k_election)
+    "kmeans_scaled_k_election",
 )
 #: key / FK columns shifted per replica (referential integrity holds
 #: within a replica; replicas never cross-reference)
@@ -486,6 +496,33 @@ def _semdedup_two_level_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_two_level(emb, k=k, kc=kc, n_iter=2, nc_iter=2)
 
 
+def _kmeans_scaled_k_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The struct-election scale proof (VERDICT r11 #1): two-level
+    Lloyd with k = min(n, 100_000) — at x64 (~320k vectors) k reaches
+    100_000, ABOVE the ~9·10⁴ ceiling where the retired
+    ``dist·keymul + cluster`` modulus key left int64 (quantized
+    64-dim dist ≈ 2.6·10¹⁴ times any keymul > k overflows).  One
+    assignment round (n_iter=1, nc_iter=1): the cost model is
+    n·(kc + k/kc) routing + in-cell argmin, and the family fit proves
+    it stays near-linear in n while k saturates at the cap — the
+    regime the election exists for."""
+    import math as _math
+
+    import pyarrow.parquet as pq
+
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        kmeans_two_level,
+    )
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+    k = min(n, 100_000)
+    kc = max(2, _math.isqrt(k))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_two_level(emb, k=k, kc=kc, n_iter=1, nc_iter=1)
+
+
 #: probe families that are not WORKLOAD queries: name -> (untimed
 #: per-scale setup, timed query body)
 SPECIAL_QUERIES = {
@@ -496,6 +533,9 @@ SPECIAL_QUERIES = {
     "semdedup_scaled_k": (_noop_setup, _semdedup_scaled_k),
     # r11 — two-level assignment under the same recipe (VERDICT r10 #1)
     "semdedup_two_level_scaled_k": (_noop_setup, _semdedup_two_level_scaled_k),
+    # r12 — the election's above-the-old-ceiling datapoint (VERDICT
+    # r11 #1)
+    "kmeans_scaled_k_election": (_noop_setup, _kmeans_scaled_k_election),
     "incremental_refresh_base_axis": (
         _setup_refresh_base_axis,
         _refresh_base_axis,
