@@ -83,6 +83,7 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: all 12 queries whose newest driver row is r6, then the r7 cohort.
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "kmeans_lifecycle",
+    "kmeans_warm_refresh",
     "streaming_semdedup",
     "multimodal_incremental_near_dup",
     "langid_classifier_train",

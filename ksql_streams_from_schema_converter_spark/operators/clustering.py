@@ -152,58 +152,73 @@ def _kmeans_chain_sql(
     dims: int,
     emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
     with_kw: bool = True,
+    p: str = "",
+    init_sql: str | None = None,
 ) -> tuple[str, str]:
     """The :func:`kmeans_fixed_point` replay as a ``WITH`` chain
     (quantize → [assign → update]ⁿ⁻¹) over an arbitrary
     ``(vec_id, embedding)`` source; returns ``(chain, key_expr)``
-    where the chain ends at ``cents{n_iter-1}`` + ``pts`` and the key
-    expression is the final-assignment election struct
+    where the chain ends at ``{p}cents{n_iter-1}`` + ``{p}pts`` and
+    the key expression is the final-assignment election struct
     (``{'d': dist, 'c': cluster}`` — ``(min(key)).c`` is the cluster,
     ``(min(key)).d`` the distance) — shared by the plain k-means
     oracle and the SemDeDup oracle.  Like the Spark twin, the struct
     election replaces the ``dist·keymul + cluster`` modulus key and
-    has no k bound (VERDICT r11 weak #1)."""
+    has no k bound (VERDICT r11 weak #1).  ``p`` prefixes every CTE
+    name so two chains can splice into one oracle (the warm-start
+    retrain gate); ``init_sql`` replaces the lowest-id seeding with an
+    arbitrary ``(cluster, c)`` relation — the WARM START from a
+    previous chain's final centroids (``k`` is ignored then: the
+    cluster set is the init's)."""
     dist_expr = (
         "CAST(list_sum(list_transform(generate_series(1, {d}), "
         "i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))) AS BIGINT)"
     ).format(d=dims)
     key = f"{{'d': {dist_expr}, 'c': c.cluster}}"
     lead = "WITH " if with_kw else ""
+    seed = (
+        f"""
+    {p}cents0 AS (
+      SELECT cluster, c FROM ({init_sql})
+    )"""
+        if init_sql is not None
+        else f"""
+    {p}cents0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cluster, q AS c
+      FROM (SELECT pid, q FROM {p}pts ORDER BY pid LIMIT {k})
+    )"""
+    )
     parts = [
         f"""
-    {lead}pts AS (
+    {lead}{p}pts AS (
       SELECT vec_id AS pid,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * {KM_SCALE}) AS BIGINT)) AS q
       FROM ({emb_sql})
-    ),
-    cents0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cluster, q AS c
-      FROM (SELECT pid, q FROM pts ORDER BY pid LIMIT {k})
-    )"""
+    ),{seed}"""
     ]
     for it in range(n_iter - 1):
         parts.append(
             f""",
-    asg{it} AS (
+    {p}asg{it} AS (
       SELECT p.pid, CAST((min({key})).c AS BIGINT) AS cluster
-      FROM pts p CROSS JOIN cents{it} c
+      FROM {p}pts p CROSS JOIN {p}cents{it} c
       GROUP BY p.pid
     ),
-    upd{it} AS (
+    {p}upd{it} AS (
       SELECT a.cluster, s.pos, CAST(sum(p.q[s.pos]) // count(*) AS BIGINT) AS cv
-      FROM pts p
-      JOIN asg{it} a USING (pid)
+      FROM {p}pts p
+      JOIN {p}asg{it} a USING (pid)
       CROSS JOIN (SELECT unnest(generate_series(1, {dims})) AS pos) s
       GROUP BY a.cluster, s.pos
     ),
-    newc{it} AS (
-      SELECT cluster, list(cv ORDER BY pos) AS c FROM upd{it} GROUP BY cluster
+    {p}newc{it} AS (
+      SELECT cluster, list(cv ORDER BY pos) AS c FROM {p}upd{it} GROUP BY cluster
     ),
-    cents{it + 1} AS (
-      SELECT * FROM newc{it}
+    {p}cents{it + 1} AS (
+      SELECT * FROM {p}newc{it}
       UNION ALL
-      SELECT * FROM cents{it} WHERE cluster NOT IN (SELECT cluster FROM newc{it})
+      SELECT * FROM {p}cents{it} WHERE cluster NOT IN (SELECT cluster FROM {p}newc{it})
     )"""
         )
     return "".join(parts), key
@@ -811,18 +826,29 @@ def kmeans_fit(
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Train the SINGLE-LEVEL frozen model: the
     :func:`kmeans_fixed_point` recurrence, returning the final
     centroid table (after n_iter-1 integer-mean updates) in model
     format instead of the assignment.  ``assign_frozen(emb, model)``
-    == ``kmeans_fixed_point(emb, k, n_iter)`` exactly."""
+    == ``kmeans_fixed_point(emb, k, n_iter)`` exactly.
+
+    ``init`` WARM-STARTS the recurrence from a previous model's fine
+    centroids (``k`` is ignored; the cluster set is the init's) — the
+    scheduled-retrain posture: new data arrives, training CONTINUES
+    from the persisted state instead of re-seeding, and the result
+    saves as the next version.  Same integer recurrence, so the
+    DuckDB chain replays it via ``init_sql``."""
     if n_iter < 1:
         raise ValueError(f"n_iter ({n_iter}) must be >= 1")
     from .lifecycle import eager_release
 
     pts = quantize_points(emb, vec_col, id_col).persist()
-    cents = _seed_cents(pts, k)
+    if init is not None:
+        cents = init.where(F.col("level") == "f").select("cluster", "c")
+    else:
+        cents = _seed_cents(pts, k)
     for _ in range(n_iter - 1):
         key = _election(_sq_dist(F.col("q"), F.col("c")), F.col("cluster"))
         assigned = (

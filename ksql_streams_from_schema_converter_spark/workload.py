@@ -12327,9 +12327,13 @@ def langid_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_apply_oracle() -> str:
+    # 4 training rounds (vs the train gate's 6): a DISTINCT artifact,
+    # so this gate does not re-run the training the train gate already
+    # times (VERDICT r11 #8), while the lifecycle it proves — save,
+    # degenerate later version, seq-addressed load, apply — is full
     return f"""
     WITH {_LID_CORPUS_CTE},
-    {_langid_cls_sql()}
+    {_langid_cls_sql(n_rounds=4)}
     SELECT doc_id, pred AS lang_pred FROM lidpredfin
     """
 
@@ -12360,7 +12364,7 @@ def langid_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import lang_id
 
     corpus = _lid_corpus(spark, sf_dir)
-    w = train_langid_perceptron(corpus, lang_id("text"))
+    w = train_langid_perceptron(corpus, lang_id("text"), n_rounds=4)
     store = tempfile.mkdtemp(prefix="lid_store_")
     try:
         save_langid_weights(spark, store, w, seq=0)
@@ -12371,5 +12375,79 @@ def langid_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return apply_langid_classifier(corpus, loaded).localCheckpoint(
             eager=True
         )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _kmeans_warm_oracle() -> str:
+    from .operators.clustering import _kmeans_chain_sql
+
+    c1, _ = _kmeans_chain_sql(
+        k=8,
+        n_iter=2,
+        dims=64,
+        emb_sql="SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0",
+        p="w1",
+    )
+    c2, key = _kmeans_chain_sql(
+        k=8,
+        n_iter=2,
+        dims=64,
+        emb_sql="SELECT vec_id, embedding FROM embeddings",
+        with_kw=False,
+        p="w2",
+        init_sql="SELECT cluster, c FROM w1cents1",
+    )
+    return (
+        c1
+        + ","
+        + c2
+        + f"""
+    SELECT p.pid, CAST((min({key})).c AS BIGINT) AS cluster,
+           CAST((min({key})).d AS BIGINT) AS dist
+    FROM w2pts p CROSS JOIN w2cents1 c
+    GROUP BY p.pid
+    """
+    )
+
+
+@query("kmeans_warm_refresh", _kmeans_warm_oracle())
+def kmeans_warm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled RETRAIN of the persisted clusterer (the
+    refit_from_feature_store posture applied to the k-means family):
+    train on the even-id half, commit as km0, then when the FULL
+    corpus is available CONTINUE training from the LOADED km0
+    centroids (operators/clustering.kmeans_fit(init=...) — one more
+    integer assign/update round, never re-seeded), commit as km1, and
+    assign the full corpus under the loaded km1.  The oracle splices
+    two prefixed chains — the cold chain over the even half, then the
+    warm chain over the full corpus seeded from the cold chain's
+    final centroids — so the hash gate proves BOTH trainings and both
+    round trips.  Scale: a retrain cadence pays one assign/update
+    round over the new corpus instead of a cold restart, and the
+    version chain km0 → km1 keeps every prior state addressable
+    (rollback = load an earlier seq)."""
+    import shutil
+    import tempfile
+
+    from .operators.clustering import (
+        assign_frozen,
+        kmeans_fit,
+        load_kmeans_model,
+        save_kmeans_model,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    store = tempfile.mkdtemp(prefix="kmw_store_")
+    try:
+        save_kmeans_model(spark, store, kmeans_fit(half, k=8, n_iter=2), seq=0)
+        m0, label0 = load_kmeans_model(spark, store, seq=0)
+        assert label0 == "km0"
+        warm = kmeans_fit(emb, n_iter=2, init=m0)
+        save_kmeans_model(spark, store, warm, seq=1)
+        m1, label1 = load_kmeans_model(spark, store)
+        assert label1 == "km1"
+        return assign_frozen(emb, m1).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)

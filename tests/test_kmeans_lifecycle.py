@@ -177,3 +177,22 @@ def test_kmeans_huge_k_runs_past_old_ceiling(spark):
     # every seed point is its own centroid (n_iter=1: centroids ARE
     # the first k points), so >= k zero-distance assignments exist
     assert agg["zeros"] >= k
+
+
+def test_kmeans_warm_start_continues_from_init(spark):
+    """kmeans_fit(init=model, n_iter=p+1) == running the cold trainer
+    p more rounds over the same corpus: warm-starting from the
+    persisted state is exactly a continuation, never a re-seed."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cold3 = kmeans_fit(emb, k=4, n_iter=3)
+    m1 = kmeans_fit(emb, k=4, n_iter=2)
+    warm = kmeans_fit(emb, n_iter=2, init=m1)
+    assert _rows(warm) == _rows(cold3)
+    # and a warm start over a DIFFERENT corpus uses the init clusters,
+    # not fresh seeds: cluster ids survive even where new data has
+    # lower ids than any seed
+    half = emb.where("vec_id % 2 = 1")
+    w2 = kmeans_fit(half, n_iter=1, init=m1)
+    assert _rows(w2) == _rows(m1)  # n_iter=1: zero updates, model passes through
