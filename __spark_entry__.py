@@ -88,6 +88,7 @@ PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "multimodal_incremental_near_dup",
     "langid_classifier_train",
     "langid_classifier_apply",
+    "streaming_langid_gate",
     "kmeans_embeddings_exact",
     "semdedup_kmeans",
     "semdedup_two_level",

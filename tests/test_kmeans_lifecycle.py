@@ -196,3 +196,25 @@ def test_kmeans_warm_start_continues_from_init(spark):
     half = emb.where("vec_id % 2 = 1")
     w2 = kmeans_fit(half, n_iter=1, init=m1)
     assert _rows(w2) == _rows(m1)  # n_iter=1: zero updates, model passes through
+
+
+def test_semdedup_batch_verdicts_under_two_level_model(spark):
+    """semdedup_batch_verdicts routes through a TWO-LEVEL frozen model
+    exactly like assign_frozen does (the auto-detected coarse path):
+    batch verdicts under the two-level model equal the single-batch
+    SemDeDup prune under the same frozen assignment."""
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        semdedup_batch_verdicts,
+        semdedup_frozen,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    model = kmeans_two_level_fit(emb, k=8, kc=3, n_iter=2, nc_iter=2)
+    verdicts, keepers = semdedup_batch_verdicts(emb, model, stored=None)
+    assert _rows(verdicts) == _rows(semdedup_frozen(emb, model))
+    kept = {r[0] for r in keepers.select("vec_id").collect()}
+    assert kept == {
+        r.vec_id for r in verdicts.where("keep").select("vec_id").collect()
+    }
