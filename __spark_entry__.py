@@ -81,22 +81,32 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: bigram_backoff_surprisal (the ref_docs path now counts through
 #: bigram_lm_counts).  The remaining ~37 slots rotate staleness-first:
 #: all 12 queries whose newest driver row is r6, then the r7 cohort.
+#: r13: the 3 NEW queries (two-level warm-start retrain, the v8
+#: funnel behind the LEARNED language gate, char-n-gram langid
+#: training), plus every query whose code path changed this round —
+#: the k-means persistence family (load_kmeans_model returns the
+#: manifest-known two_level flag; assign_frozen/semdedup_frozen/
+#: semdedup_batch_verdicts take it driver-side, ADVICE r12), the
+#: two-level chain oracles (MATERIALIZED CTEs for the spliced warm
+#: oracle), the v6/v7 funnel refactor (_pretrain_funnel /
+#: _v6_funnel_sql extraction), the langid train/apply ``features``
+#: parameter, and the multimodal refresh guard reorder.  The
+#: remaining ~37 slots rotate staleness-first: all 19 r7 rows, then
+#: the oldest r8 cohort (VERDICT r12 #6).
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
+    "kmeans_two_level_warm_refresh",
+    "pretrain_pipeline_v8",
+    "langid_char_ngram_train",
     "kmeans_lifecycle",
     "kmeans_warm_refresh",
     "streaming_semdedup",
-    "multimodal_incremental_near_dup",
-    "langid_classifier_train",
-    "langid_classifier_apply",
-    "streaming_langid_gate",
-    "kmeans_embeddings_exact",
-    "semdedup_kmeans",
     "semdedup_two_level",
     "pretrain_pipeline_v6",
     "pretrain_pipeline_v7",
-    "multimodal_index_retraction",
+    "langid_classifier_train",
+    "langid_classifier_apply",
+    "streaming_langid_gate",
     "streaming_multimodal_retraction",
-    "bigram_backoff_surprisal",
 )
 
 _WINDOW_SIZE = 50

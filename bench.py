@@ -20,13 +20,10 @@ from ksql_streams_from_schema_converter_spark.session import get_spark
 from ksql_streams_from_schema_converter_spark.workload import WORKLOAD
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def _warmup(spark, sf_dir: str) -> None:
+    """JVM/codegen/Arrow spin-up + hot base tables — shared by the
+    main run and the isolated adjudication child, so both measure the
+    engine under the same preamble."""
     # Warm-up: JVM/codegen spin-up and the shared T24 CDC fixture (input
     # construction, not engine work) are excluded from per-query timings.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -55,6 +52,98 @@ def main() -> None:
     # substitutes InMemoryRelation into every later scan of these paths).
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).persist().count()
+
+
+def _rerun_mode(names: list[str]) -> None:
+    """Isolated-adjudication child (VERDICT r12 #2): a FRESH session —
+    own JVM, same warmup preamble — runs each named query 3x and
+    prints one JSON line ``{"rerun": {name: [t1, t2, t3]}}``.  The
+    parent attaches these to its normalized flags so every flag ships
+    with its own isolated re-run numbers in the same BENCH_FULL.json,
+    and no round opens with unadjudicated post-commit flags."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-adjudicate")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark, sf_dir)
+    out: dict[str, object] = {}
+    for name in names:
+        if name not in WORKLOAD:
+            out[name] = {"err": "unknown query"}
+            continue
+        fn, _ = WORKLOAD[name]
+        runs = []
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            out[name] = runs
+        except Exception as e:
+            out[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
+    print(json.dumps({"rerun": out}, separators=(",", ":")))
+
+
+#: re-adjudicate at most this many flags per run (worst normalized
+#: ratios first) — bounds the child session's added wall-clock
+_ADJUDICATE_CAP = 8
+
+
+def _self_adjudicate(flags: dict) -> dict:
+    """Spawn the isolated child for the flagged queries and fold its
+    3x re-run numbers back into each flag entry with a verdict:
+    ``flap`` if the best isolated run is within 1.5x of the committed
+    baseline (the same rule the manual adjudications applied in
+    r10-r12), else ``regression``.  Returns a summary for the
+    calibration record; on any child failure the flags stay
+    unadjudicated with the error recorded (never fails the bench)."""
+    import subprocess
+
+    ranked = sorted(
+        flags, key=lambda n: -flags[n]["normalized_ratio"]
+    )
+    chosen = ranked[:_ADJUDICATE_CAP]
+    summary: dict = {"reran": chosen, "skipped_over_cap": ranked[_ADJUDICATE_CAP:]}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rerun", ",".join(chosen)],
+            capture_output=True,
+            text=True,
+            timeout=2400,
+        )
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith('{"rerun"')
+        ]
+        if not line:
+            raise ValueError(
+                f"no rerun record in child stdout (rc {proc.returncode}): "
+                f"{proc.stderr[-300:]}"
+            )
+        reruns = json.loads(line[-1])["rerun"]
+        for name in chosen:
+            runs = reruns.get(name)
+            flags[name]["isolated_runs"] = runs
+            if isinstance(runs, list) and runs:
+                flags[name]["isolated_verdict"] = (
+                    "flap"
+                    if min(runs) <= flags[name]["prev"] * 1.5
+                    else "regression"
+                )
+            else:
+                flags[name]["isolated_verdict"] = "child_error"
+    except Exception as e:  # adjudication must never fail the bench
+        summary["error"] = f"{type(e).__name__}: {e}"[:300]
+    return summary
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark, sf_dir)
 
     # Each query is timed TWICE and the min reported: plans are
     # deterministic, so the min is the engine signal — a single-shot
@@ -264,6 +353,14 @@ def main() -> None:
                 "baseline": baseline_src,
                 "normalized_flags": flags,
             }
+            # Self-adjudication (VERDICT r12 #2): the driver's
+            # post-commit rerun always postdates the final commit, so
+            # every round used to open with last round's unexplained
+            # flags.  Re-run each flag 3x in an ISOLATED child session
+            # right here, attach the numbers + verdict to the flag,
+            # and the record ships pre-adjudicated.
+            if flags:
+                calibration["self_adjudication"] = _self_adjudicate(flags)
     except (OSError, ValueError, ZeroDivisionError):
         pass  # first run in a tree: no previous record to calibrate to
     result["ambient_calibration"] = calibration
@@ -304,4 +401,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--rerun":
+        _rerun_mode([n for n in sys.argv[2].split(",") if n])
+    else:
+        main()

@@ -123,11 +123,13 @@ def refresh_dhash_index(
     re-ingesting already-stored ids under a NEW label silently
     duplicates signature rows and inflates ``read_dhash_signatures``
     counts).  The current label is excluded so a replayed batch never
-    trips on its own half-written first attempt."""
+    trips on its own half-written first attempt.  The guard runs
+    BEFORE the parquet write (ADVICE r12: the batch's min/max come
+    from the checkpointed rows, so a rejected batch leaves no orphan
+    uncommitted ingest directory on disk)."""
     label = ingest_label or next_auto_label(index_dir)
     require_manifested(index_dir, SIG_SUB, allow={label})
     rows = _sig_band_rows(new_media, id_col).localCheckpoint(eager=True)
-    _write_sigs(rows, index_dir, label)
     lo, mx, n = rows.agg(
         F.min(id_col), F.max(id_col), (F.count("*") / 4).cast("long")
     ).head()
@@ -138,6 +140,7 @@ def refresh_dhash_index(
                 f"non-monotone refresh: new batch min {id_col}={lo} <= "
                 f"stored max {id_col}={hi}"
             )
+    _write_sigs(rows, index_dir, label)
     commit_ingest(index_dir, label, max_id=mx, rows=n)
     return label
 

@@ -591,15 +591,21 @@ def _kmeans2_chain_sql(
     dims: int,
     emb_sql: str = "SELECT vec_id, embedding FROM embeddings",
     with_kw: bool = True,
+    p: str = "",
+    init_sql: str | None = None,
 ) -> str:
     """The :func:`kmeans_two_level` replay as a ``WITH`` chain ending
-    at ``asgf`` ``(pid, cluster, dist)`` + ``pts`` — per outer round:
-    coarse Lloyd over the centroid table (``c{t}s*``/``c{t}a*``), the
-    non-empty-cell filter, point routing, the in-cell fine argmin
-    (``min(struct)`` elections like the Spark twin), and (below the
-    last round) the integer-mean fine update.  Guards match the Spark
-    twin."""
-    if kc > k:
+    at ``{p}asgf`` ``(pid, cluster, dist)`` + ``{p}pts`` — per outer
+    round: coarse Lloyd over the centroid table (``c{t}s*``/
+    ``c{t}a*``), the non-empty-cell filter, point routing, the
+    in-cell fine argmin (``min(struct)`` elections like the Spark
+    twin), and (below the last round) the integer-mean fine update.
+    Guards match the Spark twin.  ``p`` prefixes every CTE name so two
+    chains splice into one oracle, and ``init_sql`` replaces the
+    lowest-id seeding with an arbitrary ``(cluster, c)`` relation
+    (``k`` is ignored then) — the two-level WARM START (VERDICT r12
+    #3), exactly the :func:`_kmeans_chain_sql` discipline."""
+    if init_sql is None and kc > k:
         raise ValueError(f"kc ({kc}) must be <= k ({k})")
 
     def _d(a: str, b: str) -> str:
@@ -610,106 +616,114 @@ def _kmeans2_chain_sql(
 
     lead = "WITH " if with_kw else ""
     cj = nc_iter - 1  # final coarse round index
+    seed = (
+        f"""
+    {p}f0 AS MATERIALIZED (
+      SELECT cluster, c FROM ({init_sql})
+    )"""
+        if init_sql is not None
+        else f"""
+    {p}f0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cluster, q AS c
+      FROM (SELECT pid, q FROM {p}pts ORDER BY pid LIMIT {k})
+    )"""
+    )
     parts = [
         f"""
-    {lead}pts AS (
+    {lead}{p}pts AS MATERIALIZED (
       SELECT vec_id AS pid,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * {KM_SCALE}) AS BIGINT)) AS q
       FROM ({emb_sql})
-    ),
-    f0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cluster, q AS c
-      FROM (SELECT pid, q FROM pts ORDER BY pid LIMIT {k})
-    )"""
+    ),{seed}"""
     ]
     for t in range(n_iter):
         parts.append(
             f""",
-    c{t}s0 AS (
+    {p}c{t}s0 AS MATERIALIZED (
       SELECT CAST(row_number() OVER (ORDER BY cluster) - 1 AS BIGINT) AS sc, c AS cc
-      FROM (SELECT cluster, c FROM f{t} ORDER BY cluster LIMIT {kc})
+      FROM (SELECT cluster, c FROM {p}f{t} ORDER BY cluster LIMIT {kc})
     )"""
         )
         for j in range(nc_iter):
             ckey = f"{{'d': {_d('p.c', 'c.cc')}, 'c': c.sc}}"
             parts.append(
                 f""",
-    c{t}a{j} AS (
+    {p}c{t}a{j} AS MATERIALIZED (
       SELECT p.cluster AS cpid, CAST((min({ckey})).c AS BIGINT) AS sc
-      FROM f{t} p CROSS JOIN c{t}s{j} c
+      FROM {p}f{t} p CROSS JOIN {p}c{t}s{j} c
       GROUP BY p.cluster
     )"""
             )
             if j < nc_iter - 1:
                 parts.append(
                     f""",
-    c{t}u{j} AS (
+    {p}c{t}u{j} AS (
       SELECT a.sc, s.pos, CAST(sum(p.c[s.pos]) // count(*) AS BIGINT) AS cv
-      FROM f{t} p
-      JOIN c{t}a{j} a ON a.cpid = p.cluster
+      FROM {p}f{t} p
+      JOIN {p}c{t}a{j} a ON a.cpid = p.cluster
       CROSS JOIN (SELECT unnest(generate_series(1, {dims})) AS pos) s
       GROUP BY a.sc, s.pos
     ),
-    c{t}n{j} AS (
-      SELECT sc, list(cv ORDER BY pos) AS cc FROM c{t}u{j} GROUP BY sc
+    {p}c{t}n{j} AS (
+      SELECT sc, list(cv ORDER BY pos) AS cc FROM {p}c{t}u{j} GROUP BY sc
     ),
-    c{t}s{j + 1} AS (
-      SELECT * FROM c{t}n{j}
+    {p}c{t}s{j + 1} AS MATERIALIZED (
+      SELECT * FROM {p}c{t}n{j}
       UNION ALL
-      SELECT * FROM c{t}s{j} WHERE sc NOT IN (SELECT sc FROM c{t}n{j})
+      SELECT * FROM {p}c{t}s{j} WHERE sc NOT IN (SELECT sc FROM {p}c{t}n{j})
     )"""
                 )
         rkey = f"{{'d': {_d('p.q', 'c.cc')}, 'c': c.sc}}"
         fkey = f"{{'d': {_d('p.q', 'g.c')}, 'c': g.cluster}}"
         parts.append(
             f""",
-    ne{t} AS (
-      SELECT s.sc, s.cc FROM c{t}s{cj} s
-      WHERE s.sc IN (SELECT sc FROM c{t}a{cj})
+    {p}ne{t} AS MATERIALIZED (
+      SELECT s.sc, s.cc FROM {p}c{t}s{cj} s
+      WHERE s.sc IN (SELECT sc FROM {p}c{t}a{cj})
     ),
-    r{t} AS (
+    {p}r{t} AS MATERIALIZED (
       SELECT p.pid, CAST((min({rkey})).c AS BIGINT) AS sc
-      FROM pts p CROSS JOIN ne{t} c
+      FROM {p}pts p CROSS JOIN {p}ne{t} c
       GROUP BY p.pid
     ),
-    fa{t} AS (
+    {p}fa{t} AS MATERIALIZED (
       SELECT p.pid, min({fkey}) AS fk
-      FROM pts p
-      JOIN r{t} r ON r.pid = p.pid
-      JOIN c{t}a{cj} m ON m.sc = r.sc
-      JOIN f{t} g ON g.cluster = m.cpid
+      FROM {p}pts p
+      JOIN {p}r{t} r ON r.pid = p.pid
+      JOIN {p}c{t}a{cj} m ON m.sc = r.sc
+      JOIN {p}f{t} g ON g.cluster = m.cpid
       GROUP BY p.pid
     )"""
         )
         if t < n_iter - 1:
             parts.append(
                 f""",
-    fd{t} AS (
-      SELECT pid, CAST((fk).c AS BIGINT) AS cluster FROM fa{t}
+    {p}fd{t} AS (
+      SELECT pid, CAST((fk).c AS BIGINT) AS cluster FROM {p}fa{t}
     ),
-    fu{t} AS (
+    {p}fu{t} AS (
       SELECT a.cluster, s.pos, CAST(sum(p.q[s.pos]) // count(*) AS BIGINT) AS cv
-      FROM pts p
-      JOIN fd{t} a USING (pid)
+      FROM {p}pts p
+      JOIN {p}fd{t} a USING (pid)
       CROSS JOIN (SELECT unnest(generate_series(1, {dims})) AS pos) s
       GROUP BY a.cluster, s.pos
     ),
-    fn{t} AS (
-      SELECT cluster, list(cv ORDER BY pos) AS c FROM fu{t} GROUP BY cluster
+    {p}fn{t} AS (
+      SELECT cluster, list(cv ORDER BY pos) AS c FROM {p}fu{t} GROUP BY cluster
     ),
-    f{t + 1} AS (
-      SELECT * FROM fn{t}
+    {p}f{t + 1} AS MATERIALIZED (
+      SELECT * FROM {p}fn{t}
       UNION ALL
-      SELECT * FROM f{t} WHERE cluster NOT IN (SELECT cluster FROM fn{t})
+      SELECT * FROM {p}f{t} WHERE cluster NOT IN (SELECT cluster FROM {p}fn{t})
     )"""
             )
     parts.append(
         f""",
-    asgf AS MATERIALIZED (
+    {p}asgf AS MATERIALIZED (
       SELECT pid, CAST((fk).c AS BIGINT) AS cluster,
              CAST((fk).d AS BIGINT) AS dist
-      FROM fa{n_iter - 1}
+      FROM {p}fa{n_iter - 1}
     )"""
     )
     return "".join(parts)
@@ -875,6 +889,7 @@ def kmeans_two_level_fit(
     nc_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Train the TWO-LEVEL frozen model: n_iter-1 full rounds of the
     :func:`kmeans_two_level` recurrence (coarse Lloyd → routing →
@@ -882,8 +897,17 @@ def kmeans_two_level_fit(
     structures — the model carries the fine centroids WITH their
     super-cell routing (level='f') plus the coarse centroids
     (level='c'), so :func:`assign_frozen` replays exactly the final
-    round's two-level assignment."""
-    if kc > k:
+    round's two-level assignment.
+
+    ``init`` WARM-STARTS the recurrence from a previous model's FINE
+    centroids (``k`` is ignored; the cluster set is the init's) —
+    VERDICT r12 #3: the scale path gets the same scheduled-retrain
+    posture as :func:`kmeans_fit`.  Only the fine centroids carry
+    over; the coarse structures are re-derived from them each round
+    exactly as the recurrence always does (they are a pure function of
+    the current fine centroid table), so the warm chain replays as
+    SQL via ``_kmeans2_chain_sql(init_sql=...)``."""
+    if init is None and kc > k:
         raise ValueError(f"kc ({kc}) must be <= k ({k})")
     if n_iter < 1:
         raise ValueError(f"n_iter ({n_iter}) must be >= 1")
@@ -892,7 +916,14 @@ def kmeans_two_level_fit(
     from .lifecycle import eager_release
 
     pts = quantize_points(emb, vec_col, id_col).persist()
-    cents = _seed_cents(pts, k).localCheckpoint()
+    if init is not None:
+        cents = (
+            init.where(F.col("level") == "f")
+            .select("cluster", "c")
+            .localCheckpoint()
+        )
+    else:
+        cents = _seed_cents(pts, k).localCheckpoint()
     for _ in range(n_iter - 1):
         cmap, ccents = _coarse_structures(cents, kc, nc_iter)
         assigned = _two_level_elect(pts, cents, cmap, ccents)
@@ -921,18 +952,28 @@ def assign_frozen(
     model: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    two_level: bool | None = None,
 ) -> DataFrame:
     """Assign vectors to a FROZEN model's clusters — the trainer's
     final-round assignment replayed without retraining; returns
     ``(pid, cluster, dist)`` exactly like the trainers.  Single-level
     models (no coarse rows) take the flat broadcast argmin; two-level
     models route through the persisted coarse centroids first (the
-    IVF probe discipline).  The model is a k-row artifact, so the
-    coarse-rows probe is a bounded job."""
+    IVF probe discipline).
+
+    ``two_level`` selects the branch driver-side with no Spark job —
+    :func:`load_kmeans_model` returns it from the manifest entry
+    (ADVICE r12: the former unconditional ``coarse.limit(1).count()``
+    probe cost the streaming SemDeDup gate one extra action per
+    micro-batch on top of the model read).  ``None`` keeps the bounded
+    probe for ad-hoc model DataFrames whose kind the caller doesn't
+    know."""
     pts = quantize_points(emb, vec_col, id_col)
     fine = model.where(F.col("level") == "f")
     coarse = model.where(F.col("level") == "c")
-    if coarse.limit(1).count() == 0:
+    if two_level is None:
+        two_level = coarse.limit(1).count() > 0
+    if not two_level:
         cents = fine.select("cluster", "c")
         key = _election(_sq_dist(F.col("q"), F.col("c")), F.col("cluster"))
         return (
@@ -962,12 +1003,15 @@ def semdedup_frozen(
     tau_centi: int = SD_TAU_CENTI,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    two_level: bool | None = None,
 ) -> DataFrame:
     """SemDeDup under a FROZEN model: :func:`assign_frozen` +
     the shared prune stage — value-identical to
     :func:`semdedup_kmeans` / :func:`semdedup_two_level` when the
-    model came from the matching ``*_fit`` over the same corpus."""
-    asg = assign_frozen(emb, model, vec_col, id_col)
+    model came from the matching ``*_fit`` over the same corpus.
+    ``two_level`` as in :func:`assign_frozen` (manifest-known kind →
+    no driver-side probe action)."""
+    asg = assign_frozen(emb, model, vec_col, id_col, two_level)
     return _semdedup_prune(emb, asg, tau_centi, vec_col, id_col)
 
 
@@ -977,27 +1021,42 @@ def save_kmeans_model(spark, store_dir: str, model: DataFrame, seq: int) -> str:
     saves invisible, replay idempotent.  The artifact is k-sized (k
     can scale with the corpus under the SemDeDup recipe), so like the
     bigram LM it is written and read as a DataFrame, never
-    collected."""
+    collected.  The manifest entry records ``two_level`` (coarse rows
+    present) so loads can pick the assignment branch driver-side
+    without a probe action per call (ADVICE r12) — one bounded count
+    here, at save time, instead of one per assignment."""
     import os
 
     from .indexstore import commit_ingest, ingest_paths
 
     label = f"km{seq}"
     path = ingest_paths(store_dir, KMEANS_SUB, [label])[0]
+    two_level = model.where(F.col("level") == "c").limit(1).count() > 0
     model.select("level", "cluster", "sc", "c").write.mode(
         "overwrite"
     ).parquet(path)
     os.makedirs(store_dir, exist_ok=True)
-    commit_ingest(store_dir, label, max_id=None, kind="kmeans", seq=seq)
+    commit_ingest(
+        store_dir,
+        label,
+        max_id=None,
+        kind="kmeans",
+        seq=seq,
+        two_level=two_level,
+    )
     return label
 
 
 def load_kmeans_model(
     spark, store_dir: str, seq: int | None = None
-) -> tuple[DataFrame, str]:
+) -> tuple[DataFrame, str, bool]:
     """Read a committed k-means model (highest ``seq`` when None) as a
-    DataFrame — manifest-scoped, so torn saves are invisible.  Feed
-    the result to :func:`assign_frozen` / :func:`semdedup_frozen`."""
+    DataFrame — manifest-scoped, so torn saves are invisible.  Returns
+    ``(model, label, two_level)``: the kind flag comes from the
+    manifest entry (recorded at save time), so callers pass it to
+    :func:`assign_frozen` / :func:`semdedup_frozen` and no probe
+    action runs per assignment (ADVICE r12).  A legacy entry without
+    the flag falls back to one bounded probe here, at load time."""
     from .indexstore import read_ingests, read_manifest
 
     entries = [
@@ -1012,7 +1071,11 @@ def load_kmeans_model(
         )
     best = max(entries, key=lambda e: e["seq"])
     df = read_ingests(spark, store_dir, KMEANS_SUB, [best["label"]])
-    return df.select("level", "cluster", "sc", "c"), best["label"]
+    model = df.select("level", "cluster", "sc", "c")
+    two_level = best.get("two_level")
+    if two_level is None:  # pre-r13 manifest entry: probe once, at load
+        two_level = model.where(F.col("level") == "c").limit(1).count() > 0
+    return model, best["label"], bool(two_level)
 
 
 # ===========================================================================
@@ -1044,6 +1107,7 @@ def semdedup_batch_verdicts(
     tau_centi: int = SD_TAU_CENTI,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    two_level: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One streaming-SemDeDup batch: returns ``(verdicts, keepers)``
     where verdicts is ``(id, cluster, dist, keep)`` for every batch
@@ -1052,9 +1116,12 @@ def semdedup_batch_verdicts(
     appends to the keeper store.  ``stored`` is the prior keeper store
     (same schema as keepers; None for the first batch).  All
     arithmetic is the exact integer cosine test of
-    :func:`_semdedup_prune`, so the batch sequence replays as SQL."""
+    :func:`_semdedup_prune`, so the batch sequence replays as SQL.
+    ``two_level`` as in :func:`assign_frozen` (pass the flag
+    :func:`load_kmeans_model` returns so no probe action runs per
+    micro-batch — ADVICE r12)."""
     tau2 = tau_centi * tau_centi
-    asg = assign_frozen(emb_batch, model, vec_col, id_col)
+    asg = assign_frozen(emb_batch, model, vec_col, id_col, two_level)
     feat = (
         asg.join(quantize_points(emb_batch, vec_col, id_col), "pid")
         .withColumn(
@@ -1153,7 +1220,17 @@ def streaming_semdedup_oracle_sql(
     ``train_sql``), the assignment of EVERY streamed vector against
     the final centroids, then per batch t (``pid % n_batches = t``)
     the within-batch dominance drops plus the committed-keeper drops
-    against the accumulated store, keepers appended batch by batch."""
+    against the accumulated store, keepers appended batch by batch.
+
+    ALIGNMENT REQUIREMENT (ADVICE r12): this replay is correct only if
+    the streaming side's foreachBatch batch_id ``i`` processes exactly
+    the rows with ``pid % n_batches == i`` — i.e. the workload writes
+    one file per residue class and pins file-discovery order with
+    spaced ``os.utime`` mtimes under ``maxFilesPerTrigger=1``.  A
+    caller with a different file layout (or unspaced mtimes, where
+    discovery order is filesystem-dependent) streams batches the
+    replay does not model and will diverge from this oracle even
+    though the engine side is correct."""
     chain, key = _kmeans_chain_sql(k, n_iter, dims, train_sql)
     last = n_iter - 1
     tau2 = tau_centi * tau_centi

@@ -50,6 +50,62 @@ LID_BUCKETS = 64
 LID_ROUNDS = 6
 
 
+def char_ngram_features(
+    docs: DataFrame,
+    n_buckets: int = LID_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_lo: int = 2,
+    n_hi: int = 4,
+) -> DataFrame:
+    """``(id, b, c)`` hashed CHARACTER-n-gram counts (n = n_lo..n_hi,
+    within tokens) plus the bias bucket — fastText's actual language-ID
+    feature family (Joulin et al. 2017 use char n-grams because word
+    unigrams cannot generalize to UNSEEN words; VERDICT r12 #8: on
+    short / morphologically-rich text the signal is suffix morphology
+    shared across a language's vocabulary, not word identity).  Same
+    md5 hashing trick and bucket arithmetic as
+    :func:`quality.hashed_features`, so the training recurrence and
+    its SQL replay are unchanged — only the feature relation differs.
+    Tokens shorter than n contribute no n-grams at that n (both
+    engines filter before the position series, which would otherwise
+    run descending in Spark)."""
+    from .text import WS_CLASS
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), f"[{WS_CLASS}]+"),
+        lambda t: t != "",
+    )
+    tok_df = docs.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    grams = None
+    for n in range(n_lo, n_hi + 1):
+        g = tok_df.where(F.length("__tok") >= n).select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__tok") - n + 1),
+                    lambda i: F.substring(F.col("__tok"), i, F.lit(n)),
+                )
+            ).alias("__g"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    feat = (
+        grams.select(F.col(id_col), bucket.alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
+    bias = docs.select(
+        F.col(id_col),
+        F.lit(n_buckets).cast("long").alias("b"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    return feat.unionByName(bias)
+
+
 def _packed(weights: dict[str, dict[int, int]], lang: str, n_buckets: int):
     packed = ",".join(str(weights[lang][b]) for b in range(n_buckets + 1))
     return F.split(F.lit(packed), ",").cast("array<long>")
@@ -98,19 +154,26 @@ def train_langid_perceptron(
     n_buckets: int = LID_BUCKETS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    features=None,
 ) -> dict[str, dict[int, int]]:
     """Fit the multiclass pocket perceptron (module docstring):
     ``label`` is the weak language-code Column.  Returns the pocket
     weight state ``{lang: {bucket: w}}`` over every observed class —
-    bounded driver state."""
+    bounded driver state.  ``features`` swaps the feature family —
+    ``(docs, n_buckets, text_col, id_col) -> (id, b, c)``; default
+    hashed word unigrams (:func:`quality.hashed_features`), pass
+    :func:`char_ngram_features` for the fastText char-gram mode
+    (VERDICT r12 #8) — the training recurrence is feature-agnostic."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds ({n_rounds}) must be >= 1")
+    if features is None:
+        features = hashed_features
     labels = docs.select(F.col(id_col), label.alias("__y"))
     langs = sorted(
         r["__y"] for r in labels.select("__y").distinct().collect()
     )
     labeled = (
-        hashed_features(docs, n_buckets, text_col, id_col)
+        features(docs, n_buckets, text_col, id_col)
         .join(labels, id_col)
         .repartition(8, id_col)
         .localCheckpoint(eager=True)
@@ -189,12 +252,17 @@ def apply_langid_classifier(
     n_buckets: int = LID_BUCKETS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    features=None,
 ) -> DataFrame:
     """Predict a language code for every document under a trained
     weight state: ``(id, lang_pred)``.  Every document carries the
-    bias bucket, so every document scores (no dropouts)."""
+    bias bucket, so every document scores (no dropouts).  ``features``
+    must match the family the weights were trained under (default
+    hashed word unigrams)."""
+    if features is None:
+        features = hashed_features
     langs = sorted(weights)
-    feats = hashed_features(docs, n_buckets, text_col, id_col)
+    feats = features(docs, n_buckets, text_col, id_col)
     aggs = []
     for lg in langs:
         arr = _packed(weights, lg, n_buckets)

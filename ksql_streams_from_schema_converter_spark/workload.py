@@ -10939,14 +10939,11 @@ def semdedup_two_level_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _v6_oracle(two_level: bool = False) -> str:
-    """pretrain_pipeline_v6 (and _v7, ``two_level=True``) replay:
-    planted corpus/embeddings, the bigram-LM backoff block, the
-    exact-NTILE gate, the SemDeDup chain over the gate's survivors
-    (spliced via semdedup_chain_sql — or the two-level chain for v7),
-    the WordPiece train+encode chain over the FINAL survivors (spliced
-    via wordpiece_encode_chain_sql), and the per-document verdict
-    join."""
+def _v6_funnel_sql(two_level: bool) -> str:
+    """The LM-gate → SemDeDup → WordPiece funnel CTEs over ``corpus``
+    (doc_id, text) + ``emb2`` (vec_id, embedding): everything from
+    ``vbase`` through ``encres`` — shared verbatim by the v6/v7
+    oracles and (over the language-gated corpus) the v8 oracle."""
     from .operators.clustering import (
         semdedup_chain_sql,
         semdedup_two_level_chain_sql,
@@ -10981,20 +10978,7 @@ def _v6_oracle(two_level: bool = False) -> str:
         corpus_sql="SELECT c.doc_id, c.text FROM corpus c JOIN surv USING (doc_id)",
         with_kw=False,
     )
-    return f"""
-    WITH corpus AS MATERIALIZED (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text FROM documents
-      WHERE doc_id % 25 = 0
-    ),
-    emb2 AS MATERIALIZED (
-      SELECT vec_id, embedding FROM embeddings
-      UNION ALL
-      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
-      WHERE vec_id % 25 = 0
-    ),
-    vbase AS MATERIALIZED (
+    return f"""vbase AS MATERIALIZED (
       SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t FROM corpus
     ),
     vocc AS MATERIALIZED (
@@ -11044,7 +11028,30 @@ def _v6_oracle(two_level: bool = False) -> str:
       LEFT JOIN sdres ON sdres.vec_id = lmk.doc_id
       WHERE COALESCE(sdres.keep, TRUE)
     ),
-    {wp_chain.strip()}
+    {wp_chain.strip()}"""
+
+
+def _v6_oracle(two_level: bool = False) -> str:
+    """pretrain_pipeline_v6 (and _v7, ``two_level=True``) replay:
+    planted corpus/embeddings, then the shared funnel
+    (:func:`_v6_funnel_sql` — bigram-LM backoff block, exact-NTILE
+    gate, spliced SemDeDup chain over the gate's survivors, spliced
+    WordPiece train+encode chain over the FINAL survivors), and the
+    per-document verdict join."""
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id % 25 = 0
+    ),
+    emb2 AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 25 = 0
+    ),
+    {_v6_funnel_sql(two_level)}
     SELECT c.doc_id, nt.n_bigrams, nt.bpb_milli,
            COALESCE(nt.b <= 2, FALSE) AS lm_kept,
            sdres.keep AS sd_keep,
@@ -11091,12 +11098,15 @@ def pretrain_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretrain_v6_impl(spark, sf_dir, two_level=False)
 
 
-def _pretrain_v6_impl(
-    spark: SparkSession, sf_dir: str, two_level: bool
-) -> DataFrame:
-    """Shared body of pretrain_pipeline_v6 / _v7 — identical DataFrame
-    ops except the SemDeDup clusterer (single-level paper control vs
-    the two-level k ∝ corpus scale path)."""
+def _pretrain_funnel(
+    corpus: DataFrame, emb2: DataFrame, two_level: bool
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The LM-gate → SemDeDup → WordPiece funnel over ``corpus``
+    (doc_id, text) + ``emb2`` (vec_id, embedding) — the Spark twin of
+    :func:`_v6_funnel_sql`, shared by v6/v7 and (over the
+    language-gated corpus) v8.  Returns ``(binned, sd, enc)``: the
+    NTILE-binned LM scores, the SemDeDup verdicts over the gate's
+    survivors, and the WordPiece encode of the final survivors."""
     from .operators.clustering import semdedup_kmeans, semdedup_two_level
     from .operators.ranking import global_ntile
     from .operators.text import bigram_backoff_surprisal
@@ -11106,18 +11116,6 @@ def _pretrain_v6_impl(
         wordpiece_train,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = docs.unionByName(
-        docs.where(F.col("doc_id") % 25 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text"
-        )
-    )
-    emb2 = emb.unionByName(
-        emb.where(F.col("vec_id") % 25 == 0).select(
-            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-        )
-    )
     lm = bigram_backoff_surprisal(corpus).select(
         "doc_id", "n_bigrams", "bpb_milli"
     )
@@ -11152,6 +11150,28 @@ def _pretrain_v6_impl(
         r.piece for r in wordpiece_alphabet(survdocs, vocab_cap=4000).collect()
     }
     enc = wordpiece_encode(survdocs, alpha | merges)
+    return binned, sd, enc
+
+
+def _pretrain_v6_impl(
+    spark: SparkSession, sf_dir: str, two_level: bool
+) -> DataFrame:
+    """Shared body of pretrain_pipeline_v6 / _v7 — identical DataFrame
+    ops except the SemDeDup clusterer (single-level paper control vs
+    the two-level k ∝ corpus scale path)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    emb2 = emb.unionByName(
+        emb.where(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    binned, sd, enc = _pretrain_funnel(corpus, emb2, two_level)
     lm_kept = F.coalesce(F.col("__b") <= 2, F.lit(False))
     return (
         corpus.select("doc_id")
@@ -11995,9 +12015,11 @@ def kmeans_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a later, deliberately degenerate version: loading "latest"
         # instead of seq=0 would put every vector in cluster 0
         save_kmeans_model(spark, store, kmeans_fit(emb, k=1, n_iter=1), seq=1)
-        loaded, label = load_kmeans_model(spark, store, seq=0)
-        assert label == "km0"
-        return semdedup_frozen(emb, loaded).localCheckpoint(eager=True)
+        loaded, label, two_level = load_kmeans_model(spark, store, seq=0)
+        assert label == "km0" and two_level
+        return semdedup_frozen(
+            emb, loaded, two_level=two_level
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
@@ -12077,7 +12099,7 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (now + 10 * i, now + 10 * i))
 
         def sem_batch(batch_df, batch_id: int) -> None:
-            model, _ = load_kmeans_model(spark, store, seq=0)
+            model, _, two_level = load_kmeans_model(spark, store, seq=0)
             prior = [
                 e["label"]
                 for e in read_manifest(store)
@@ -12089,7 +12111,7 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else None
             )
             verdicts, keepers = semdedup_batch_verdicts(
-                batch_df, model, stored
+                batch_df, model, stored, two_level=two_level
             )
             vq = verdicts.localCheckpoint(eager=True)
             kpath = ingest_paths(store, "sem_keepers", [f"sk{batch_id}"])[0]
@@ -12199,6 +12221,8 @@ def _langid_cls_sql(
     fp_scale: int = 1_000,
     src: str = "lcorp",
     p: str = "lid",
+    feat_body: str | None = None,
+    lab_body: str | None = None,
 ) -> str:
     """CTE chain replaying operators/langid.py's MULTICLASS pocket
     perceptron round-for-round (the _quality_cls_sql discipline lifted
@@ -12207,29 +12231,41 @@ def _langid_cls_sql(
     (``min(struct(-score, lang))``), mistake-normalized 1/t-decayed
     fixed-point class-pair updates, and the pocket argmin.  Ends with
     ``{p}wfin`` (lang, b, w) and ``{p}predfin`` (doc_id, lang_pred
-    under the pocket weights over ALL of ``src``)."""
+    under the pocket weights over ALL of ``src``).
+
+    ``feat_body`` / ``lab_body`` swap the FEATURE relation (body of
+    the ``{p}feat`` CTE — ``(doc_id, b, c)``) and the LABEL relation
+    (body of ``{p}lab`` — ``(doc_id, y)``); the training recurrence
+    below is feature- and label-agnostic, exactly like the Spark
+    twin's ``features``/``label`` parameters (VERDICT r12 #8: the
+    char-n-gram gate changes only the feature CTE).  Both may
+    reference ``{p}toks``."""
     toks = _TOKS
     sw_case = f"""CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
                 WHEN s_de = greatest(s_de, s_en, s_fr) THEN 'de'
                 WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
                 ELSE 'fr' END"""
-    parts = [
-        f"""{p}toks AS (SELECT doc_id, unnest({toks}) AS tok FROM {src}),
-    {p}feat AS MATERIALIZED (
-      SELECT doc_id,
+    if feat_body is None:
+        feat_body = f"""SELECT doc_id,
              CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
                   % {n_buckets} AS BIGINT) AS b,
              CAST(count(*) AS BIGINT) AS c
       FROM {p}toks WHERE tok <> '' GROUP BY 1, 2
-      UNION ALL SELECT doc_id, {n_buckets} AS b, 1 AS c FROM {src}
-    ),
-    {p}lab AS MATERIALIZED (
-      SELECT doc_id, {sw_case} AS y
+      UNION ALL SELECT doc_id, {n_buckets} AS b, 1 AS c FROM {src}"""
+    if lab_body is None:
+        lab_body = f"""SELECT doc_id, {sw_case} AS y
       FROM (SELECT doc_id,
                    len(list_filter({toks}, t -> t IN ({_SW['de']}))) AS s_de,
                    len(list_filter({toks}, t -> t IN ({_SW['en']}))) AS s_en,
                    len(list_filter({toks}, t -> t IN ({_SW['fr']}))) AS s_fr
-            FROM {src})
+            FROM {src})"""
+    parts = [
+        f"""{p}toks AS (SELECT doc_id, unnest({toks}) AS tok FROM {src}),
+    {p}feat AS MATERIALIZED (
+      {feat_body}
+    ),
+    {p}lab AS MATERIALIZED (
+      {lab_body}
     ),
     {p}cls AS (SELECT DISTINCT y AS lang FROM {p}lab),
     {p}w0 AS (SELECT lang, b, CAST(0 AS BIGINT) AS w
@@ -12442,13 +12478,15 @@ def kmeans_warm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="kmw_store_")
     try:
         save_kmeans_model(spark, store, kmeans_fit(half, k=8, n_iter=2), seq=0)
-        m0, label0 = load_kmeans_model(spark, store, seq=0)
+        m0, label0, _ = load_kmeans_model(spark, store, seq=0)
         assert label0 == "km0"
         warm = kmeans_fit(emb, n_iter=2, init=m0)
         save_kmeans_model(spark, store, warm, seq=1)
-        m1, label1 = load_kmeans_model(spark, store)
-        assert label1 == "km1"
-        return assign_frozen(emb, m1).localCheckpoint(eager=True)
+        m1, label1, tl1 = load_kmeans_model(spark, store)
+        assert label1 == "km1" and not tl1
+        return assign_frozen(emb, m1, two_level=tl1).localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
@@ -12595,3 +12633,359 @@ def streaming_langid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _kmeans2_warm_oracle() -> str:
+    from .operators.clustering import _kmeans2_chain_sql
+
+    c1 = _kmeans2_chain_sql(
+        k=8,
+        kc=3,
+        n_iter=2,
+        nc_iter=2,
+        dims=64,
+        emb_sql="SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0",
+        p="a",
+    )
+    c2 = _kmeans2_chain_sql(
+        k=8,
+        kc=3,
+        n_iter=2,
+        nc_iter=2,
+        dims=64,
+        emb_sql="SELECT vec_id, embedding FROM embeddings",
+        with_kw=False,
+        p="b",
+        init_sql="SELECT cluster, c FROM af1",
+    )
+    return (
+        c1
+        + ","
+        + c2
+        + """
+    SELECT pid, cluster, dist FROM basgf
+    """
+    )
+
+
+@query("kmeans_two_level_warm_refresh", _kmeans2_warm_oracle())
+def kmeans_two_level_warm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled RETRAIN of the persisted TWO-LEVEL clusterer (VERDICT
+    r12 #3 — kmeans_warm_refresh gave the FLAT model warm start; the
+    SCALE path still cold-trained on every retrain): train two-level
+    on the even-id half, commit as km0, then CONTINUE training on the
+    full corpus from the LOADED km0's fine centroids
+    (operators/clustering.kmeans_two_level_fit(init=...) — the coarse
+    structures are a pure function of the fine centroid table and
+    re-derive each round, so only the fine centroids carry over),
+    commit as km1, and assign the full corpus under the loaded km1
+    using the manifest-known two_level flag (no probe action).  The
+    oracle splices two PREFIXED two-level chains — cold over the even
+    half, warm over the full corpus seeded from the cold chain's
+    final fine centroids (``af1``) — so the hash gate proves BOTH
+    trainings, both manifest round trips, and the frozen two-level
+    assignment.  Scale: a retrain cadence on the k ∝ corpus
+    configuration pays one coarse-Lloyd + route + in-cell round over
+    the new corpus instead of a cold restart; the artifact stays k
+    rows, written and read as a DataFrame."""
+    import shutil
+    import tempfile
+
+    from .operators.clustering import (
+        assign_frozen,
+        kmeans_two_level_fit,
+        load_kmeans_model,
+        save_kmeans_model,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    store = tempfile.mkdtemp(prefix="km2w_store_")
+    try:
+        save_kmeans_model(
+            spark,
+            store,
+            kmeans_two_level_fit(half, k=8, kc=3, n_iter=2, nc_iter=2),
+            seq=0,
+        )
+        m0, label0, tl0 = load_kmeans_model(spark, store, seq=0)
+        assert label0 == "km0" and tl0
+        warm = kmeans_two_level_fit(emb, kc=3, n_iter=2, nc_iter=2, init=m0)
+        save_kmeans_model(spark, store, warm, seq=1)
+        m1, label1, tl1 = load_kmeans_model(spark, store)
+        assert label1 == "km1" and tl1
+        return assign_frozen(emb, m1, two_level=tl1).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+#: planted MORPHOLOGICAL corpus for the char-n-gram language-ID gate
+#: (VERDICT r12 #8): every word is a UNIQUE md5-derived nonce base plus
+#: a language-specific SUFFIX (en '-ing', de '-ung', fr '-ion') and the
+#: label is the plant rule itself (id range).  Word unigrams carry no
+#: generalizable signal here — every word occurs in exactly one
+#: document — while the shared suffix char-grams are exactly the linear
+#: signal fastText's char-n-gram features exist for;
+#: tests/test_langid.py proves the discrimination on held-out docs.
+_CNG_LANGS = (("en", 0, "ing"), ("de", 50000, "ung"), ("fr", 60000, "ion"))
+
+
+def _cng_corpus_cte() -> str:
+    legs = []
+    for _lang, off, suf in _CNG_LANGS:
+        words = " || ' ' || ".join(
+            f"substr(md5(CAST(doc_id AS VARCHAR) || ':{j}'), 1, 6) || '{suf}'"
+            for j in range(1, 7)
+        )
+        legs.append(
+            f"""SELECT doc_id, {words} AS text
+      FROM (SELECT doc_id + {off} AS doc_id FROM documents WHERE doc_id < 120)"""
+        )
+    inner = "\n      UNION ALL\n      ".join(legs)
+    return f"""ccorp AS (
+      {inner}
+    )"""
+
+
+def _cng_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_cng_corpus_cte`."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 120)
+    )
+    legs = []
+    for _lang, off, suf in _CNG_LANGS:
+        d = base.select((F.col("doc_id") + off).alias("doc_id"))
+        words = [
+            F.concat(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(f":{j}")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                F.lit(suf),
+            )
+            for j in range(1, 7)
+        ]
+        legs.append(d.select("doc_id", F.concat_ws(" ", *words).alias("text")))
+    return legs[0].unionByName(legs[1]).unionByName(legs[2])
+
+
+def _cng_label() -> "F.Column":
+    """The plant rule as the training label (id range)."""
+    return (
+        F.when(F.col("doc_id") >= 60000, F.lit("fr"))
+        .when(F.col("doc_id") >= 50000, F.lit("de"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def _char_feat_sql(
+    src: str, p: str, n_buckets: int = 64, n_lo: int = 2, n_hi: int = 4
+) -> str:
+    """DuckDB twin of operators/langid.char_ngram_features over the
+    ``{p}toks`` CTE: within-token character n-grams (n_lo..n_hi), the
+    identical md5 bucket arithmetic, plus the bias bucket."""
+    legs = "\n        UNION ALL\n        ".join(
+        f"""SELECT doc_id, unnest(list_transform(generate_series(1, len(tok) - {n} + 1),
+               i -> substr(tok, i, {n}))) AS g
+        FROM {p}toks WHERE len(tok) >= {n}"""
+        for n in range(n_lo, n_hi + 1)
+    )
+    return f"""SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT)
+                  % {n_buckets} AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM (
+        {legs}
+      ) GROUP BY 1, 2
+      UNION ALL SELECT doc_id, {n_buckets} AS b, 1 AS c FROM {src}"""
+
+
+def _langid_char_oracle() -> str:
+    # 3 training rounds — a DISTINCT artifact (train gate 6, apply 4,
+    # streaming 4-on-even-half), so no other gate's training is
+    # re-timed (the VERDICT r11 #8 rule)
+    lab = """SELECT doc_id,
+             CASE WHEN doc_id >= 60000 THEN 'fr'
+                  WHEN doc_id >= 50000 THEN 'de'
+                  ELSE 'en' END AS y
+      FROM ccorp"""
+    return f"""
+    WITH {_cng_corpus_cte()},
+    {_langid_cls_sql(n_rounds=3, src="ccorp", p="cng",
+                     feat_body=_char_feat_sql("ccorp", "cng"),
+                     lab_body=lab)}
+    SELECT lang, b, w FROM cngwfin
+    """
+
+
+@query("langid_char_ngram_train", _langid_char_oracle())
+def langid_char_ngram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID over CHARACTER n-gram features (VERDICT r12 #8 —
+    operators/langid.char_ngram_features): hashed word unigrams are
+    weak on short / morphologically-rich text because an UNSEEN word's
+    bucket carries no learned signal; fastText's language ID therefore
+    hashes character n-grams, which share suffix morphology across a
+    language's whole vocabulary.  The planted corpus makes that
+    difference structural — every word is a unique md5-derived nonce
+    base plus a language suffix (en '-ing' / de '-ung' / fr '-ion'),
+    labels are the plant rule — and the training is the SAME exact
+    integer pocket-perceptron recurrence with only the feature
+    relation swapped (``features=char_ngram_features`` on the Spark
+    side, ``feat_body=`` in the oracle chain), proving the recurrence
+    is feature-agnostic.  The oracle unrolls all 3 rounds over the
+    char-gram features, so the hash gate proves the char-gram
+    TRAINING end-to-end; tests/test_langid.py proves the held-out
+    discrimination (char-grams generalize to unseen-word docs, word
+    unigrams collapse to chance).  Output: the pocket weight table
+    (lang, b, w).  Scale: n-gram explosion is a flat-map over tokens
+    (no new shuffle class — same groupBy(doc, bucket) as unigrams,
+    ~3x the pre-aggregation rows), and the weight state stays
+    L·(n_buckets+1) integers."""
+    from .operators.langid import (
+        char_ngram_features,
+        langid_weights_table,
+        train_langid_perceptron,
+    )
+
+    corpus = _cng_corpus(spark, sf_dir)
+    w = train_langid_perceptron(
+        corpus, _cng_label(), n_rounds=3, features=char_ngram_features
+    )
+    return langid_weights_table(spark, w)
+
+
+def _v8_oracle() -> str:
+    """pretrain_pipeline_v8 replay: the planted multilingual corpus
+    plus duplicate copies, the langid TRAINING chain on the even-id
+    reference half (5 rounds — a DISTINCT artifact per the r11 #8
+    rule), the apply chain over the full corpus, the ``lang_pred =
+    'en'`` gate, then the v7 funnel (two-level SemDeDup) over the
+    gated survivors — the whole learned-gate composition unrolled as
+    one oracle."""
+    return f"""
+    WITH {_LID_CORPUS_CTE},
+    fullc AS MATERIALIZED (
+      SELECT doc_id, text FROM lcorp
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id % 25 = 0
+    ),
+    lcorp_even AS (SELECT * FROM lcorp WHERE doc_id % 2 = 0),
+    {_langid_cls_sql(n_rounds=5, src="lcorp_even")},
+    {_langid_apply_sql(src="fullc")},
+    corpus AS MATERIALIZED (
+      SELECT c.doc_id, c.text FROM fullc c
+      JOIN lidapred p USING (doc_id)
+      WHERE p.lang_pred = 'en'
+    ),
+    emb2 AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 25 = 0
+    ),
+    {_v6_funnel_sql(two_level=True)}
+    SELECT c.doc_id, p.lang_pred,
+           p.lang_pred = 'en' AS lang_kept,
+           nt.n_bigrams, nt.bpb_milli,
+           COALESCE(nt.b <= 2, FALSE) AS lm_kept,
+           sdres.keep AS sd_keep,
+           (p.lang_pred = 'en' AND COALESCE(nt.b <= 2, FALSE)
+              AND COALESCE(sdres.keep, TRUE)) AS final_kept,
+           enc.n_tokens, enc.seg_fp
+    FROM fullc c
+    JOIN lidapred p USING (doc_id)
+    LEFT JOIN nt ON nt.doc_id = c.doc_id
+    LEFT JOIN sdres ON sdres.vec_id = c.doc_id
+    LEFT JOIN encres enc ON enc.doc_id = c.doc_id
+    """
+
+
+@query("pretrain_pipeline_v8", _v8_oracle())
+def pretrain_pipeline_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v7 funnel behind the LEARNED language gate (VERDICT r12 #4
+    — v5/v6/v7 gate on the rule-based stopword heuristic while the
+    trained perceptron existed with persistence and a streaming gate
+    but no place in the funnel).  Composition: train the multiclass
+    pocket perceptron on the even-id half of the planted multilingual
+    corpus (weak stopword labels, 5 rounds — a DISTINCT artifact, so
+    neither lifecycle gate's training is re-timed), predict a language
+    for EVERY document (including the planted duplicates), keep
+    ``lang_pred = 'en'``, then run the v7 tail — bigram-LM NTILE gate
+    → two-level SemDeDup → WordPiece-tokenize-the-survivors — over
+    the gated corpus only.  The de-/fr-salted documents are dropped by
+    the LEARNED gate (not the heuristic), planted duplicates still
+    reach and fire the dedup stage, and documents without embeddings
+    pass SemDeDup unexamined (the LEFT-JOIN posture).  One row per
+    input document with the language verdict AND every funnel stage's
+    verdict; the oracle replays training, application, the gate and
+    the whole funnel end-to-end.  Scale: the language gate is one
+    broadcast-weights scoring pass (L string literals ride the plan),
+    upstream of every heavier stage — exactly where a 100-TB funnel
+    wants its cheapest highest-selectivity filter."""
+    from .operators.langid import (
+        apply_langid_classifier,
+        train_langid_perceptron,
+    )
+    from .operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lcorp = _lid_corpus(spark, sf_dir)
+    fullc = lcorp.unionByName(
+        docs.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    emb2 = emb.unionByName(
+        emb.where(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    ref = lcorp.where(F.col("doc_id") % 2 == 0)
+    w = train_langid_perceptron(ref, lang_id("text"), n_rounds=5)
+    pred = apply_langid_classifier(fullc, w).localCheckpoint(eager=True)
+    gated = fullc.join(
+        pred.where(F.col("lang_pred") == "en").select("doc_id"), "doc_id"
+    )
+    binned, sd, enc = _pretrain_funnel(gated, emb2, two_level=True)
+    lang_kept = F.col("lang_pred") == "en"
+    lm_kept = F.coalesce(F.col("__b") <= 2, F.lit(False))
+    return (
+        fullc.select("doc_id")
+        .join(pred, "doc_id")
+        .join(binned, "doc_id", "left")
+        .join(
+            sd.select(
+                F.col("vec_id").alias("doc_id"), F.col("keep").alias("sd_keep")
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(enc.select("doc_id", "n_tokens", "seg_fp"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang_pred",
+            lang_kept.alias("lang_kept"),
+            "n_bigrams",
+            "bpb_milli",
+            lm_kept.alias("lm_kept"),
+            "sd_keep",
+            (
+                lang_kept
+                & lm_kept
+                & F.coalesce(F.col("sd_keep"), F.lit(True))
+            ).alias("final_kept"),
+            "n_tokens",
+            "seg_fp",
+        )
+    )

@@ -157,6 +157,18 @@ DEFAULT_QUERIES = (
     # the replica corpus and crosses 9e4 at x64 (see
     # _kmeans_scaled_k_election)
     "kmeans_scaled_k_election",
+    # r13 (VERDICT r12 #5) — streaming SemDeDup's keeper-STORE axis:
+    # fixed 50-vector batch, committed keeper store growing with scale.
+    # Under a FIXED k=4 model every stored keeper in the batch's
+    # cluster is a candidate, so the per-batch marginal is ~linear in
+    # the store BY CONSTRUCTION — the documented worst case...
+    "semdedup_store_axis_fixed_k",
+    # ...and the documented mitigation, measured: k ∝ store keeps
+    # keepers-per-cluster bounded (~250), the store is PARTITIONED by
+    # cluster and the batch's <=50 cluster ids are pushed down as a
+    # partition filter (the kp-pushdown discipline), so the stored-side
+    # read is batch-proportional and the marginal must read ~flat
+    "semdedup_store_axis_scaled_k",
 )
 #: key / FK columns shifted per replica (referential integrity holds
 #: within a replica; replicas never cross-reference)
@@ -448,6 +460,186 @@ def _noop_setup(spark: SparkSession, sf_dir: str) -> None:
     return None
 
 
+def _sem_store_dir(sf_dir: str, variant: str) -> str:
+    return os.path.join(sf_dir, f"__sem_store_axis_{variant}_v1")
+
+
+def _keeper_rows(emb: DataFrame, model: DataFrame, two_level: bool) -> DataFrame:
+    """Committed-keeper rows ``(vec_id, cluster, q, nq)`` for every
+    vector of ``emb`` under the frozen model — the store schema
+    ``semdedup_batch_verdicts`` consumes."""
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        assign_frozen,
+        quantize_points,
+    )
+
+    asg = assign_frozen(emb, model, two_level=two_level)
+    return (
+        asg.join(quantize_points(emb), "pid")
+        .withColumn(
+            "nq",
+            F.aggregate(
+                F.expr("transform(q, x -> x * x)"),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .select(F.col("pid").alias("vec_id"), "cluster", "q", "nq")
+    )
+
+
+def _probe_batch_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIXED 50-vector batch: replica-0's first vectors re-keyed
+    above every stored id — byte-identical content at every scale."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 50)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(100 * SPACING))
+    )
+
+
+def _setup_sem_store_axis_fixed(spark: SparkSession, sf_dir: str) -> None:
+    """UNTIMED setup, keeper-store axis / FIXED k=4 (VERDICT r12 #5):
+    the frozen model trains on replica 0 only (byte-identical at every
+    scale, so the clustering is constant), then the WHOLE scale-k
+    embeddings table commits as the keeper store — stored keepers per
+    cluster grow ~k while the timed batch stays fixed."""
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        kmeans_fit,
+        load_kmeans_model,
+        save_kmeans_model,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        commit_ingest,
+        committed_labels,
+        ingest_paths,
+    )
+
+    store = _sem_store_dir(sf_dir, "k4")
+    if "keep_base" in committed_labels(store):
+        return
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") < SPACING)  # replica 0
+    save_kmeans_model(spark, store, kmeans_fit(base, k=4, n_iter=2), seq=0)
+    m0, _, tl = load_kmeans_model(spark, store, seq=0)
+    path = ingest_paths(store, "sem_keepers", ["keep_base"])[0]
+    _keeper_rows(emb, m0, tl).write.mode("overwrite").parquet(path)
+    commit_ingest(store, "keep_base", kind="semkeep", seq=0)
+    # pre-run the timed body once, untimed (ADVICE r8 repetition parity)
+    _sem_store_axis_fixed(spark, sf_dir)
+
+
+def _sem_store_axis_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMED body: one streaming-SemDeDup batch (fixed 50 vectors)
+    against the scale-k keeper store under the frozen k=4 model — the
+    exact per-micro-batch work of the streaming_semdedup gate.  With
+    only 4 clusters every stored keeper in a batch cluster is a cosine
+    candidate, so this marginal is ~LINEAR in the store by
+    construction — the worst case the scaled-k twin mitigates."""
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        load_kmeans_model,
+        semdedup_batch_verdicts,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        read_ingests,
+    )
+
+    store = _sem_store_dir(sf_dir, "k4")
+    model, _, tl = load_kmeans_model(spark, store, seq=0)
+    stored = read_ingests(spark, store, "sem_keepers", ["keep_base"]).select(
+        "vec_id", "cluster", "q", "nq"
+    )
+    verdicts, _ = semdedup_batch_verdicts(
+        _probe_batch_emb(spark, sf_dir), model, stored, two_level=tl
+    )
+    return verdicts
+
+
+def _setup_sem_store_axis_scaled(spark: SparkSession, sf_dir: str) -> None:
+    """UNTIMED setup, keeper-store axis / k ∝ STORE (the mitigation):
+    a two-level model with k = n/250 trains on the scale-k table, and
+    the keeper store is written PARTITIONED BY cluster so a batch's
+    cluster set prunes the stored read to ~250 keepers per batch
+    cluster regardless of total store size."""
+    import math as _math
+
+    import pyarrow.parquet as pq
+
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        kmeans_two_level_fit,
+        load_kmeans_model,
+        save_kmeans_model,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        commit_ingest,
+        committed_labels,
+        ingest_paths,
+    )
+
+    store = _sem_store_dir(sf_dir, "scaledk")
+    if "keep_base" in committed_labels(store):
+        return
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+    k = max(4, n // 250)
+    kc = max(2, _math.isqrt(k))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    save_kmeans_model(
+        spark,
+        store,
+        kmeans_two_level_fit(emb, k=k, kc=kc, n_iter=2, nc_iter=2),
+        seq=0,
+    )
+    m0, _, tl = load_kmeans_model(spark, store, seq=0)
+    path = ingest_paths(store, "sem_keepers", ["keep_base"])[0]
+    _keeper_rows(emb, m0, tl).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+    commit_ingest(store, "keep_base", kind="semkeep", seq=0)
+    _sem_store_axis_scaled(spark, sf_dir)
+
+
+def _sem_store_axis_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMED body: the same fixed batch against the k ∝ store keeper
+    store.  The batch assigns once (bounded — 50 rows), its <=50
+    distinct cluster ids are collected (the kp-pushdown bounded-collect
+    discipline) and pushed as a PARTITION filter on the cluster-
+    partitioned store, so the stored-side read and the cosine join are
+    batch-proportional: keepers-per-cluster ≈ 250 by construction.
+    The marginal must read ~flat — this is the documented mitigation
+    for the fixed-k family's linear marginal."""
+    from ksql_streams_from_schema_converter_spark.operators.clustering import (
+        assign_frozen,
+        load_kmeans_model,
+        semdedup_batch_verdicts,
+    )
+    from ksql_streams_from_schema_converter_spark.operators.indexstore import (
+        read_ingests,
+    )
+
+    store = _sem_store_dir(sf_dir, "scaledk")
+    model, _, tl = load_kmeans_model(spark, store, seq=0)
+    batch = _probe_batch_emb(spark, sf_dir)
+    clusters = [
+        r["cluster"]
+        for r in assign_frozen(batch, model, two_level=tl)
+        .select("cluster")
+        .distinct()
+        .collect()
+    ]
+    stored = (
+        read_ingests(spark, store, "sem_keepers", ["keep_base"])
+        .where(F.col("cluster").isin(clusters))
+        .select(
+            "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "q", "nq"
+        )
+    )
+    verdicts, _ = semdedup_batch_verdicts(batch, model, stored, two_level=tl)
+    return verdicts
+
+
 def _semdedup_scaled_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at scale THE WAY THE PAPER RUNS IT: cluster count
     grows with the corpus (Abbas et al. use 50k clusters on LAION) so
@@ -548,6 +740,17 @@ SPECIAL_QUERIES = {
     "incremental_tombstone_axis": (
         _setup_tombstone_axis,
         _tombstone_axis_refresh,
+    ),
+    # r13 (VERDICT r12 #5) — streaming SemDeDup keeper-store axis:
+    # worst case (fixed k) and the measured mitigation (k ∝ store +
+    # cluster-partition pushdown)
+    "semdedup_store_axis_fixed_k": (
+        _setup_sem_store_axis_fixed,
+        _sem_store_axis_fixed,
+    ),
+    "semdedup_store_axis_scaled_k": (
+        _setup_sem_store_axis_scaled,
+        _sem_store_axis_scaled,
     ),
 }
 
@@ -727,7 +930,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     result = run_probe(spark, base_dir, work_dir, scales, queries)
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "SCALE_PROBE.json"), "w") as fh:
+    path = os.path.join(here, "SCALE_PROBE.json")
+    # Merge into the existing record when only a SUBSET of families was
+    # run (SCALE_PROBE_QUERIES): each family's fit is independent, so a
+    # new family need not re-time the other ~20 — but a partial run
+    # must never silently DROP their committed records.  Same scales +
+    # base_dir required; set SCALE_PROBE_MERGE=0 to force a fresh file.
+    if os.environ.get("SCALE_PROBE_MERGE", "1") != "0" and os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prior = json.load(fh)
+        except ValueError:
+            prior = None
+        if (
+            prior
+            and prior.get("scales") == result["scales"]
+            and prior.get("base_dir") == result["base_dir"]
+        ):
+            merged = {**prior.get("queries", {}), **result["queries"]}
+            result = {**prior, **result, "queries": merged}
+            result["merge_note"] = (
+                "families measured across separate runs are merged "
+                "(each family's sec/runs/plan come from ONE run and its "
+                "fit is self-contained; cross-family second-for-second "
+                "comparisons across runs carry ambient variance)"
+            )
+    with open(path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
     print(
         json.dumps(

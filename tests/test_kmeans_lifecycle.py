@@ -88,15 +88,20 @@ def test_kmeans_model_roundtrip_and_seq(spark, tmp_path):
     save_kmeans_model(spark, store, model, seq=0)
     degenerate = kmeans_fit(emb, k=1, n_iter=1)
     save_kmeans_model(spark, store, degenerate, seq=1)
-    loaded, label = load_kmeans_model(spark, store, seq=0)
+    loaded, label, two_level = load_kmeans_model(spark, store, seq=0)
     assert label == "km0"
+    # the manifest entry records the model kind at save time, so the
+    # load returns the branch flag with no probe action (ADVICE r12)
+    assert two_level is True
     assert _rows(loaded) == _rows(model)
-    latest, latest_label = load_kmeans_model(spark, store)
+    latest, latest_label, latest_tl = load_kmeans_model(spark, store)
     assert latest_label == "km1"
+    assert latest_tl is False
     assert latest.where("level = 'f'").count() == 1
     # frozen scoring under the loaded model == scoring under the
-    # in-memory one (the lossless-artifact contract)
-    assert _rows(assign_frozen(emb, loaded)) == _rows(
+    # in-memory one (the lossless-artifact contract); the
+    # manifest-known flag must select the same branch the probe does
+    assert _rows(assign_frozen(emb, loaded, two_level=two_level)) == _rows(
         assign_frozen(emb, model)
     )
 
@@ -218,3 +223,32 @@ def test_semdedup_batch_verdicts_under_two_level_model(spark):
     assert kept == {
         r.vec_id for r in verdicts.where("keep").select("vec_id").collect()
     }
+
+
+def test_kmeans_two_level_fit_warm_start(spark, tmp_path):
+    """Two-level warm start (VERDICT r12 #3): continuing training from
+    a LOADED model's fine centroids equals continuing from the
+    in-memory model (lossless round trip into the recurrence), the
+    cluster set is the init's (k ignored), and the warm model differs
+    from a cold full-corpus fit — so the init is load-bearing."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    cold = kmeans_two_level_fit(half, k=8, kc=3, n_iter=2, nc_iter=2)
+    store = str(tmp_path / "km2w")
+    save_kmeans_model(spark, store, cold, seq=0)
+    m0, label, two_level = load_kmeans_model(spark, store, seq=0)
+    assert label == "km0" and two_level
+    warm_loaded = kmeans_two_level_fit(emb, kc=3, n_iter=2, nc_iter=2, init=m0)
+    warm_mem = kmeans_two_level_fit(emb, kc=3, n_iter=2, nc_iter=2, init=cold)
+    assert _rows(warm_loaded) == _rows(warm_mem)
+    # k ignored under init: the fine cluster set is the init's
+    assert (
+        warm_loaded.where("level = 'f'").count()
+        == cold.where("level = 'f'").count()
+    )
+    cold_full = kmeans_two_level_fit(emb, k=8, kc=3, n_iter=2, nc_iter=2)
+    assert _rows(warm_loaded) != _rows(cold_full)

@@ -568,7 +568,7 @@ def test_streaming_semdedup_restart_recovery(spark, tmp_path):
     save_kmeans_model(spark, store, kmeans_fit(emb, k=2, n_iter=2), seq=0)
 
     def sem_batch(batch_df, batch_id: int) -> None:
-        model, _ = load_kmeans_model(spark, store, seq=0)
+        model, _, two_level = load_kmeans_model(spark, store, seq=0)
         prior = [
             e["label"]
             for e in read_manifest(store)
@@ -577,7 +577,9 @@ def test_streaming_semdedup_restart_recovery(spark, tmp_path):
         stored = (
             read_ingests(spark, store, "sem_keepers", prior) if prior else None
         )
-        verdicts, keepers = semdedup_batch_verdicts(batch_df, model, stored)
+        verdicts, keepers = semdedup_batch_verdicts(
+            batch_df, model, stored, two_level=two_level
+        )
         vq = verdicts.localCheckpoint(eager=True)
         kpath = ingest_paths(store, "sem_keepers", [f"sk{batch_id}"])[0]
         keepers.write.mode("overwrite").parquet(kpath)

@@ -356,7 +356,9 @@ def test_kmeans_two_level_guards(spark):
     zero-iteration runs, which the old bare asserts let through under
     ``python -O`` — ADVICE r11).  The former k < keymul modulus guards
     are GONE: the struct election has no k bound (VERDICT r11 weak
-    #1), proven at scale by test_kmeans_struct_election_huge_k."""
+    #1), proven at scale by test_kmeans_struct_election_huge_value_domain
+    and test_kmeans_huge_k_runs_past_old_ceiling
+    (tests/test_kmeans_lifecycle.py)."""
     import pytest as _pytest
 
     from ksql_streams_from_schema_converter_spark.operators.clustering import (
