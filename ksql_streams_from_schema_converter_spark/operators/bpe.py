@@ -70,72 +70,87 @@ def word_frequencies(
     return words.orderBy(F.desc("freq"), "word").limit(vocab_cap)
 
 
+def collect_word_freqs(
+    docs: DataFrame, text_col: str = "text", vocab_cap: int = 4000
+) -> list[tuple[str, int]]:
+    """The capped word-frequency table collected to the driver — a
+    BOUNDED artifact (``vocab_cap`` rows at any corpus size, the
+    k-means-centroid / unigram-vocab shape).  The corpus scan stays
+    distributed; only the vocabulary-sized result crosses."""
+    return [
+        (r["word"], r["freq"])
+        for r in word_frequencies(docs, text_col, vocab_cap).collect()
+    ]
+
+
+def bpe_merge_rounds(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The ``n_merges`` BPE rounds over a collected word-frequency
+    table, in exact integer arithmetic — pure driver compute, zero
+    scheduled jobs (r13, guide §1.2: the rounds iterate a
+    ``vocab_cap``-bounded table, so 2 distributed jobs per round were
+    pure scheduling overhead at every scale; HF ``tokenizers`` and
+    SentencePiece make the same single-node reduction).  Bit-identical
+    to the former in-plan recurrence: the same ``" h e l l o "``
+    segmentation strings, the same double non-overlapping left-to-right
+    ``replace`` (Python ``str.replace`` shares the documented
+    Spark/DuckDB semantics), the same ``cnt DESC, pair`` argmax —
+    ASCII-only symbols make Python's code-point order equal both
+    engines' binary string order.  Returns ``(merge_rank, pair,
+    merged, cnt)`` rows; stops early when no pair remains (the emitted
+    rows are identical — empty rounds contributed nothing)."""
+    from collections import Counter
+
+    words = [(" " + " ".join(w) + " ", f) for w, f in word_freqs]
+    rows: list[tuple[int, str, str, int]] = []
+    for i in range(n_merges):
+        cnt: Counter[str] = Counter()
+        for w, f in words:
+            syms = [s for s in w.split(" ") if s]
+            if len(syms) < 2:
+                continue
+            for a, b in zip(syms, syms[1:]):
+                cnt[a + " " + b] += f
+        if not cnt:
+            break
+        pair = min(cnt, key=lambda p: (-cnt[p], p))
+        rows.append((i + 1, pair, pair.replace(" ", ""), cnt[pair]))
+        if i == n_merges - 1:
+            # the final round's winner needs no re-segmentation — the
+            # oracle skips it too (w{i+1} emitted only between rounds)
+            break
+        s, r = f" {pair} ", " " + pair.replace(" ", "") + " "
+        words = [(w.replace(s, r).replace(s, r), f) for w, f in words]
+    return rows
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     vocab_cap: int = 4000,
     text_col: str = "text",
+    word_freqs: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges; returns the ranked merge table
     ``(merge_rank, pair, merged, cnt)`` — pair is the space-joined
     symbol pair, merged its concatenation, cnt the frequency-weighted
-    occurrence count that won the round."""
+    occurrence count that won the round.
+
+    r13 shape: ONE distributed corpus scan collects the capped
+    word-frequency table (bounded driver state), then the merge rounds
+    run driver-side (:func:`bpe_merge_rounds`) — the former 2
+    jobs/round (argmax checkpoint + re-segmentation checkpoint) over a
+    4000-row table were scheduling overhead, not data work.  Callers
+    that already collected the table pass ``word_freqs`` to skip the
+    scan."""
     assert n_merges >= 1
-    wf = word_frequencies(docs, text_col, vocab_cap)
-    # " h e l l o " — leading space + regexp-appended trailing spaces
-    w = wf.select(
-        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("w"),
-        "freq",
-    ).localCheckpoint()
-    merge_rows = []
-    for i in range(n_merges):
-        syms = w.select(
-            F.expr("filter(split(w, ' '), x -> x != '')").alias("syms"), "freq"
-        ).where(F.size("syms") >= 2)
-        counts = (
-            syms.select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms)-1), "
-                        "j -> concat(element_at(syms, j), ' ', element_at(syms, j+1)))"
-                    )
-                ).alias("pair"),
-                "freq",
-            )
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = counts.orderBy(F.desc("cnt"), "pair").limit(1).localCheckpoint()
-        merge_rows.append(
-            best.select(
-                F.lit(i + 1).cast("bigint").alias("merge_rank"),
-                "pair",
-                F.expr("replace(pair, ' ', '')").alias("merged"),
-                "cnt",
-            )
-        )
-        if i == n_merges - 1:
-            # the final round's winner needs no re-segmentation — the
-            # oracle skips it too (w{i+1} emitted only between rounds)
-            break
-        sub = best.select(
-            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")).alias("__s"),
-            F.concat(
-                F.lit(" "), F.expr("replace(pair, ' ', '')"), F.lit(" ")
-            ).alias("__r"),
-        )
-        w = (
-            w.crossJoin(F.broadcast(sub))
-            .select(
-                F.expr("replace(replace(w, __s, __r), __s, __r)").alias("w"),
-                "freq",
-            )
-            .localCheckpoint()
-        )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
+    if word_freqs is None:
+        word_freqs = collect_word_freqs(docs, text_col, vocab_cap)
+    rows = bpe_merge_rounds(word_freqs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        rows, "merge_rank long, pair string, merged string, cnt long"
+    )
 
 
 def bpe_segment_docs(

@@ -184,39 +184,52 @@ def train_langid_perceptron(
     score_cols = {lg: F.col(f"__s_{lg}") for lg in langs}
     pocket: tuple[int, int, dict] | None = None  # (err, t, w)
 
-    def _mistakes(weights):
+    def _round_agg(weights):
+        """ONE job per round (r13 — the quality.py _mistake_agg
+        discipline; formerly 3: mistake checkpoint, count, delta
+        collect): mistakes derive inline from the checkpointed feature
+        table, self-joined back for the per-(lang, bucket) deltas,
+        and |mistakes| rides along as the true-class-side row count of
+        the BIAS bucket (every doc carries bias c=1, so the yl-side
+        bias rows count exactly the mistake docs).  Returns (err,
+        delta rows) — values identical to the former three actions."""
         sc = _scored(labeled, weights, langs, n_buckets, id_col)
-        return (
-            sc.select(
-                id_col, "__y", _pred_expr(langs, score_cols).alias("__p")
-            )
-            .where(F.col("__y") != F.col("__p"))
-            .localCheckpoint(eager=True)
-        )
-
-    for t in range(1, n_rounds + 1):
-        m = _mistakes(w)
-        err = m.count()
-        if pocket is None or err < pocket[0]:
-            pocket = (err, t, {lg: dict(w[lg]) for lg in langs})
-        if err == 0:
-            break  # separated under the weak rule — converged
+        m = sc.select(
+            id_col, "__y", _pred_expr(langs, score_cols).alias("__p")
+        ).where(F.col("__y") != F.col("__p"))
         # labeled already carries the doc's true label __y; only the
         # prediction joins in (joining __y too would be ambiguous)
         dd = labeled.join(m.select(id_col, "__p"), id_col).select(
             "b", "c", F.col("__y").alias("yl"), F.col("__p").alias("pl")
         )
-        deltas = (
-            dd.select(F.col("yl").alias("lang"), "b", F.col("c").alias("d"))
+        rows = (
+            dd.select(
+                F.col("yl").alias("lang"),
+                "b",
+                F.col("c").alias("d"),
+                F.lit(1).cast("long").alias("ky"),
+            )
             .unionByName(
                 dd.select(
-                    F.col("pl").alias("lang"), "b", (-F.col("c")).alias("d")
+                    F.col("pl").alias("lang"),
+                    "b",
+                    (-F.col("c")).alias("d"),
+                    F.lit(0).cast("long").alias("ky"),
                 )
             )
             .groupBy("lang", "b")
-            .agg(F.sum("d").alias("s"))
+            .agg(F.sum("d").alias("s"), F.sum("ky").alias("ky"))
             .collect()
         )
+        err = sum(r["ky"] for r in rows if r["b"] == n_buckets)
+        return err, rows
+
+    for t in range(1, n_rounds + 1):
+        err, deltas = _round_agg(w)
+        if pocket is None or err < pocket[0]:
+            pocket = (err, t, {lg: dict(w[lg]) for lg in langs})
+        if err == 0:
+            break  # separated under the weak rule — converged
         den = err * t
         moved = False
         for r in deltas:
@@ -228,8 +241,7 @@ def train_langid_perceptron(
         if not moved:
             break  # fixed point under the truncating decay
     else:
-        m = _mistakes(w)
-        err = m.count()
+        err, _ = _round_agg(w)
         if err < pocket[0]:
             pocket = (err, n_rounds + 1, {lg: dict(w[lg]) for lg in langs})
     return pocket[2]

@@ -238,6 +238,20 @@ def unigram_encode(
         import hashlib
         import re
 
+        # per-task memo: viterbi_segment is a pure function of the word
+        # under the fixed scoring table, and corpora repeat words
+        # Zipf-style — segment each DISTINCT word once per task, not
+        # once per occurrence (guide §4.2: do less work per batch).
+        # Bounded by the task's distinct words; results are identical.
+        memo: dict[str, list[str]] = {}
+
+        def seg_word(w: str) -> list[str]:
+            s = memo.get(w)
+            if s is None:
+                s = viterbi_segment(w, scores, max_piece_len)
+                memo[w] = s
+            return s
+
         for pdf in batches:
             ids, n_toks, fps = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col], strict=True):
@@ -246,7 +260,7 @@ def unigram_encode(
                 for w in words:
                     if pieces:
                         pieces.append("|")
-                    pieces.extend(viterbi_segment(w, scores, max_piece_len))
+                    pieces.extend(seg_word(w))
                 joined = " ".join(pieces)
                 ids.append(doc_id)
                 n_toks.append(sum(1 for p in pieces if p != "|"))

@@ -84,108 +84,99 @@ _SCORE_SPARK = (
 )
 
 
+def wordpiece_merge_rounds(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int, int]]:
+    """The ``n_merges`` WordPiece rounds over a collected
+    word-frequency table, in exact integer arithmetic — pure driver
+    compute, zero scheduled jobs (r13, guide §1.2: the rounds iterate
+    a ``vocab_cap``-bounded table, so 3 distributed jobs per round
+    were scheduling overhead at every scale; the bpe_merge_rounds
+    rationale).  Bit-identical to the former in-plan recurrence: the
+    same symbol/pair frequency sums, the same fixed-point quotient
+    ``(cnt * 10^12) // (ca * cb)`` (floor on positive ints, exactly
+    the DECIMAL/HUGEINT ``div``), the same ``score_q DESC, pair``
+    argmax (ASCII symbols: Python code-point order == binary string
+    order), the same double non-overlapping ``replace``.  Returns
+    ``(merge_rank, pair, merged, cnt, score_q)``; stops when no pair
+    remains (ADVICE r10: the emitted rows are identical — empty
+    rounds contributed nothing)."""
+    from collections import Counter
+
+    words = [(" " + " ".join(w) + " ", f) for w, f in word_freqs]
+    rows: list[tuple[int, str, str, int, int]] = []
+    for i in range(n_merges):
+        sym_cnt: Counter[str] = Counter()
+        pair_cnt: Counter[tuple[str, str]] = Counter()
+        for w, f in words:
+            syms = [s for s in w.split(" ") if s]
+            for s in syms:
+                sym_cnt[s] += f
+            for a, b in zip(syms, syms[1:]):
+                pair_cnt[(a, b)] += f
+        if not pair_cnt:
+            break
+        best: tuple[tuple[int, str], int] | None = None
+        for (a, b), c in pair_cnt.items():
+            score_q = (c * WP_PREC) // (sym_cnt[a] * sym_cnt[b])
+            key = (-score_q, a + " " + b)
+            if best is None or key < best[0]:
+                best = (key, c)
+        (neg_q, pair), cnt = best
+        rows.append((i + 1, pair, pair.replace(" ", ""), cnt, -neg_q))
+        if i == n_merges - 1:
+            break
+        s, r = f" {pair} ", " " + pair.replace(" ", "") + " "
+        words = [(w.replace(s, r).replace(s, r), f) for w, f in words]
+    return rows
+
+
 def wordpiece_train(
     docs: DataFrame,
     n_merges: int = 10,
     vocab_cap: int = 4000,
     text_col: str = "text",
+    word_freqs: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Train ``n_merges`` WordPiece merges; returns the ranked merge
     table ``(merge_rank, pair, merged, cnt, score_q)`` — pair is the
     space-joined symbol pair, merged its concatenation, cnt the
     frequency-weighted pair count, score_q the winning fixed-point
-    likelihood ratio."""
+    likelihood ratio.
+
+    r13 shape: ONE distributed corpus scan collects the capped
+    word-frequency table (bounded driver state, the unigram_train
+    precedent), then the merge rounds run driver-side
+    (:func:`wordpiece_merge_rounds`).  Callers that already collected
+    the table pass ``word_freqs`` to skip the scan."""
+    from .bpe import collect_word_freqs
+
     assert n_merges >= 1
-    wf = word_frequencies(docs, text_col, vocab_cap)
-    w = wf.select(
-        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("w"),
-        "freq",
-    ).localCheckpoint()
-    merge_rows = []
-    for i in range(n_merges):
-        syms = w.select(
-            F.expr("filter(split(w, ' '), x -> x != '')").alias("syms"), "freq"
-        )
-        # denominator: frequency-weighted occurrences of EVERY symbol
-        # (single-symbol words included — they carry unigram mass)
-        sym_cnt = (
-            syms.select(F.explode("syms").alias("sym"), "freq")
-            .groupBy("sym")
-            .agg(F.sum("freq").cast("long").alias("c"))
-        )
-        pairs = (
-            syms.where(F.size("syms") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms)-1), "
-                        "j -> struct(element_at(syms, j) AS a, "
-                        "element_at(syms, j+1) AS b))"
-                    )
-                ).alias("p"),
-                "freq",
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").cast("long").alias("cnt"))
-        )
-        scored = (
-            pairs.join(sym_cnt.select(F.col("sym").alias("a"), F.col("c").alias("ca")), "a")
-            .join(sym_cnt.select(F.col("sym").alias("b"), F.col("c").alias("cb")), "b")
-            .select(
-                F.concat_ws(" ", "a", "b").alias("pair"),
-                "cnt",
-                F.expr(_SCORE_SPARK).alias("score_q"),
-            )
-        )
-        best = scored.orderBy(F.desc("score_q"), "pair").limit(1).localCheckpoint()
-        exhausted = best.count() == 0
-        merge_rows.append(
-            best.select(
-                F.lit(i + 1).cast("bigint").alias("merge_rank"),
-                "pair",
-                F.expr("replace(pair, ' ', '')").alias("merged"),
-                "cnt",
-                "score_q",
-            )
-        )
-        if exhausted:
-            # every word fused to a single symbol: no pairs remain, so
-            # no further merge is learnable.  Stop — the old code
-            # cross-joined the word table against this EMPTY broadcast,
-            # silently wiping it so all later rounds yielded empty rows
-            # (ADVICE r10).  The emitted rows are identical (the empty
-            # rounds contributed nothing), this just stops the wasted
-            # work and leaves the short-vocabulary case visible to
-            # callers via row count
-            break
-        if i == n_merges - 1:
-            break
-        sub = best.select(
-            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")).alias("__s"),
-            F.concat(
-                F.lit(" "), F.expr("replace(pair, ' ', '')"), F.lit(" ")
-            ).alias("__r"),
-        )
-        w = (
-            w.crossJoin(F.broadcast(sub))
-            .select(
-                F.expr("replace(replace(w, __s, __r), __s, __r)").alias("w"),
-                "freq",
-            )
-            .localCheckpoint()
-        )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
+    if word_freqs is None:
+        word_freqs = collect_word_freqs(docs, text_col, vocab_cap)
+    rows = wordpiece_merge_rounds(word_freqs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "merge_rank long, pair string, merged string, cnt long, score_q long",
+    )
 
 
 def wordpiece_alphabet(
-    docs: DataFrame, vocab_cap: int = 4000, text_col: str = "text"
+    docs: DataFrame,
+    vocab_cap: int = 4000,
+    text_col: str = "text",
+    word_freqs: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """The training alphabet: every distinct character of the capped
     word-frequency table (bounded: <= 26 rows on the ``[a-z]+`` word
-    shape) — the single-character base of the encode vocabulary."""
+    shape) — the single-character base of the encode vocabulary.
+    ``word_freqs`` (optional, r13) reuses a collected table so
+    train+alphabet callers pay ONE corpus scan, not two."""
+    if word_freqs is not None:
+        pieces = sorted({ch for w, _ in word_freqs for ch in w})
+        return docs.sparkSession.createDataFrame(
+            [(p,) for p in pieces], "piece string"
+        )
     wf = word_frequencies(docs, text_col, vocab_cap)
     return (
         wf.select(F.explode(F.split("word", "")).alias("piece"))
@@ -237,6 +228,20 @@ def wordpiece_encode(
         import hashlib
         import re
 
+        # per-task memo: greedy_segment is a pure function of the word
+        # under the fixed vocabulary, and corpora repeat words
+        # Zipf-style — segment each DISTINCT word once per task, not
+        # once per occurrence (guide §4.2).  Bounded by the task's
+        # distinct words; results are identical.
+        memo: dict[str, list[str]] = {}
+
+        def seg_word(w: str) -> list[str]:
+            s = memo.get(w)
+            if s is None:
+                s = greedy_segment(w, vocab)
+                memo[w] = s
+            return s
+
         for pdf in batches:
             ids, n_words, n_unk, n_toks, fps = [], [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col], strict=True):
@@ -244,7 +249,7 @@ def wordpiece_encode(
                 pieces: list[str] = []
                 unk = 0
                 for w in words:
-                    seg = greedy_segment(w, vocab)
+                    seg = seg_word(w)
                     if seg == [UNK]:
                         unk += 1
                     if pieces:

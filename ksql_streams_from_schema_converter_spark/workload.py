@@ -10174,15 +10174,14 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the apply; the md5 of each final segmented string is emitted,
     so a single mis-segmented byte anywhere in the corpus flips the
     gate.  The oracle re-derives the merges AND replays the encode."""
-    from .operators.bpe import bpe_segment_docs, bpe_train
+    from .operators.bpe import bpe_merge_rounds, bpe_segment_docs, collect_word_freqs
 
     docs = load_table(spark, sf_dir, "documents")
-    # bounded driver collect: n_merges rows (the trained artifact)
+    # ONE corpus scan collects the capped word table; the merge rounds
+    # run driver-side over it (bounded state, r13) — rows already in
+    # merge_rank order
     merges = [
-        r.pair
-        for r in bpe_train(docs, n_merges=10, vocab_cap=4000)
-        .orderBy("merge_rank")
-        .collect()
+        p for _, p, _, _ in bpe_merge_rounds(collect_word_freqs(docs), 10)
     ]
     return bpe_segment_docs(docs, merges)
 
@@ -10206,18 +10205,17 @@ def bpe_tokenizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .operators.bpe import (
+        bpe_merge_rounds,
         bpe_segment_docs,
-        bpe_train,
+        collect_word_freqs,
         load_bpe_merges,
         save_bpe_merges,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus scan + driver-side rounds (bounded state, r13)
     merges = [
-        r.pair
-        for r in bpe_train(docs, n_merges=10, vocab_cap=4000)
-        .orderBy("merge_rank")
-        .collect()
+        p for _, p, _, _ in bpe_merge_rounds(collect_word_freqs(docs), 10)
     ]
     store = tempfile.mkdtemp(prefix="bpe_store_")
     try:
@@ -10775,19 +10773,17 @@ def wordpiece_encode_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cursor IS substr(word, pos+1, max(len(piece))) over a vocabulary
     join).  Scale: the vocabulary is the bounded trained artifact in
     the task closure; the encode is ONE Arrow pass, no shuffle."""
-    from .operators.wordpiece import (
-        wordpiece_alphabet,
-        wordpiece_encode,
-        wordpiece_train,
-    )
+    from .operators.bpe import collect_word_freqs
+    from .operators.wordpiece import wordpiece_encode, wordpiece_merge_rounds
 
     docs = load_table(spark, sf_dir, "documents")
-    # bounded driver collects: the n_merges-row trained artifact and
-    # the <= 26-row alphabet (the BPE merge-list precedent)
-    merges = {
-        r.merged for r in wordpiece_train(docs, n_merges=10, vocab_cap=4000).collect()
-    }
-    alphabet = {r.piece for r in wordpiece_alphabet(docs, vocab_cap=4000).collect()}
+    # ONE corpus scan collects the capped word table (bounded driver
+    # state, r13); merges and alphabet both derive from it — the old
+    # train+alphabet pair scanned the corpus twice and scheduled 3
+    # jobs per merge round over the 4000-row table
+    wfreqs = collect_word_freqs(docs, vocab_cap=4000)
+    merges = {m for _, _, m, _, _ in wordpiece_merge_rounds(wfreqs, 10)}
+    alphabet = {ch for w, _ in wfreqs for ch in w}
     return wordpiece_encode(docs, alphabet | merges)
 
 
@@ -11107,14 +11103,11 @@ def _pretrain_funnel(
     language-gated corpus) v8.  Returns ``(binned, sd, enc)``: the
     NTILE-binned LM scores, the SemDeDup verdicts over the gate's
     survivors, and the WordPiece encode of the final survivors."""
+    from .operators.bpe import collect_word_freqs
     from .operators.clustering import semdedup_kmeans, semdedup_two_level
     from .operators.ranking import global_ntile
     from .operators.text import bigram_backoff_surprisal
-    from .operators.wordpiece import (
-        wordpiece_alphabet,
-        wordpiece_encode,
-        wordpiece_train,
-    )
+    from .operators.wordpiece import wordpiece_encode, wordpiece_merge_rounds
 
     lm = bigram_backoff_surprisal(corpus).select(
         "doc_id", "n_bigrams", "bpb_milli"
@@ -11140,15 +11133,11 @@ def _pretrain_funnel(
         .select("doc_id")
     )
     survdocs = corpus.join(surv, "doc_id").localCheckpoint(eager=True)
-    # bounded driver collects: the 10-row merge table + <=26-char
-    # alphabet (the wordpiece_encode_greedy precedent)
-    merges = {
-        r.merged
-        for r in wordpiece_train(survdocs, n_merges=10, vocab_cap=4000).collect()
-    }
-    alpha = {
-        r.piece for r in wordpiece_alphabet(survdocs, vocab_cap=4000).collect()
-    }
+    # ONE survivor-corpus scan collects the capped word table (bounded
+    # driver state, r13); merges and alphabet both derive from it
+    wfreqs = collect_word_freqs(survdocs, vocab_cap=4000)
+    merges = {m for _, _, m, _, _ in wordpiece_merge_rounds(wfreqs, 10)}
+    alpha = {ch for w, _ in wfreqs for ch in w}
     enc = wordpiece_encode(survdocs, alpha | merges)
     return binned, sd, enc
 
@@ -11780,12 +11769,12 @@ def streaming_pretrain_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_bigram_lm,
         save_bigram_lm,
     )
+    from .operators.bpe import collect_word_freqs
     from .operators.wordpiece import (
         load_wordpiece_vocab,
         save_wordpiece_vocab,
-        wordpiece_alphabet,
         wordpiece_encode,
-        wordpiece_train,
+        wordpiece_merge_rounds,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -11799,13 +11788,9 @@ def streaming_pretrain_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         # artifacts — the tokenizer vocabulary and the bigram-LM count
         # table — so every batch scores under stored state and nothing
         # re-counts the reference corpus at scoring time
-        merges = {
-            r.merged
-            for r in wordpiece_train(ref, n_merges=10, vocab_cap=4000).collect()
-        }
-        alpha = {
-            r.piece for r in wordpiece_alphabet(ref, vocab_cap=4000).collect()
-        }
+        wfreqs = collect_word_freqs(ref, vocab_cap=4000)
+        merges = {m for _, _, m, _, _ in wordpiece_merge_rounds(wfreqs, 10)}
+        alpha = {ch for w, _ in wfreqs for ch in w}
         save_wordpiece_vocab(spark, store, alpha | merges, seq=0)
         save_bigram_lm(spark, store, bigram_lm_counts(ref), seq=0)
         now = _time.time()
@@ -11896,22 +11881,20 @@ def wordpiece_tokenizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
     import tempfile
 
+    from .operators.bpe import collect_word_freqs
     from .operators.wordpiece import (
         load_wordpiece_vocab,
         save_wordpiece_vocab,
-        wordpiece_alphabet,
         wordpiece_encode,
-        wordpiece_train,
+        wordpiece_merge_rounds,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = {
-        r.merged
-        for r in wordpiece_train(docs, n_merges=10, vocab_cap=4000).collect()
-    }
-    alphabet = {
-        r.piece for r in wordpiece_alphabet(docs, vocab_cap=4000).collect()
-    }
+    # ONE corpus scan collects the capped word table (bounded driver
+    # state, r13); merges and alphabet both derive from it
+    wfreqs = collect_word_freqs(docs, vocab_cap=4000)
+    merges = {m for _, _, m, _, _ in wordpiece_merge_rounds(wfreqs, 10)}
+    alphabet = {ch for w, _ in wfreqs for ch in w}
     store = tempfile.mkdtemp(prefix="tok_store_")
     try:
         save_wordpiece_vocab(spark, store, alphabet | merges, seq=0)
