@@ -332,14 +332,17 @@ def save_bpe_merges(spark, store_dir: str, merges: list[str], seq: int) -> str:
     ``merge_rank``.  Idempotent per seq.  Returns the label."""
     import os
 
-    from .indexstore import commit_ingest, ingest_paths
+    from .indexstore import commit_ingest, ingest_paths, write_artifact_parquet
 
     label = f"b{seq}"
     path = ingest_paths(store_dir, BPE_SUB, [label])[0]
-    spark.createDataFrame(
+    # bounded artifact (n_merges rows): driver-side parquet write, no
+    # distributed job (r13 — indexstore.write_artifact_parquet)
+    write_artifact_parquet(
+        path,
         [(i + 1, p) for i, p in enumerate(merges)],
         "merge_rank long, pair string",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    )
     os.makedirs(store_dir, exist_ok=True)
     commit_ingest(store_dir, label, max_id=None, kind="bpe_tokenizer", seq=seq)
     return label
@@ -351,7 +354,7 @@ def load_bpe_merges(
     """Read a committed merge list (highest ``seq`` when None) in
     training order — manifest-scoped, so torn saves are invisible; the
     collect is the bounded trained artifact (n_merges rows)."""
-    from .indexstore import read_ingests, read_manifest
+    from .indexstore import read_artifact_rows, read_manifest
 
     entries = [
         e for e in read_manifest(store_dir) if e.get("kind") == "bpe_tokenizer"
@@ -364,7 +367,7 @@ def load_bpe_merges(
             + (f" with seq={seq}" if seq is not None else "")
         )
     best = max(entries, key=lambda e: e["seq"])
-    rows = read_ingests(spark, store_dir, BPE_SUB, [best["label"]]).collect()
+    rows = read_artifact_rows(store_dir, BPE_SUB, [best["label"]])
     return (
         [r["pair"] for r in sorted(rows, key=lambda r: r["merge_rank"])],
         best["label"],

@@ -510,48 +510,78 @@ def kmeans_two_level(
     return None  # unreachable: n_iter >= 1 returns inside the loop
 
 
-def _coarse_structures(cents, kc, nc_iter):
-    """One round's coarse Lloyd over the k centroid rows (exact,
-    tiny — k·kc·nc_iter flops): returns ``(cmap, ccents)`` where cmap
-    ``(cpid, sc)`` maps each fine centroid to its super-cell (k rows,
-    eagerly checkpointed — read by BOTH the non-empty filter and the
-    fine-candidate join, so neither downstream leg re-derives the
-    coarse argmin chain) and ccents ``(sc, cc)`` are the coarse
-    centroids."""
-    from pyspark.sql import Window
-
-    cpts = cents.select(F.col("cluster").alias("cpid"), F.col("c").alias("cq"))
-    cseeds = cpts.orderBy("cpid").limit(kc)
-    ccents = cseeds.select(
-        (F.row_number().over(Window.orderBy("cpid")) - 1).alias("sc"),
-        F.col("cq").alias("cc"),
-    )
-    cmap = None
+def _coarse_lloyd_py(
+    cpts: list[tuple[int, list[int]]], kc: int, nc_iter: int
+) -> tuple[list[tuple[int, int]], list[tuple[int, list[int]]]]:
+    """The coarse Lloyd recurrence over the collected k centroid rows,
+    in exact integer Python — bit-identical to the former in-plan
+    chain: seeds = the ``kc`` lowest-cpid centroids (sc = rank),
+    assignment elects ``min((dist, sc))`` (the struct election),
+    updates are per-dimension ``sum div count`` with Spark's
+    truncate-toward-zero ``div`` semantics, empty super-cells keep
+    their previous centroid.  Returns ``(cmap rows (cpid, sc),
+    ccents rows (sc, cc))``."""
+    seeds = sorted(cpts)[:kc]
+    ccents: dict[int, list[int]] = {i: q for i, (_, q) in enumerate(seeds)}
+    cass: dict[int, int] = {}
     for j in range(nc_iter):
-        ckey = _election(_sq_dist(F.col("cq"), F.col("cc")), F.col("sc"))
-        cass = (
-            cpts.crossJoin(F.broadcast(ccents))
-            .groupBy("cpid")
-            .agg(F.min(ckey).alias("__ck"))
-            .select("cpid", F.col("__ck.c").alias("sc"))
-        )
+        cass = {}
+        for cpid, q in cpts:
+            best = None
+            for sc, cc in ccents.items():
+                d = sum((x - y) * (x - y) for x, y in zip(q, cc))
+                if best is None or (d, sc) < best:
+                    best = (d, sc)
+            cass[cpid] = best[1]
         if j == nc_iter - 1:
-            cmap = cass.localCheckpoint(eager=True)
             break
-        csums = (
-            cpts.join(cass, "cpid")
-            .select("sc", F.posexplode("cq").alias("pos", "v"))
-            .groupBy("sc", "pos")
-            .agg(F.expr("sum(v) div count(*)").alias("cv"))
-        )
-        cnew = csums.groupBy("sc").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s.cv,
-            ).alias("cc")
-        )
-        ckept = ccents.join(cnew.select("sc"), "sc", "left_anti")
-        ccents = cnew.unionByName(ckept).localCheckpoint()
+        groups: dict[int, list[list[int]]] = {}
+        for cpid, q in cpts:
+            groups.setdefault(cass[cpid], []).append(q)
+        new: dict[int, list[int]] = {}
+        for sc, qs in groups.items():
+            n = len(qs)
+            new[sc] = [
+                (abs(s) // n) * (1 if s >= 0 else -1)
+                for s in (sum(q[pos] for q in qs) for pos in range(len(qs[0])))
+            ]
+        for sc, cc in ccents.items():
+            if sc not in new:
+                new[sc] = cc  # empty super-cell keeps its centroid
+        ccents = new
+    return (
+        sorted(cass.items()),
+        sorted((sc, cc) for sc, cc in ccents.items()),
+    )
+
+
+def _coarse_structures(cents, kc, nc_iter):
+    """One round's coarse Lloyd over the k centroid rows: returns
+    ``(cmap, ccents)`` where cmap ``(cpid, sc)`` maps each fine
+    centroid to its super-cell and ccents ``(sc, cc)`` are the coarse
+    centroids.
+
+    r13 shape (guide §1.2): the recurrence iterates a k-row table —
+    bounded driver state, the k-means-centroid shape itself — so its
+    former 2-3 distributed checkpoint jobs per round were pure
+    scheduling overhead at every scale.  Collect the k rows once
+    (cheap: ``cents`` is checkpointed by both callers) and replay the
+    identical integer recurrence in Python (:func:`_coarse_lloyd_py`);
+    the results return as LocalRelation DataFrames, so the downstream
+    broadcast joins materialize WITHOUT a scheduled job.  Values and
+    dtypes are bit-identical (cpid keeps the input's cluster dtype —
+    int for cold chains, bigint for warm-started ones)."""
+    rows = [
+        (r["cpid"], list(r["cq"]))
+        for r in cents.select(
+            F.col("cluster").alias("cpid"), F.col("c").alias("cq")
+        ).collect()
+    ]
+    cmap_rows, cc_rows = _coarse_lloyd_py(rows, kc, nc_iter)
+    spark = cents.sparkSession
+    ctype = cents.schema["cluster"].dataType.simpleString()
+    cmap = spark.createDataFrame(cmap_rows, f"cpid {ctype}, sc int")
+    ccents = spark.createDataFrame(cc_rows, "sc int, cc array<bigint>")
     return cmap, ccents
 
 

@@ -232,6 +232,55 @@ def ingest_paths(index_dir: str, sub: str, labels: list[str]) -> list[str]:
     return [os.path.join(index_dir, sub, f"ingest={lb}") for lb in labels]
 
 
+def write_artifact_parquet(path: str, rows, schema: str) -> None:
+    """Driver-side parquet write of a BOUNDED artifact (trained
+    weights, merge lists, vocabularies — KB-sized at ANY corpus size,
+    the k-means-centroid shape).  The data lands as standard parquet
+    under the normal ingest path and is committed by the same manifest
+    discipline; writing it driver-side skips the distributed write job
+    + commit-protocol round a tiny ``coalesce(1)`` write paid per save
+    (r13, guide §1.2 — measured ~0.5-1 s of pure scheduling per KB
+    artifact).  ``schema`` is a ``"name type, ..."`` string with types
+    ``long`` | ``string``."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = []
+    for spec in schema.split(","):
+        name, typ = spec.split()
+        fields.append((name, pa.int64() if typ == "long" else pa.string()))
+    cols = list(zip(*rows)) if rows else [[] for _ in fields]
+    table = pa.table(
+        {
+            name: pa.array(list(vals), type=t)
+            for (name, t), vals in zip(fields, cols)
+        }
+    )
+    shutil.rmtree(path, ignore_errors=True)  # mode("overwrite") parity
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
+def read_artifact_rows(
+    index_dir: str, sub: str, labels: list[str]
+) -> list[dict]:
+    """Driver-side read of bounded-artifact ingests (the load twin of
+    :func:`write_artifact_parquet`; skips a scheduled read job per
+    load): row dicts from every parquet part under the committed
+    labels — reads Spark-written parts identically."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for p in ingest_paths(index_dir, sub, labels):
+        for f in sorted(glob.glob(os.path.join(p, "*.parquet"))):
+            rows.extend(pq.read_table(f).to_pylist())
+    return rows
+
+
 def read_ingests(
     spark: SparkSession, index_dir: str, sub: str, labels: list[str]
 ) -> DataFrame | None:

@@ -302,11 +302,21 @@ def save_langid_weights(
     tokenizer-store discipline.  Returns the label."""
     import os
 
-    from .indexstore import commit_ingest, ingest_paths
+    from .indexstore import commit_ingest, ingest_paths, write_artifact_parquet
 
     label = f"lid{seq}"
     path = ingest_paths(store_dir, LANGID_SUB, [label])[0]
-    langid_weights_table(spark, weights).write.mode("overwrite").parquet(path)
+    # bounded artifact (L·(n_buckets+1) rows): driver-side parquet
+    # write, no distributed job (r13)
+    write_artifact_parquet(
+        path,
+        [
+            (lg, b, wv)
+            for lg in sorted(weights)
+            for b, wv in sorted(weights[lg].items())
+        ],
+        "lang string, b long, w long",
+    )
     os.makedirs(store_dir, exist_ok=True)
     commit_ingest(store_dir, label, max_id=None, kind="langid", seq=seq)
     return label
@@ -318,7 +328,7 @@ def load_langid_weights(
     """Read a committed weight state (highest ``seq`` when None) —
     manifest-scoped, torn saves invisible.  The artifact is
     L·(n_buckets+1) integers, so the collect is bounded."""
-    from .indexstore import read_ingests, read_manifest
+    from .indexstore import read_artifact_rows, read_manifest
 
     entries = [
         e for e in read_manifest(store_dir) if e.get("kind") == "langid"
@@ -331,8 +341,7 @@ def load_langid_weights(
             + (f" with seq={seq}" if seq is not None else "")
         )
     best = max(entries, key=lambda e: e["seq"])
-    df = read_ingests(spark, store_dir, LANGID_SUB, [best["label"]])
     out: dict[str, dict[int, int]] = {}
-    for r in df.collect():
+    for r in read_artifact_rows(store_dir, LANGID_SUB, [best["label"]]):
         out.setdefault(r["lang"], {})[r["b"]] = r["w"]
     return out, best["label"]

@@ -366,13 +366,13 @@ def save_quality_weights(
     replaces both data and entry.  Returns the label."""
     import os
 
-    from .indexstore import commit_ingest, ingest_paths
+    from .indexstore import commit_ingest, ingest_paths, write_artifact_parquet
 
     label = f"m{seq}"
     path = ingest_paths(store_dir, WEIGHTS_SUB, [label])[0]
-    weights_table(spark, weights).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # bounded artifact (n_buckets + 1 rows): driver-side parquet write,
+    # no distributed job (r13)
+    write_artifact_parquet(path, sorted(weights.items()), "b long, w long")
     os.makedirs(store_dir, exist_ok=True)
     commit_ingest(store_dir, label, max_id=None, kind="weights", seq=seq)
     return label
@@ -384,7 +384,7 @@ def load_quality_weights(
     """Read a committed model version (highest ``seq`` when None) —
     manifest-scoped, so torn saves are invisible; the collect is the
     bounded n_buckets+1 rows (the k-means-centroid shape)."""
-    from .indexstore import read_ingests, read_manifest
+    from .indexstore import read_artifact_rows, read_manifest
 
     entries = [
         e for e in read_manifest(store_dir) if e.get("kind") == "weights"
@@ -397,7 +397,7 @@ def load_quality_weights(
             + (f" with seq={seq}" if seq is not None else "")
         )
     best = max(entries, key=lambda e: e["seq"])
-    rows = read_ingests(spark, store_dir, WEIGHTS_SUB, [best["label"]]).collect()
+    rows = read_artifact_rows(store_dir, WEIGHTS_SUB, [best["label"]])
     return {r["b"]: r["w"] for r in rows}, best["label"]
 
 

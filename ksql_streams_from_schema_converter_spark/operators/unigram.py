@@ -578,13 +578,15 @@ def save_unigram_vocab(
     replays idempotent per seq.  Returns the label."""
     import os
 
-    from .indexstore import commit_ingest, ingest_paths
+    from .indexstore import commit_ingest, ingest_paths, write_artifact_parquet
 
     label = f"u{seq}"
     path = ingest_paths(store_dir, UNIGRAM_SUB, [label])[0]
-    spark.createDataFrame(
-        sorted(vocab.items()), "piece string, score long"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    # bounded artifact (≤ piece_cap + alphabet rows): driver-side
+    # parquet write, no distributed job (r13)
+    write_artifact_parquet(
+        path, sorted(vocab.items()), "piece string, score long"
+    )
     os.makedirs(store_dir, exist_ok=True)
     commit_ingest(
         store_dir, label, max_id=None, kind="unigram_tokenizer", seq=seq
@@ -599,7 +601,7 @@ def load_unigram_vocab(
     manifest-scoped; the collect is the bounded trained artifact
     (≤ piece_cap + alphabet rows, the shape :func:`unigram_encode`
     holds in its task closure anyway)."""
-    from .indexstore import read_ingests, read_manifest
+    from .indexstore import read_artifact_rows, read_manifest
 
     entries = [
         e
@@ -614,7 +616,5 @@ def load_unigram_vocab(
             + (f" with seq={seq}" if seq is not None else "")
         )
     best = max(entries, key=lambda e: e["seq"])
-    rows = read_ingests(
-        spark, store_dir, UNIGRAM_SUB, [best["label"]]
-    ).collect()
+    rows = read_artifact_rows(store_dir, UNIGRAM_SUB, [best["label"]])
     return {r["piece"]: r["score"] for r in rows}, best["label"]

@@ -517,13 +517,15 @@ def save_wordpiece_vocab(spark, store_dir: str, vocab: set[str], seq: int) -> st
     seq.  Returns the label."""
     import os
 
-    from .indexstore import commit_ingest, ingest_paths
+    from .indexstore import commit_ingest, ingest_paths, write_artifact_parquet
 
     label = f"t{seq}"
     path = ingest_paths(store_dir, TOKENIZER_SUB, [label])[0]
-    spark.createDataFrame(
-        sorted((p,) for p in vocab), "piece string"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    # bounded artifact (alphabet + n_merges rows): driver-side parquet
+    # write, no distributed job (r13)
+    write_artifact_parquet(
+        path, sorted((p,) for p in vocab), "piece string"
+    )
     os.makedirs(store_dir, exist_ok=True)
     commit_ingest(store_dir, label, max_id=None, kind="tokenizer", seq=seq)
     return label
@@ -535,7 +537,7 @@ def load_wordpiece_vocab(
     """Read a committed vocabulary version (highest ``seq`` when None)
     — manifest-scoped, so torn saves are invisible; the collect is the
     bounded trained artifact (alphabet + n_merges rows)."""
-    from .indexstore import read_ingests, read_manifest
+    from .indexstore import read_artifact_rows, read_manifest
 
     entries = [
         e for e in read_manifest(store_dir) if e.get("kind") == "tokenizer"
@@ -548,7 +550,5 @@ def load_wordpiece_vocab(
             + (f" with seq={seq}" if seq is not None else "")
         )
     best = max(entries, key=lambda e: e["seq"])
-    rows = read_ingests(
-        spark, store_dir, TOKENIZER_SUB, [best["label"]]
-    ).collect()
+    rows = read_artifact_rows(store_dir, TOKENIZER_SUB, [best["label"]])
     return {r["piece"] for r in rows}, best["label"]

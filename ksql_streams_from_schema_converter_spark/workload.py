@@ -51,6 +51,47 @@ def _await_or_raise(q, timeout: int = 120, what: str = "stream") -> None:
         raise TimeoutError(f"{what} did not drain within {timeout}s")
 
 
+def _stage_stream_files(
+    work: str, stream_dir: str, parts: list[DataFrame], names: list[str]
+) -> None:
+    """Build the id-deterministic input files of a foreachBatch stream
+    with ONE Spark write (r13, guide §1.2): the same-schema subsets
+    union under a ``__file`` partition column and land via a single
+    ``partitionBy`` write, where the former loop paid one coalesce(1)
+    write job + commit-protocol round PER FILE for the same bytes.
+    Each part file then moves to ``stream_dir/<name>`` with 10 s-spaced
+    mtimes so ``maxFilesPerTrigger=1`` replays them oldest-first
+    (batch_id == file index), exactly as before.  File CONTENT per
+    subset is unchanged (partitionBy groups by the literal column
+    value); an empty subset — which partitionBy would skip — falls back
+    to the old per-subset write so batch ids keep their meaning."""
+    import glob as _glob
+    import os
+    import shutil
+    import time as _time
+
+    u = None
+    for i, p in enumerate(parts):
+        pi = p.withColumn("__file", F.lit(i))
+        u = pi if u is None else u.unionByName(pi)
+    tmp = os.path.join(work, "__stage")
+    u.coalesce(1).write.partitionBy("__file").parquet(tmp)
+    now = _time.time()
+    for i, name in enumerate(names):
+        sub = os.path.join(tmp, f"__file={i}")
+        files = _glob.glob(os.path.join(sub, "part-*.parquet"))
+        dst = os.path.join(stream_dir, name)
+        if files:
+            shutil.move(files[0], dst)
+        else:
+            empty = sub + "_empty"
+            parts[i].coalesce(1).write.mode("overwrite").parquet(empty)
+            shutil.move(
+                _glob.glob(os.path.join(empty, "part-*.parquet"))[0], dst
+            )
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+
 # ===========================================================================
 # T24 pipeline queries (reference parity; SURVEY.md §2.1-2.4)
 # ===========================================================================
@@ -1578,19 +1619,17 @@ def streaming_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = os.path.join(work, "idx")
     os.makedirs(stream_dir)
     try:
-        now = _time.time()
         splits = [
             ("b0", F.col("vec_id") % 5 != 3),
             ("b1", (F.col("vec_id") % 5 == 3) & (F.col("vec_id") % 2 == 0)),
             ("b2", (F.col("vec_id") % 5 == 3) & (F.col("vec_id") % 2 == 1)),
         ]
-        for i, (name, cond) in enumerate(splits):
-            tmp = os.path.join(work, f"tmp_{name}")
-            corpus.where(cond).coalesce(1).write.parquet(tmp)
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"{name}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _stage_stream_files(
+            work,
+            stream_dir,
+            [corpus.where(cond) for _, cond in splits],
+            [f"{name}.parquet" for name, _ in splits],
+        )
 
         # the quantizer is frozen at build — cache it in the closure so
         # later micro-batches skip the per-batch centroids read
@@ -2223,14 +2262,9 @@ def streaming_multimodal_retraction(spark: SparkSession, sf_dir: str) -> DataFra
                 F.lit(None).cast("string").alias("text"),
             ),
         ]
-        now = _time.time()
-        for i, op in enumerate(ops):
-            tmp = os.path.join(work, f"tmp_{i}")
-            op.coalesce(1).write.parquet(tmp)
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"op{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _stage_stream_files(
+            work, stream_dir, ops, [f"op{i}.parquet" for i in range(len(ops))]
+        )
 
         def apply_ops(batch_df, batch_id: int) -> None:
             m = batch_df.where(F.col("kind") == "media").select(
@@ -9182,14 +9216,12 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join(work, "store")
     os.makedirs(stream_dir)
     try:
-        now = _time.time()
-        for i in range(3):
-            tmp = os.path.join(work, f"tmp_b{i}")
-            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"b{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _stage_stream_files(
+            work,
+            stream_dir,
+            [docs.where(F.col("doc_id") % 3 == i) for i in range(3)],
+            [f"b{i}.parquet" for i in range(3)],
+        )
 
         def gate_batch(batch_df, batch_id: int) -> None:
             label_col = F.col("n_chars") >= 250
@@ -10559,21 +10591,19 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = os.path.join(work, "idx")
     os.makedirs(stream_dir)
     try:
-        now = _time.time()
         splits = [
             ("b0", F.col("doc_id") < 10000),
             ("b1", (F.col("doc_id") >= 10000) & (F.col("doc_id") < 20000)),
             ("b2", F.col("doc_id") >= 20000),
         ]
-        for i, (name, cond) in enumerate(splits):
-            tmp = os.path.join(work, f"tmp_{name}")
-            corpus.where(cond).coalesce(1).write.parquet(tmp)
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"{name}.parquet")
-            shutil.move(part, dst)
-            # oldest-first source order == id order (10 s apart so the
-            # ordering can never be a same-mtime coin flip)
-            os.utime(dst, (now + 10 * i, now + 10 * i))
+        # oldest-first source order == id order (10 s-apart mtimes from
+        # the staging helper, so ordering is never a same-mtime coin flip)
+        _stage_stream_files(
+            work,
+            stream_dir,
+            [corpus.where(cond) for _, cond in splits],
+            [f"{name}.parquet" for name, _ in splits],
+        )
 
         def refresh_batch(batch_df, batch_id: int) -> None:
             # foreachBatch is at-least-once: dispatch on the CHECKPOINTED
@@ -10658,14 +10688,9 @@ def streaming_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("doc").alias("kind"), "doc_id", "text"
             ),
         ]
-        now = _time.time()
-        for i, op in enumerate(ops):
-            tmp = os.path.join(work, f"tmp_{i}")
-            op.coalesce(1).write.parquet(tmp)
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"op{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _stage_stream_files(
+            work, stream_dir, ops, [f"op{i}.parquet" for i in range(len(ops))]
+        )
 
         def apply_ops(batch_df, batch_id: int) -> None:
             # files are homogeneous by construction, but a mixed batch
@@ -11422,14 +11447,9 @@ def streaming_ann_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("array<double>").alias("embedding"),
             ),
         ]
-        now = _time.time()
-        for i, op in enumerate(ops):
-            tmp = os.path.join(work, f"tmp_{i}")
-            op.coalesce(1).write.parquet(tmp)
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"op{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _stage_stream_files(
+            work, stream_dir, ops, [f"op{i}.parquet" for i in range(len(ops))]
+        )
 
         def apply_ops(batch_df, batch_id: int) -> None:
             vecs = batch_df.where(F.col("kind") == "vec").select(
@@ -11793,14 +11813,12 @@ def streaming_pretrain_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha = {ch for w, _ in wfreqs for ch in w}
         save_wordpiece_vocab(spark, store, alpha | merges, seq=0)
         save_bigram_lm(spark, store, bigram_lm_counts(ref), seq=0)
-        now = _time.time()
-        for i in range(3):
-            tmp = os.path.join(work, f"tmp_b{i}")
-            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"b{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _stage_stream_files(
+            work,
+            stream_dir,
+            [docs.where(F.col("doc_id") % 3 == i) for i in range(3)],
+            [f"b{i}.parquet" for i in range(3)],
+        )
 
         def v6_batch(batch_df, batch_id: int) -> None:
             # BOTH models come from the store inside the batch: the
@@ -12072,14 +12090,12 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerate later version — a batch loading "latest" would
         # single-cluster every vector and hash-fail
         save_kmeans_model(spark, store, kmeans_fit(ref, k=1, n_iter=1), seq=1)
-        now = _time.time()
-        for i in range(3):
-            tmp = os.path.join(work, f"tmp_b{i}")
-            emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(tmp)
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"b{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _stage_stream_files(
+            work,
+            stream_dir,
+            [emb.where(F.col("vec_id") % 3 == i) for i in range(3)],
+            [f"b{i}.parquet" for i in range(3)],
+        )
 
         def sem_batch(batch_df, batch_id: int) -> None:
             model, _, two_level = load_kmeans_model(spark, store, seq=0)
@@ -12571,16 +12587,12 @@ def streaming_langid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, store, {lg: {b: 0 for b in wb} for lg, wb in w.items()},
             seq=1,
         )
-        now = _time.time()
-        for i in range(3):
-            tmp = os.path.join(work, f"tmp_b{i}")
-            corpus.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-                tmp
-            )
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"b{i}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _stage_stream_files(
+            work,
+            stream_dir,
+            [corpus.where(F.col("doc_id") % 3 == i) for i in range(3)],
+            [f"b{i}.parquet" for i in range(3)],
+        )
 
         def lid_batch(batch_df, batch_id: int) -> None:
             weights, label = load_langid_weights(spark, store, seq=0)
