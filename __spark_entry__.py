@@ -93,19 +93,43 @@ def _canon(fn: Callable[[SparkSession, str], DataFrame]):
 #: parameter, and the multimodal refresh guard reorder.  The
 #: remaining ~37 slots rotate staleness-first: all 19 r7 rows, then
 #: the oldest r8 cohort (VERDICT r12 #6).
+#: r13 is the first OPTIMIZATION round: the 3 NEW queries from the
+#: inherited partial build keep the leading slots, then every query
+#: whose execution path the r13 optimizations touched — the tokenizer
+#: family (driver-side merge rounds, encode memoization, store IO),
+#: the langid family (fused training rounds, store IO), the two-level
+#: k-means family (driver-side coarse Lloyd), the funnel pipelines
+#: composing them, and the streaming gates (single-write fixtures,
+#: driver-side artifact loads).  Results are oracle-identical by
+#: construction (verified at sf0.001+sf0.01 per change), but changed
+#: paths take window slots ahead of staleness per the standing rule.
 PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "kmeans_two_level_warm_refresh",
     "pretrain_pipeline_v8",
     "langid_char_ngram_train",
-    "kmeans_lifecycle",
-    "kmeans_warm_refresh",
-    "streaming_semdedup",
-    "semdedup_two_level",
-    "pretrain_pipeline_v6",
-    "pretrain_pipeline_v7",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "bpe_tokenizer_lifecycle",
+    "wordpiece_train_merges",
+    "wordpiece_encode_greedy",
+    "wordpiece_tokenizer_lifecycle",
+    "unigram_encode_tokens",
+    "unigram_tokenizer_lifecycle",
     "langid_classifier_train",
     "langid_classifier_apply",
     "streaming_langid_gate",
+    "kmeans_lifecycle",
+    "kmeans_warm_refresh",
+    "semdedup_two_level",
+    "streaming_semdedup",
+    "pretrain_pipeline_v6",
+    "pretrain_pipeline_v7",
+    "streaming_quality_gate",
+    "streaming_pretrain_v6",
+    "streaming_ann_refresh",
+    "streaming_ann_retraction",
+    "streaming_index_retraction",
+    "streaming_incremental_dedup",
     "streaming_multimodal_retraction",
 )
 

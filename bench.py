@@ -229,6 +229,7 @@ def main() -> None:
             "not plan regressions (plans unchanged; see SCALE_PROBE.json "
             "for scale behavior)"
         ),
+        "methodology_note_r13": "OPTIMIZATION round 1 (no query's results changed — every touched query re-verified against its DuckDB oracle at sf0.001 and the driver window set at sf0.01; see OPTIMIZATION_r13.md for the per-operator record and plans/r13/ for before/after formatted plans + job counts). The sf0.1 suite is scheduled-job-count dominated (documents=5000 rows, embeddings=2000 at sf0.1), so the round removed jobs, not bytes: (1) BPE/WordPiece merge rounds moved driver-side over the ONE-scan collected vocab_cap-bounded word table (bit-identical integer recurrence; wordpiece_train_merges 83->5 jobs, 4.18->0.55s isolated min-of-3); (2) wordpiece/unigram encodes memoize per DISTINCT word per task; (3) langid training 3->1 actions/round; (4) KB-sized trained artifacts (merge lists, vocabs, quality/langid weights) write/load as driver-side parquet under the same ingest+manifest discipline; (5) foreachBatch fixtures stage via ONE partitionBy write; (6) the two-level k-means coarse Lloyd (a k-row recurrence) runs driver-side, returning LocalRelations. Isolated min-of-3 before/after on one idle host: bpe_tokenizer_lifecycle 11.71->1.22, wordpiece_tokenizer_lifecycle 14.54->0.71, unigram_tokenizer_lifecycle 11.59->1.74, streaming_quality_gate 15.37->7.23, streaming_pretrain_v6 14.85->6.67, pretrain_pipeline_v6 12.39->7.15, _v7 11.03->7.27, _v8 17.85->11.48, semdedup_two_level 6.05->5.08, kmeans_lifecycle 6.25->4.87. Measured host-noise caveat recorded in OPTIMIZATION_r13.md: untouched multi-job 7-16s gates (pretrain_pipeline_v4, ann_index_retraction, bradley_terry) read +-1-4s between identical-code isolated runs — the documented ambient class; flags self-adjudicate below.",
         "methodology_note_r12": "VERDICT r11 #2 — the r11 DRIVER RERUN's 14 unadjudicated normalized flags (factor 0.9137; the rerun postdated the final commit) were each re-run 3x in an isolated fresh session at sf0.1 with the bench warmup+persist preamble; EVERY one reproduces at-or-below its r10 committed value (flagged -> isolated best): dedup_blame_attribution 3.82->1.92 (r10 2.10), dedup_span_exact_substr 3.83->2.23 (2.27), frequent_part_pairs 3.20->1.78 (1.95), referential_integrity_report 1.58->0.83 (0.98), bpe_encode_tokens 5.48->3.22 (3.49), xml_source_roundtrip 0.80->0.34 (0.53), exact_moments_qty_price 1.54->0.72 (1.03), dsir_importance_selection 4.36->2.69 (2.93), bpe_tokenizer_lifecycle 19.34->10.45 (13.12), dedup_index_retraction 9.57->7.69 (6.64 — within the multi-job noise band), domain_mixture_allocation 0.87->0.64 (0.60), unigram_lm_tokenizer 1.83->1.23 (1.27), dedup_incremental_index 7.17->4.23 (5.15), wordpiece_encode_greedy 7.53->4.96 (5.45). All 14 are driver-rerun ambient flaps (the rerun shared a loaded host); none survives isolation — carried-over perf regressions from r11: 0. Calibration baselines now come from git show HEAD:BENCH_FULL.json (ADVICE r11), so same-tree reruns cannot compound drift. r12 new-gate costs are itemized when added below. r12 committed-run record: 527.8s over 238 queries, 0 errors — vs 533.2s/232 driver r11; the 6 new gates cost 36.8s total (streaming_semdedup 13.3s — a 3-batch foreachBatch stream with per-batch frozen-model loads, keeper-store reads and four manifest commits per batch, the streaming-lifecycle cost class; langid_classifier_train 6.6s / _apply 6.7s — a 6-round and a DISTINCT 4-round multiclass perceptron fit over the 62k-doc planted corpus plus the store round trip, trainings not duplicated between the two; kmeans_lifecycle 6.0s — two-level fit on the HALF corpus + two commits + frozen prune, deliberately not re-training semdedup_two_level's full-size fit; kmeans_warm_refresh 2.6s — cold half-fit + one warm continuation round + three manifest round trips; multimodal_incremental_near_dup 1.7s — one batch signing + band-pruned postings trade). Election savings on the touched family: semdedup_kmeans 9.7->8.4, pretrain_pipeline_v6 14.2->12.3 (the single-level final round no longer join-backs for distances); bpe_tokenizer_lifecycle 19.3->11.4 confirms the r11-rerun flap adjudication above. This run's 2 normalized flags, both isolated-re-run 3x per the rule: embedding_random_projection (prev 1.28, bench 3.35) reads [2.55, 2.18, 1.69] isolated — decreasing toward class, untouched code, the sub-2.5s multi-job noise class; streaming_dedup_within_watermark (prev 2.71, bench 4.90) reads [4.95, 4.22, 2.68] isolated — run 3 equals its committed value, the documented availableNow trigger/checkpoint variance class. Both flaps; r12 perf regressions: 0. Final 239-query run (streaming_langid_gate added, 8.8s — a 3-batch stream with per-batch frozen-weight loads + commits, trained on a DISTINCT even-half 4-round artifact): total 560.5s, 0 errors — 1.06x the 527.8s run committed an hour earlier in the same tree, the documented whole-run ambient class (scattered GC/scheduler hiccups the uniform ambient factor cannot absorb). Its 7 normalized flags, all isolated-re-run 3x: pagerank_supplier_customer [9.3, 13.3, 4.9] — best run equals its committed 4.6 class, the r8-documented iterative multi-job flapper; equi_depth_bins_orders [3.6, 1.4, 1.3] = committed 1.3; unigram_lm_tokenizer [3.3, 1.4, 1.5] = its 1.1-1.5 class; streaming_dedup_within_watermark [4.0, 2.5, 2.6] = committed 2.7 (same query adjudicated above — trigger variance both times); quality_auc_ranksum [2.5, 1.7, 1.7] = committed 1.7; count_min_sketch_custkey [1.6, 1.1, 1.1] = committed 1.2; bpe_train_merges [2.9, 2.4, 2.3] vs committed 2.0 — inside the sub-3s multi-job noise band. All 7 flaps; no regression survives isolation in either r12 run.",
         "methodology_note_r11": "r11 adds 7 gated queries (~105s at sf0.1; streaming_multimodal_retraction, a 3-batch build/refresh/retract stream over the persisted dHash index, landed after the committed run): streaming_pretrain_v6 (31.0s — a 3-batch foreachBatch stream that LM-scores, NTILE-gates and tokenizer-encodes each batch with two store commits per batch, the streaming_quality_gate cost class), the two tokenizer lifecycle gates (bpe 13.1s / unigram ~12s — full train + two versioned commits + seq-addressed load + encode each), pretrain_pipeline_v7 (12.9s — the v6 funnel with the two-level SemDeDup stage; ~25 extra scheduled jobs from the coarse-Lloyd checkpoints at corpus sizes where scheduling dominates), semdedup_two_level and multimodal_index_retraction. ann_index_time_travel dropped 21.9 -> 13.3s (VERDICT r10 #3: the monolithic control is now PQ-coded once under the frozen quantizers, checkpointed, and filtered per snapshot — hash row identical). First round of the ambient_calibration record (VERDICT r10 #6): ambient factor 1.047 over 166 stable sub-2s queries; 9 normalized flags, every one re-adjudicated by 3 isolated runs in a fresh session — streaming_incremental_dedup (bench 22.0s) settles at 8-9s, ann_incremental_pq (15.7) at 8-9s, ann_index_retraction (17.8) at 8.4-11.4 ~= its r10 9.9, spearman_lm_scores (11.1) at 6.1-6.5 BELOW its r10 6.8, text_lang_id (1.38) at 0.63 = its r10 0.52-class, knn_ivf_ann/knn_bruteforce/rollup_status_priority are sub-2.5s members of the documented noise class: all 9 are first-run/ambient flaps (the temp-index builders pay cold page-cache on their first bench run), none survives isolation — perf regressions this round: 0.",
         "methodology_note_r10":"r10 adds 15 gated queries (~70s at sf0.1): the index-governance pair (ann_index_retraction 7.3s, streaming_index_retraction 7.3s) each build+refresh+retract a persisted index inside one gate; pretrain_pipeline_v6 (12.2s) composes the bigram-LM gate, SemDeDup and a WordPiece train+encode over the survivors in one query; semdedup_kmeans (8.3s, stable across runs) is ~a dozen sequential jobs (2 checkpointed k-means iterations + the within-cluster pair join) whose cost at sf0.1 is scheduling, not data — the semdedup_scaled_k probe family (exp 0.93 with k scaled to the corpus, the paper's recipe) is the scale evidence; the tokenizer family (wordpiece_train/encode, unigram train/encode, bigram LM, AUC) adds ~13s of genuinely new trained-artifact gates. Same-tree adjudication vs r9: streaming_stateful_running_totals and streaming_sessionization (1.3 -> ~2.1s, all three runs) are untouched availableNow trigger queries named in the r9 variance record as the flapping class — trigger/checkpoint I/O variance, not plan changes (git log over streaming/ since r9 is empty); kmeans_embeddings_exact reverted 2.15 -> 1.05s, confirming r9's driver-rerun-noise adjudication of that same query. The four late-r10 queries (spearman_lm_scores, streaming_ann_retraction, crossmodal_topk_retrieval, ann_index_time_travel) extend the evaluation/governance families: the two ANN governance gates each run build+refresh+retract(+controls) inside one query, the same structural cost class as ann_index_retraction. Across the two full r10 builder runs, kmeans_embeddings_exact flapped 2.15 -> 1.05 -> 2.04s with untouched code — the same bimodal scheduling behavior r9 adjudicated; it already reports median-of-3 and SCALE_PROBE pins its plan shape. Full-suite totals across the four r10 builder runs: 339.7s (219q), 345.9s (223q), 447.5s and 379.5s (224q, back-to-back same tree) — the 447s outlier inflated EVERY heavy query ~25-40% simultaneously (ambient VM/steal noise, not a plan change; the next idle run reverted). wordpiece_tokenizer_lifecycle (~14.8s, stable) runs a full 10-round training, an encode, two store commits and a versioned load inside one gate — the structural cost class of the other lifecycle gates. Closing 225-query run: 414.4s with simhash_near_dup at 2.2s; relative to the 379.5s run a handful of UNTOUCHED queries (pretrain_pipeline_v6 12.3->20.8s, t24_inferred_pipeline, t24_ddl_artifact, knn_lsh_ann, q5) inflated together and only in this run — the same ambient whole-run variance class as the 447s outlier; per-query medians and SCALE_PROBE pin the plans.",
