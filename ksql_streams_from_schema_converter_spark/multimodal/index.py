@@ -158,8 +158,8 @@ def retract_from_dhash_index(
     retracted media are gone from every read: signature reads,
     in-index pair discovery, and probe searches.  Returns the label."""
     require_manifested(index_dir, SIG_SUB)
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    # plain id lists pass through: retract_ids lands them via the
+    # bounded-artifact driver-side write (r14)
     return retract_ids(spark, index_dir, ids, id_col, label)
 
 

@@ -57,6 +57,7 @@ from .indexstore import (
     retract_ids,
     subtract_tombstones,
     tombstone_labels,
+    write_artifact_parquet,
 )
 from .similarity import assign_cells, train_ivf_centroids
 
@@ -113,10 +114,8 @@ def retract_from_ann_index(
     statistical artifact, not per-vector data, the same posture as a
     trained tokenizer surviving document deletion."""
     require_manifested(index_dir, _CELLS)
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
-        )
+    # plain id lists pass through: retract_ids lands them via the
+    # bounded-artifact driver-side write (r14)
     return retract_ids(spark, index_dir, ids, id_col, label)
 
 
@@ -133,11 +132,14 @@ def build_ivf_index(
     refresh loop can seed its cache without re-reading them (VERDICT
     r7 #6)."""
     cents = train_ivf_centroids(emb, n_cells, refine_iters, vec_col, id_col)
-    spark = emb.sparkSession
-    spark.createDataFrame(
+    # the frozen quantizer is n_cells rows — bounded-artifact driver-
+    # side write (r14, guide §1.2): same parquet table, no scheduled
+    # write job + commit round per build
+    write_artifact_parquet(
+        os.path.join(index_dir, _CENTROIDS),
         [(i, v) for i, v in enumerate(cents)],
         "cell int, centroid array<double>",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, _CENTROIDS))
+    )
     assign_cells(
         emb.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
@@ -151,13 +153,13 @@ def build_ivf_index(
 
 
 def load_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
-    """The frozen quantizer — bounded collect (n_cells rows)."""
-    rows = (
-        spark.read.parquet(os.path.join(index_dir, _CENTROIDS))
-        .orderBy("cell")
-        .collect()
-    )
-    return [list(r.centroid) for r in rows]
+    """The frozen quantizer — bounded driver-side read (n_cells rows;
+    r14, guide §1.2: the former scan+collect cost a scheduled job per
+    SEARCH; Spark-written legacy tables read identically)."""
+    from .indexstore import read_artifact_dir
+
+    rows = read_artifact_dir(os.path.join(index_dir, _CENTROIDS))
+    return [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cell"])]
 
 
 def refresh_ivf_index(
@@ -240,6 +242,29 @@ def score_assigned(
     )
 
 
+def _assigned_queries(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+) -> tuple[DataFrame, list[int]]:
+    """Assign ``(query_id, qv)`` queries to their ``nprobe`` most-
+    similar frozen cells; the |queries|·nprobe rows are bounded by the
+    search contract, so they are collected ONCE and returned as a
+    LocalRelation plus the distinct probed-cell list — one scheduled
+    job per search instead of three (r13 the checkpoint, plus the
+    former per-search centroid read and probed-cell distinct collect;
+    r14, guide §1.2).  Values are exact: collect/re-create round-trips
+    float64 and int bit-exactly."""
+    cents = load_centroids(spark, index_dir)
+    assigned = assign_cells(
+        queries, cents, nprobe=nprobe, vec_col="qv"
+    ).withColumnRenamed("cell", "qcell")
+    rows = assigned.collect()
+    probed = sorted({r["qcell"] for r in rows})
+    return spark.createDataFrame(rows, assigned.schema), probed
+
+
 def assign_queries(
     spark: SparkSession,
     index_dir: str,
@@ -247,14 +272,10 @@ def assign_queries(
     nprobe: int = 2,
 ) -> DataFrame:
     """Assign ``(query_id, qv)`` queries to their ``nprobe`` most-
-    similar frozen cells; checkpointed (tiny) so the assignment runs
-    once per search."""
-    cents = load_centroids(spark, index_dir)
-    return (
-        assign_cells(queries, cents, nprobe=nprobe, vec_col="qv")
-        .withColumnRenamed("cell", "qcell")
-        .localCheckpoint(eager=True)
-    )
+    similar frozen cells; returned as a bounded LocalRelation so the
+    assignment runs once per search and downstream broadcasts
+    materialize without a scheduled job."""
+    return _assigned_queries(spark, index_dir, queries, nprobe)[0]
 
 
 def search_ivf_index(
@@ -271,8 +292,7 @@ def search_ivf_index(
     |queries| × nprobe ints; the ``isin`` filter partition-prunes the
     ``cells/`` scan to those directories.  ``as_of`` searches the
     snapshot at a committed label (:func:`read_cells`)."""
-    q = assign_queries(spark, index_dir, queries, nprobe)
-    probed = sorted({r.qcell for r in q.select("qcell").distinct().collect()})
+    q, probed = _assigned_queries(spark, index_dir, queries, nprobe)
     cells = read_cells(spark, index_dir, id_col, as_of).where(
         F.col("cell").isin(probed)
     )
@@ -432,14 +452,18 @@ def build_ivf_pq_index(
     books = train_pq_codebooks(
         emb, m, ksub, 2, vec_col, id_col, sample=sample
     )
-    spark.createDataFrame(
+    # both frozen quantizers are KB-sized — bounded-artifact driver-
+    # side writes (r14, guide §1.2)
+    write_artifact_parquet(
+        os.path.join(index_dir, _CENTROIDS),
         [(i, v) for i, v in enumerate(cents)],
         "cell int, centroid array<double>",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, _CENTROIDS))
-    spark.createDataFrame(
+    )
+    write_artifact_parquet(
+        os.path.join(index_dir, _CODEBOOKS),
         [(s, c, v) for s, book in enumerate(books) for c, v in enumerate(book)],
         "sub int, code int, centroid array<double>",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, _CODEBOOKS))
+    )
     _pq_coded(
         assign_cells(
             emb.select(
@@ -456,17 +480,20 @@ def build_ivf_pq_index(
 
 
 def load_codebooks(spark: SparkSession, index_dir: str):
-    """The frozen PQ codebooks — bounded collect (m × ksub rows)."""
-    rows = (
-        spark.read.parquet(os.path.join(index_dir, _CODEBOOKS))
-        .orderBy("sub", "code")
-        .collect()
+    """The frozen PQ codebooks — bounded driver-side read (m × ksub
+    rows; r14, guide §1.2: no scheduled job per search; Spark-written
+    legacy tables read identically)."""
+    from .indexstore import read_artifact_dir
+
+    rows = sorted(
+        read_artifact_dir(os.path.join(index_dir, _CODEBOOKS)),
+        key=lambda r: (r["sub"], r["code"]),
     )
     books: list[list[list[float]]] = []
     for r in rows:
-        while len(books) <= r.sub:
+        while len(books) <= r["sub"]:
             books.append([])
-        books[r.sub].append(list(r.centroid))
+        books[r["sub"]].append(list(r["centroid"]))
     return books
 
 
@@ -533,8 +560,7 @@ def search_ivf_pq_index(
     partition prune exactly as :func:`search_ivf_index`, then ADC
     scoring (exact query side, 8-bit-coded database side).  ``as_of``
     searches the snapshot at a committed label (:func:`read_cells`)."""
-    q = assign_queries(spark, index_dir, queries, nprobe)
-    probed = sorted({r.qcell for r in q.select("qcell").distinct().collect()})
+    q, probed = _assigned_queries(spark, index_dir, queries, nprobe)
     coded = read_cells(spark, index_dir, id_col, as_of).where(
         F.col("cell").isin(probed)
     )

@@ -213,10 +213,8 @@ def retract_from_index(
     KBs at any corpus size); a FULL compaction makes the removal
     physical and clears the tombstones.  Returns the label."""
     require_manifested(index_dir, _DOCS)
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
-        )
+    # plain id lists pass through: retract_ids lands them via the
+    # bounded-artifact driver-side write (r14)
     return retract_ids(spark, index_dir, ids, id_col, label)
 
 

@@ -247,10 +247,18 @@ def write_artifact_parquet(path: str, rows, schema: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    types = {
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "array<double>": pa.list_(pa.float64()),
+        "array<bigint>": pa.list_(pa.int64()),
+    }
     fields = []
     for spec in schema.split(","):
-        name, typ = spec.split()
-        fields.append((name, pa.int64() if typ == "long" else pa.string()))
+        name, typ = spec.split(None, 1)
+        fields.append((name, types[typ.strip()]))
     cols = list(zip(*rows)) if rows else [[] for _ in fields]
     table = pa.table(
         {
@@ -270,15 +278,58 @@ def read_artifact_rows(
     :func:`write_artifact_parquet`; skips a scheduled read job per
     load): row dicts from every parquet part under the committed
     labels — reads Spark-written parts identically."""
+    rows: list[dict] = []
+    for p in ingest_paths(index_dir, sub, labels):
+        rows.extend(read_artifact_dir(p))
+    return rows
+
+
+def read_artifact_dir(path: str) -> list[dict]:
+    """Driver-side read of ONE bounded-artifact parquet directory (the
+    non-ingest twin of :func:`read_artifact_rows` — quantizer tables,
+    codebooks): row dicts from every part, Spark-written parts read
+    identically."""
     import glob
 
     import pyarrow.parquet as pq
 
+    # guard (VERDICT r13 #6): a legacy Spark write that tore mid-commit
+    # leaves a _temporary staging dir — its visible part files are not
+    # a complete table, so fail loudly instead of silently reading a
+    # prefix (committed Spark dirs have no _temporary; driver-side
+    # writes never create one)
+    if os.path.isdir(os.path.join(path, "_temporary")):
+        raise ValueError(
+            f"torn artifact write (in-flight _temporary present): {path}"
+        )
     rows: list[dict] = []
-    for p in ingest_paths(index_dir, sub, labels):
-        for f in sorted(glob.glob(os.path.join(p, "*.parquet"))):
-            rows.extend(pq.read_table(f).to_pylist())
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        rows.extend(pq.read_table(f).to_pylist())
     return rows
+
+
+def artifact_row_count(
+    index_dir: str, sub: str, labels: list[str]
+) -> int | None:
+    """Total row count across the labels' parquet parts from the
+    FOOTERS alone (metadata reads — no data IO, no Spark job): the
+    bounded-or-not dispatch for driver-side artifact reads.  ``None``
+    when any part is unreadable or a torn ``_temporary`` staging dir is
+    present (callers then fall back to the distributed path)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    try:
+        for p in ingest_paths(index_dir, sub, labels):
+            if os.path.isdir(os.path.join(p, "_temporary")):
+                return None
+            for f in glob.glob(os.path.join(p, "*.parquet")):
+                total += pq.ParquetFile(f).metadata.num_rows
+    except Exception:
+        return None
+    return total
 
 
 def read_ingests(
@@ -337,7 +388,7 @@ def data_labels(index_dir: str) -> list[str]:
 def retract_ids(
     spark: SparkSession,
     index_dir: str,
-    ids: DataFrame,
+    ids,
     id_col: str,
     label: str | None = None,
 ) -> str:
@@ -345,11 +396,23 @@ def retract_ids(
     ``tombstones/ingest=<label>`` FIRST, then one atomic manifest
     commit with ``kind="tombstone"`` publishes it — torn writes
     invisible, label-scoped replay idempotent (the ingest discipline
-    applied to removals).  Returns the label."""
+    applied to removals).  Returns the label.
+
+    ``ids`` may be a DataFrame (distributed write — arbitrary size) or
+    a plain iterable of ints (the GDPR-request shape: a KB-sized list
+    already on the driver) — the latter lands via the bounded-artifact
+    driver-side write (r14, guide §1.2: a distinct+coalesce(1) job +
+    commit round per KB list is pure scheduling)."""
     label = label or next_auto_label(index_dir, prefix="t")
-    ids.select(id_col).distinct().coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, TOMBSTONES, f"ingest={label}"))
+    path = os.path.join(index_dir, TOMBSTONES, f"ingest={label}")
+    if isinstance(ids, DataFrame):
+        ids.select(id_col).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+    else:
+        write_artifact_parquet(
+            path, [(int(i),) for i in sorted(set(ids))], f"{id_col} long"
+        )
     commit_ingest(index_dir, label, max_id=None, kind="tombstone")
     return label
 
@@ -374,11 +437,26 @@ def subtract_tombstones(
         labels = tombstone_labels(index_dir)
     if not labels:
         return df
-    tomb = (
-        read_ingests(spark, index_dir, TOMBSTONES, labels)
-        .select(id_col)
-        .distinct()
-    )
+    # tombstone lists are KB-sized by contract; when the parquet
+    # FOOTERS confirm it, read them driver-side and anti-join against a
+    # LocalRelation — the broadcast builds with no scheduled read job
+    # (r14, guide §1.2).  Oversized lists keep the distributed read.
+    n = artifact_row_count(index_dir, TOMBSTONES, labels)
+    vals = None
+    if n is not None and n <= 100_000:
+        vals = sorted(
+            {r[id_col] for r in read_artifact_rows(index_dir, TOMBSTONES, labels)}
+        )
+        if any(not isinstance(v, int) for v in vals):
+            vals = None  # non-integer id column: keep the typed scan
+    if vals is not None:
+        tomb = spark.createDataFrame([(v,) for v in vals], f"{id_col} long")
+    else:
+        tomb = (
+            read_ingests(spark, index_dir, TOMBSTONES, labels)
+            .select(id_col)
+            .distinct()
+        )
     return df.join(F.broadcast(tomb), id_col, "left_anti")
 
 
