@@ -91,7 +91,28 @@ def kmeans_fixed_point(
         # and surface as a NoneType error far from the cause — and a
         # bare assert vanishes under ``python -O`` (ADVICE r11)
         raise ValueError(f"n_iter ({n_iter}) must be >= 1")
+    from .lifecycle import eager_release
+
     pts = quantize_points(emb, vec_col, id_col).persist()
+    if k <= KM_STATE_CAP:
+        # collect-form rounds (r14, guide §1.2): the k-row centroid
+        # state lives on the driver; per round = ONE distributed
+        # aggregation (election with the vector carried — no point
+        # join-back) collected as k·dim rows, zero checkpoint/broadcast
+        # jobs.  Identical integer recurrence.
+        spark = emb.sparkSession
+        rows = _seed_rows(pts, k)
+        for it in range(n_iter):
+            cents = _cents_rows_df(spark, rows, "int")
+            elected = _elect_q(pts, cents, carry_q=it < n_iter - 1)
+            if it == n_iter - 1:
+                final = elected.select(
+                    "pid",
+                    F.col("__m.c").alias("cluster"),
+                    F.col("__m.d").alias("dist"),
+                )
+                return eager_release(final, pts)
+            rows = _update_rows(elected, rows)
     cents = _seed_cents(pts, k)
     for it in range(n_iter):
         d = pts.crossJoin(F.broadcast(cents))
@@ -106,8 +127,6 @@ def kmeans_fixed_point(
                 F.col("__m.c").alias("cluster"),
                 F.col("__m.d").alias("dist"),
             )
-            from .lifecycle import eager_release
-
             return eager_release(final, pts)
         # update: per (cluster, dim) integer mean; clusters that own no
         # points keep their previous centroid
@@ -144,6 +163,87 @@ def _seed_cents(pts, k) -> DataFrame:
         (F.row_number().over(Window.orderBy("pid")) - 1).alias("cluster"),
         F.col("q").alias("c"),
     )
+
+
+#: centroid tables at or under this row count run the COLLECT-FORM
+#: rounds (the k-means-centroid bounded-state shape — r14, guide §1.2:
+#: a k-row recurrence scheduled as per-round checkpoint + broadcast
+#: jobs is pure scheduling overhead); larger k keeps the distributed
+#: DataFrame path (the SemDeDup k ∝ corpus posture — VERDICT r13 #1)
+KM_STATE_CAP = 10_000
+
+
+def _seed_rows(pts, k) -> list[tuple[int, list[int]]]:
+    """Collect form of :func:`_seed_cents` — the k lowest-id quantized
+    vectors as ``(cluster, q)`` rows (ONE bounded job); cluster = rank
+    in pid order, exactly the row_number seeding."""
+    seeds = pts.orderBy("pid").limit(k).collect()
+    return [(i, list(r["q"])) for i, r in enumerate(seeds)]
+
+
+def _cents_rows_df(spark, rows, ctype: str) -> DataFrame:
+    """The driver-held centroid state as a LocalRelation ``(cluster,
+    c)`` — downstream broadcasts materialize without a scheduled job."""
+    return spark.createDataFrame(
+        [(c, list(q)) for c, q in rows], f"cluster {ctype}, c array<bigint>"
+    )
+
+
+def _elect_q(pts, cents, carry_q: bool):
+    """One flat argmin election round: ``min(struct(dist, cluster))``
+    per point over a broadcast of the centroid state.  ``carry_q``
+    rides the point's own quantized vector through the aggregation
+    (constant within the pid group, so ``first`` is deterministic and
+    values are untouched) — the update round then needs NO join-back
+    of the point table (r14, guide §2.4: the former
+    ``pts.join(assigned, "pid")`` re-shuffled every vector a second
+    time per round)."""
+    key = _election(_sq_dist(F.col("q"), F.col("c")), F.col("cluster"))
+    aggs = [F.min(key).alias("__m")]
+    if carry_q:
+        aggs.append(F.first("q").alias("__q"))
+    return pts.crossJoin(F.broadcast(cents)).groupBy("pid").agg(*aggs)
+
+
+def _update_rows(elected, prev_rows):
+    """Collect form of :func:`_update_cents` over an election that
+    carries ``__q``: one distributed per-(cluster, dim) integer-mean
+    aggregation (``sum div count`` — the identical expression),
+    collected as k·dim bounded rows and merged driver-side under the
+    same empty-cluster rule (clusters that own no points keep their
+    previous centroid)."""
+    key_col = "__m" if "__m" in elected.columns else "__key"
+    sums = (
+        elected.select(
+            F.col(f"{key_col}.c").alias("cluster"),
+            F.posexplode("__q").alias("pos", "v"),
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.expr("sum(v) div count(*)").alias("cv"))
+        .collect()
+    )
+    by: dict[int, dict[int, int]] = {}
+    for r in sums:
+        by.setdefault(r["cluster"], {})[r["pos"]] = r["cv"]
+    return [
+        (c, [d[p] for p in sorted(d)]) if (d := by.get(c)) is not None else (c, q)
+        for c, q in prev_rows
+    ]
+
+
+def _bounded_init_rows(init: DataFrame):
+    """Fine-centroid rows of a warm-start model IF the state is
+    bounded: collects at most ``KM_STATE_CAP + 1`` rows (one job) and
+    returns ``(rows, ctype)``, or ``(None, None)`` when the model
+    exceeds the cap — the caller then keeps the distributed path."""
+    fine = init.where(F.col("level") == "f").select("cluster", "c")
+    rows = fine.limit(KM_STATE_CAP + 1).collect()
+    if len(rows) > KM_STATE_CAP:
+        return None, None
+    ctype = fine.schema["cluster"].dataType.simpleString()
+    out = [(r["cluster"], list(r["c"])) for r in rows]
+    out.sort(key=lambda t: t[0])
+    return out, ctype
 
 
 def _kmeans_chain_sql(
@@ -491,7 +591,30 @@ def kmeans_two_level(
         raise ValueError(f"n_iter ({n_iter}) must be >= 1")
     if nc_iter < 1:
         raise ValueError(f"nc_iter ({nc_iter}) must be >= 1")
+    from .lifecycle import eager_release
+
     pts = quantize_points(emb, vec_col, id_col).persist()
+    if k <= KM_STATE_CAP:
+        # collect-form rounds (r14, guide §1.2): centroid state on the
+        # driver, coarse Lloyd with zero scheduled jobs (_coarse_local),
+        # one aggregation job per update round, vectors carried through
+        # the election so no point-table join-back.
+        spark = emb.sparkSession
+        rows = _seed_rows(pts, k)
+        for it in range(n_iter):
+            cmap, ccents, ne = _coarse_local(spark, rows, "int", kc, nc_iter)
+            cents = _cents_rows_df(spark, rows, "int")
+            assigned = _two_level_elect(
+                pts, cents, cmap, ccents, ne, carry_q=it < n_iter - 1
+            )
+            if it == n_iter - 1:
+                final = assigned.select(
+                    "pid",
+                    F.col("__key.c").alias("cluster"),
+                    F.col("__key.d").alias("dist"),
+                )
+                return eager_release(final, pts)
+            rows = _update_rows(assigned, rows)
     cents = _seed_cents(pts, k).localCheckpoint()
     for it in range(n_iter):
         cmap, ccents = _coarse_structures(cents, kc, nc_iter)
@@ -502,8 +625,6 @@ def kmeans_two_level(
                 F.col("__key.c").alias("cluster"),
                 F.col("__key.d").alias("dist"),
             )
-            from .lifecycle import eager_release
-
             return eager_release(final, pts)
         asg2 = assigned.select("pid", F.col("__key.c").alias("cluster"))
         cents = _update_cents(pts, asg2, cents)
@@ -521,37 +642,35 @@ def _coarse_lloyd_py(
     truncate-toward-zero ``div`` semantics, empty super-cells keep
     their previous centroid.  Returns ``(cmap rows (cpid, sc),
     ccents rows (sc, cc))``."""
-    seeds = sorted(cpts)[:kc]
-    ccents: dict[int, list[int]] = {i: q for i, (_, q) in enumerate(seeds)}
-    cass: dict[int, int] = {}
+    import numpy as np
+
+    # numpy int64 replay (VERDICT r13 #5): the documented semdedup
+    # scale path is k ∝ corpus, where the pure-Python O(k·kc·dim·
+    # nc_iter) loop was a single-threaded driver cliff.  Same exact
+    # integer recurrence — int64 arithmetic matches the BIGINT math of
+    # the former in-plan chain; argmin over sc-ascending rows IS the
+    # min((dist, sc)) tie-break; the truncate-toward-zero div is
+    # replayed sign-split.
+    ordered = sorted(cpts)
+    cpids = [cpid for cpid, _ in ordered]
+    cp = np.array([q for _, q in ordered], dtype=np.int64)  # k × dim
+    cc = cp[:kc].copy()  # seeds: the kc lowest-cpid centroids, sc = rank
+    assign = None
     for j in range(nc_iter):
-        cass = {}
-        for cpid, q in cpts:
-            best = None
-            for sc, cc in ccents.items():
-                d = sum((x - y) * (x - y) for x, y in zip(q, cc))
-                if best is None or (d, sc) < best:
-                    best = (d, sc)
-            cass[cpid] = best[1]
+        # k × kc squared L2; argmin ties to the smallest sc (first hit)
+        d = ((cp[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
         if j == nc_iter - 1:
             break
-        groups: dict[int, list[list[int]]] = {}
-        for cpid, q in cpts:
-            groups.setdefault(cass[cpid], []).append(q)
-        new: dict[int, list[int]] = {}
-        for sc, qs in groups.items():
-            n = len(qs)
-            new[sc] = [
-                (abs(s) // n) * (1 if s >= 0 else -1)
-                for s in (sum(q[pos] for q in qs) for pos in range(len(qs[0])))
-            ]
-        for sc, cc in ccents.items():
-            if sc not in new:
-                new[sc] = cc  # empty super-cell keeps its centroid
-        ccents = new
+        new = cc.copy()  # empty super-cells keep their centroid
+        for sc in np.unique(assign):
+            s = cp[assign == sc].sum(axis=0)
+            n = int((assign == sc).sum())
+            new[sc] = np.where(s >= 0, s // n, -((-s) // n))
+        cc = new
     return (
-        sorted(cass.items()),
-        sorted((sc, cc) for sc, cc in ccents.items()),
+        sorted(zip(cpids, (int(sc) for sc in assign))),
+        [(i, [int(x) for x in cc[i]]) for i in range(len(cc))],
     )
 
 
@@ -577,39 +696,70 @@ def _coarse_structures(cents, kc, nc_iter):
             F.col("cluster").alias("cpid"), F.col("c").alias("cq")
         ).collect()
     ]
-    cmap_rows, cc_rows = _coarse_lloyd_py(rows, kc, nc_iter)
     spark = cents.sparkSession
     ctype = cents.schema["cluster"].dataType.simpleString()
-    cmap = spark.createDataFrame(cmap_rows, f"cpid {ctype}, sc int")
-    ccents = spark.createDataFrame(cc_rows, "sc int, cc array<bigint>")
+    cmap, ccents, _ = _coarse_local(spark, rows, ctype, kc, nc_iter)
     return cmap, ccents
 
 
-def _two_level_elect(pts, cents, cmap, ccents):
+def _coarse_local(spark, rows, ctype: str, kc: int, nc_iter: int):
+    """Coarse structures straight from driver-held centroid rows (the
+    collect-form rounds — zero scheduled jobs): ``(cmap, ccents, ne)``
+    LocalRelations, where ``ne`` is the non-empty super-cell table
+    pre-filtered driver-side so :func:`_two_level_elect` broadcasts it
+    without a join job."""
+    cmap_rows, cc_rows = _coarse_lloyd_py(
+        [(c, list(q)) for c, q in rows], kc, nc_iter
+    )
+    used = {sc for _, sc in cmap_rows}
+    cmap = spark.createDataFrame(cmap_rows, f"cpid {ctype}, sc int")
+    ccents = spark.createDataFrame(cc_rows, "sc int, cc array<bigint>")
+    ne = spark.createDataFrame(
+        [(sc, cc) for sc, cc in cc_rows if sc in used],
+        "sc int, cc array<bigint>",
+    )
+    return cmap, ccents, ne
+
+
+def _two_level_elect(pts, cents, cmap, ccents, ne=None, carry_q=False):
     """Route every point to its nearest NON-EMPTY super-cell, then run
     the exact argmin over the routed cell's fine centroids; returns the
     elected ``(pid, __key)`` with ``__key = struct(dist, cluster)``.
     Routing is restricted to super-cells that own >= 1 fine centroid —
     a point routed to an empty cell would find no fine candidates and
     silently drop out of the assignment (both engines replay the same
-    rule)."""
-    ne = ccents.join(cmap.select("sc").distinct(), "sc")
+    rule).
+
+    r14 shape (guide §2.4): the routing election CARRIES the point's
+    quantized vector (constant within the pid group — ``first`` is
+    deterministic and values are untouched), so the in-cell fine argmin
+    joins the bounded ``cellcents`` broadcast directly instead of
+    re-shuffling the whole point table back through ``pts.join(route,
+    "pid")`` — one full exchange of the vectors removed per round at
+    every scale.  ``ne`` (the non-empty super-cell table) may be passed
+    precomputed (a LocalRelation in the collect-form rounds — its
+    broadcast then schedules no job); ``carry_q`` additionally rides
+    the vector out of the final election for a join-free update round."""
+    if ne is None:
+        ne = ccents.join(cmap.select("sc").distinct(), "sc")
     rkey = _election(_sq_dist(F.col("q"), F.col("cc")), F.col("sc"))
     route = (
         pts.crossJoin(F.broadcast(ne))
         .groupBy("pid")
-        .agg(F.min(rkey).alias("__rk"))
-        .select("pid", F.col("__rk.c").alias("sc"))
+        .agg(F.min(rkey).alias("__rk"), F.first("q").alias("q"))
+        .select("pid", F.col("__rk.c").alias("sc"), "q")
     )
     cellcents = cents.join(
         cmap.select(F.col("cpid").alias("cluster"), "sc"), "cluster"
     )
     fkey = _election(_sq_dist(F.col("q"), F.col("c")), F.col("cluster"))
+    aggs = [F.min(fkey).alias("__key")]
+    if carry_q:
+        aggs.append(F.first("q").alias("__q"))
     return (
-        pts.join(route, "pid")
-        .join(F.broadcast(cellcents), "sc")
+        route.join(F.broadcast(cellcents), "sc")
         .groupBy("pid")
-        .agg(F.min(fkey).alias("__key"))
+        .agg(*aggs)
     )
 
 
@@ -889,6 +1039,27 @@ def kmeans_fit(
     from .lifecycle import eager_release
 
     pts = quantize_points(emb, vec_col, id_col).persist()
+    # collect-form rounds under the state cap (r14, guide §1.2): the
+    # k-row state stays on the driver, one aggregation job per update
+    # round, and the returned model is a LocalRelation (no checkpoint
+    # job; downstream broadcasts are job-free)
+    rows = ctype = None
+    if init is not None:
+        rows, ctype = _bounded_init_rows(init)
+    elif k <= KM_STATE_CAP:
+        rows, ctype = _seed_rows(pts, k), "int"
+    if rows is not None:
+        spark = emb.sparkSession
+        for _ in range(n_iter - 1):
+            cents = _cents_rows_df(spark, rows, ctype)
+            rows = _update_rows(_elect_q(pts, cents, carry_q=True), rows)
+        pts.unpersist()
+        return _cents_rows_df(emb.sparkSession, rows, ctype).select(
+            F.lit("f").alias("level"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.lit(None).cast("bigint").alias("sc"),
+            "c",
+        )
     if init is not None:
         cents = init.where(F.col("level") == "f").select("cluster", "c")
     else:
@@ -946,6 +1117,35 @@ def kmeans_two_level_fit(
     from .lifecycle import eager_release
 
     pts = quantize_points(emb, vec_col, id_col).persist()
+    rows = ctype = None
+    if init is not None:
+        rows, ctype = _bounded_init_rows(init)
+    elif k <= KM_STATE_CAP:
+        rows, ctype = _seed_rows(pts, k), "int"
+    if rows is not None:
+        # collect-form rounds (r14): driver-held state, job-free coarse
+        # Lloyd, one aggregation job per update round, and the model
+        # returns as a LocalRelation built from the final rows — no
+        # joins, no checkpoint job.
+        spark = emb.sparkSession
+        for _ in range(n_iter - 1):
+            cmap, ccents, ne = _coarse_local(spark, rows, ctype, kc, nc_iter)
+            cents = _cents_rows_df(spark, rows, ctype)
+            assigned = _two_level_elect(
+                pts, cents, cmap, ccents, ne, carry_q=True
+            )
+            rows = _update_rows(assigned, rows)
+        cmap_rows, cc_rows = _coarse_lloyd_py(
+            [(c, list(q)) for c, q in rows], kc, nc_iter
+        )
+        sc_of = dict(cmap_rows)
+        model_rows = [
+            ("f", int(c), int(sc_of[c]), list(q)) for c, q in rows
+        ] + [("c", None, int(sc), list(cc)) for sc, cc in cc_rows]
+        pts.unpersist()
+        return spark.createDataFrame(
+            model_rows, "level string, cluster bigint, sc bigint, c array<bigint>"
+        )
     if init is not None:
         cents = (
             init.where(F.col("level") == "f")
@@ -1057,14 +1257,31 @@ def save_kmeans_model(spark, store_dir: str, model: DataFrame, seq: int) -> str:
     here, at save time, instead of one per assignment."""
     import os
 
-    from .indexstore import commit_ingest, ingest_paths
+    from .indexstore import commit_ingest, ingest_paths, write_artifact_parquet
 
     label = f"km{seq}"
     path = ingest_paths(store_dir, KMEANS_SUB, [label])[0]
-    two_level = model.where(F.col("level") == "c").limit(1).count() > 0
-    model.select("level", "cluster", "sc", "c").write.mode(
-        "overwrite"
-    ).parquet(path)
+    cols = model.select("level", "cluster", "sc", "c")
+    # bounded-or-not dispatch (r14, guide §1.2 under the VERDICT r13 #1
+    # scale caveat): a model at or under the state cap — the common
+    # centroid shape — collects once and lands via the driver-side
+    # artifact write (the former two_level probe job + distributed
+    # write job collapse into the one bounded collect); a k ∝ corpus
+    # model past the cap keeps the distributed write.
+    rows = cols.limit(KM_STATE_CAP + 1).collect()
+    if len(rows) <= KM_STATE_CAP:
+        two_level = any(r["level"] == "c" for r in rows)
+        write_artifact_parquet(
+            path,
+            [
+                (r["level"], r["cluster"], r["sc"], list(r["c"]))
+                for r in rows
+            ],
+            "level string, cluster long, sc long, c array<bigint>",
+        )
+    else:
+        two_level = model.where(F.col("level") == "c").limit(1).count() > 0
+        cols.write.mode("overwrite").parquet(path)
     os.makedirs(store_dir, exist_ok=True)
     commit_ingest(
         store_dir,
@@ -1087,7 +1304,12 @@ def load_kmeans_model(
     :func:`assign_frozen` / :func:`semdedup_frozen` and no probe
     action runs per assignment (ADVICE r12).  A legacy entry without
     the flag falls back to one bounded probe here, at load time."""
-    from .indexstore import read_ingests, read_manifest
+    from .indexstore import (
+        artifact_row_count,
+        read_artifact_rows,
+        read_ingests,
+        read_manifest,
+    )
 
     entries = [
         e for e in read_manifest(store_dir) if e.get("kind") == "kmeans"
@@ -1100,8 +1322,23 @@ def load_kmeans_model(
             + (f" with seq={seq}" if seq is not None else "")
         )
     best = max(entries, key=lambda e: e["seq"])
-    df = read_ingests(spark, store_dir, KMEANS_SUB, [best["label"]])
-    model = df.select("level", "cluster", "sc", "c")
+    # bounded models (parquet FOOTER row count at or under the state
+    # cap — covers legacy Spark-written stores too) load driver-side
+    # and return as a LocalRelation: no scheduled read job per load,
+    # and downstream broadcasts materialize job-free (r14, guide §1.2).
+    n = artifact_row_count(store_dir, KMEANS_SUB, [best["label"]])
+    if n is not None and n <= KM_STATE_CAP:
+        rows = read_artifact_rows(store_dir, KMEANS_SUB, [best["label"]])
+        model = spark.createDataFrame(
+            [
+                (r["level"], r["cluster"], r["sc"], list(r["c"]))
+                for r in rows
+            ],
+            "level string, cluster bigint, sc bigint, c array<bigint>",
+        )
+    else:
+        df = read_ingests(spark, store_dir, KMEANS_SUB, [best["label"]])
+        model = df.select("level", "cluster", "sc", "c")
     two_level = best.get("two_level")
     if two_level is None:  # pre-r13 manifest entry: probe once, at load
         two_level = model.where(F.col("level") == "c").limit(1).count() > 0
@@ -1216,6 +1453,12 @@ def semdedup_batch_verdicts(
         )
         .select("pid")
         .distinct()
+        # materialize the pair-join verdict once (bounded: dropped-id
+        # list <= batch size): the caller actions BOTH returned frames
+        # (verdict write + keeper write), which otherwise re-runs the
+        # within-batch self-join and the store join per action (r14,
+        # guide §1.2)
+        .localCheckpoint(eager=True)
     )
     verdicts = feat.join(
         drops.withColumn("__d", F.lit(1)), "pid", "left"

@@ -12112,12 +12112,15 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             verdicts, keepers = semdedup_batch_verdicts(
                 batch_df, model, stored, two_level=two_level
             )
-            vq = verdicts.localCheckpoint(eager=True)
+            # both frames are narrow joins over the operator's
+            # checkpointed feat/drops tables (r14) — write them
+            # directly; the former verdict pre-checkpoint re-ran the
+            # pair join before each write
             kpath = ingest_paths(store, "sem_keepers", [f"sk{batch_id}"])[0]
             keepers.write.mode("overwrite").parquet(kpath)
             commit_ingest(store, f"sk{batch_id}", kind="semkeep", seq=batch_id)
             vpath = ingest_paths(store, "sem_verdicts", [f"sv{batch_id}"])[0]
-            vq.write.mode("overwrite").parquet(vpath)
+            verdicts.write.mode("overwrite").parquet(vpath)
             commit_ingest(
                 store, f"sv{batch_id}", kind="semverdict", seq=batch_id
             )
